@@ -1,0 +1,48 @@
+"""Text normalization kernels.
+
+``normalize_mention`` reproduces the semantics of the reference's
+mention normalizer (``kgdata/wikidata/datasets/norm_mentions.py:48-51``:
+fix NBSP, lowercase, strip non ``[\\w- ]`` chars, collapse whitespace)
+in two implementations that are tested equal:
+
+  - :func:`normalize_mention` — scalar Python (used by the oracle).
+  - :func:`normalize_mention_series` — vectorized pandas string kernel
+    (used inside ``map_batches`` stages).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_NBSP = " "
+# Anything that is not a word char, hyphen or space is dropped.
+_STRIP_RE = re.compile(r"[^\w\- ]", re.UNICODE)
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_mention(s: str) -> str:
+    """Scalar mention normalizer (oracle-side)."""
+    s = s.replace(_NBSP, " ")
+    s = s.lower()
+    s = _STRIP_RE.sub("", s)
+    s = _WS_RE.sub(" ", s)
+    return s.strip()
+
+
+def normalize_mention_series(s: pd.Series) -> pd.Series:
+    """Vectorized pandas equivalent of :func:`normalize_mention`."""
+    out = s.str.replace(_NBSP, " ", regex=False)
+    out = out.str.lower()
+    out = out.str.replace(_STRIP_RE, "", regex=True)
+    out = out.str.replace(_WS_RE, " ", regex=True)
+    return out.str.strip()
+
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def count_tokens(s: str) -> int:
+    """Whitespace token count (scalar)."""
+    return len(_TOKEN_RE.findall(s))

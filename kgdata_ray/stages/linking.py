@@ -1,0 +1,159 @@
+"""Alias-dictionary build + entity linking.
+
+Dictionary build mirrors ``mention_to_articles → mention_to_entities →
+norm_mentions`` (``kgdata/wikidata/datasets/mention_to_entities.py:30-83``,
+``norm_mentions.py:12-45``): normalize aliases, group by normalized
+mention, rank candidates by (freq_global desc, entity_id asc) — ties
+pinned for determinism — and keep top-k per mention.
+
+Linking itself has two physical plans with identical semantics (both
+are tested equal):
+
+  - **broadcast**: the best-candidate dict is ``ray.put`` once and read
+    by every actor of a ``map_batches`` actor pool in ``__init__``
+    (reference: ``left_outer_join_broadcast``,
+    ``kgdata/spark/common.py:393-449``). Right plan when the alias
+    dictionary fits in worker memory.
+  - **join**: two hash-shuffle equi-joins against the candidate table
+    (reference: plain ``leftOuterJoin``) — the scale path when the
+    dictionary itself is huge.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..functions.text import normalize_mention_series
+
+LINKED_COLUMNS = ("conv_id", "turn_idx", "subj", "pred", "obj")
+
+
+# --------------------------------------------------------------------------
+# Dictionary build
+
+
+def _add_alias_norm(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["alias_norm"] = normalize_mention_series(batch["alias"])
+    return batch
+
+
+def _rank_candidates(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["freq_global", "entity_id"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.astype("int32")
+        return g
+
+    return fn
+
+
+def alias_candidates(gazetteer: Dataset, *, k: int = 2048) -> Dataset:
+    """(alias_norm, entity_id, freq_global, freq_doc, rank) — top-k
+    candidates per normalized mention (per-group top-k, analog of the
+    reference's 2048-candidate cap)."""
+    norm = gazetteer.map_batches(_add_alias_norm, batch_format="pandas")
+    return norm.groupby("alias_norm").map_groups(
+        _rank_candidates(k), batch_format="pandas"
+    )
+
+
+def best_candidate_map(gazetteer_table: pa.Table) -> dict[str, str]:
+    """Driver-side best-candidate dict (alias_norm -> entity_id) from a
+    small gazetteer table; used for the broadcast linking plan."""
+    df = gazetteer_table.to_pandas()
+    df["alias_norm"] = normalize_mention_series(df["alias"])
+    df = df.sort_values(
+        ["alias_norm", "freq_global", "entity_id"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    best = df.drop_duplicates("alias_norm", keep="first")
+    return dict(zip(best["alias_norm"], best["entity_id"]))
+
+
+# --------------------------------------------------------------------------
+# Broadcast linking (actor pool + ray.put dict)
+
+
+class LinkBroadcast:
+    """Actor-pool linker: dict fetched from the object store once per
+    actor; per-batch vectorized normalize + dict map."""
+
+    def __init__(self, alias_map: Union["ray.ObjectRef", dict]):
+        if isinstance(alias_map, ray.ObjectRef):
+            alias_map = ray.get(alias_map)
+        self.alias_map = alias_map
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        subj = normalize_mention_series(batch["subj_raw"]).map(self.alias_map)
+        obj = normalize_mention_series(batch["obj_raw"]).map(self.alias_map)
+        out = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "subj": subj,
+                "pred": batch["pred"],
+                "obj": obj,
+            }
+        )
+        return out[out["subj"].notna() & out["obj"].notna()]
+
+
+def link_broadcast(
+    raw: Dataset,
+    alias_map_ref: Union["ray.ObjectRef", dict],
+    *,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+) -> Dataset:
+    return raw.map_batches(
+        LinkBroadcast,
+        fn_constructor_args=(alias_map_ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# Join linking (scale path)
+
+
+def _norm_cols(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["subj_norm"] = normalize_mention_series(batch["subj_raw"])
+    batch["obj_norm"] = normalize_mention_series(batch["obj_raw"])
+    return batch.drop(columns=["subj_raw", "obj_raw"])
+
+
+def link_via_join(
+    raw: Dataset, candidates: Dataset, *, num_partitions: int = 16
+) -> Dataset:
+    """Inner-join linking against the rank-0 candidate table; drops
+    unlinkable mentions exactly like the broadcast plan."""
+    best = (
+        candidates.filter(expr="rank == 0")
+        .select_columns(["alias_norm", "entity_id"])
+    )
+    normed = raw.map_batches(_norm_cols, batch_format="pandas")
+    j1 = normed.join(
+        best,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("subj_norm",),
+        right_on=("alias_norm",),
+    ).rename_columns({"entity_id": "subj"})
+    j2 = j1.join(
+        best,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("obj_norm",),
+        right_on=("alias_norm",),
+    ).rename_columns({"entity_id": "obj"})
+    return j2.select_columns(list(LINKED_COLUMNS))
