@@ -8,6 +8,7 @@ size on the DataContext, order preservation off for throughput.
 from __future__ import annotations
 
 from ray.data import DataContext
+from ray.data.context import ShuffleStrategy
 
 MiB = 1024 * 1024
 
@@ -17,14 +18,40 @@ def configure(
     target_max_block_size: int = 64 * MiB,
     preserve_order: bool = False,
     quiet: bool = True,
+    hash_shuffle: bool = False,
 ) -> DataContext:
     """Apply engine-wide DataContext defaults; returns the context.
 
     Idempotent; safe to call from tests, bench.py and pipelines alike.
+    ``hash_shuffle=True`` routes groupby/aggregate through the
+    hash-shuffle operator (no global sort per shuffle) — worth
+    enabling on clusters with plenty of CPU headroom, but its
+    aggregator-actor scheduling can deadlock tiny local clusters in
+    Ray 2.49, so the default stays on the sort-based shuffle.
     """
     ctx = DataContext.get_current()
     ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
+    if hash_shuffle:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Size shuffle parallelism to the actual cluster: the library
+        # default (200 partitions / 64 aggregator actors / 300 s
+        # aggregator wait) assumes a large multi-node cluster and
+        # deadlocks a small local one.
+        import ray
+
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            ncpu = 8
+        ctx.default_hash_shuffle_parallelism = max(2, 2 * ncpu)
+        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
+        if ncpu <= 8:
+            # tiny local clusters: keep aggregator CPU reservations low so
+            # shuffle aggregators co-schedule with actor-pool stages
+            # instead of deadlocking the pipeline
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
     if quiet:
         ctx.enable_progress_bars = False
         try:

@@ -1,0 +1,202 @@
+"""Grouped-aggregate primitives (SURVEY §2.1 / §2.4 / §2.7):
+
+  - :func:`group_top_k`      per-group top-k with pinned tie-breaks
+                             (``mention_to_entities.py:59-62``)
+  - :func:`latest_wins`      keep the max-timestamp row per key
+                             (``html_articles.py:66-81`` two-pass dedup)
+  - :func:`distinct_rows`    exact multi-column distinct
+  - :func:`count_zero_fill`  counts left-joined onto a domain with 0 fill
+                             (``class_count.py:13-51``)
+  - :func:`dict_merge_aggregate`  dict-sum monoid reduceByKey
+                             (``property_domains.py:11-72``)
+  - :func:`partial_group_count`   map-side pre-aggregation before the
+                             global groupby (combiner; shuffle shrinker)
+  - :func:`zip_with_index`   global consecutive ids after a sort
+                             (``extended_rdd.py:692-693``)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFn
+
+
+def group_top_k(
+    ds: Dataset,
+    key: str | Sequence[str],
+    *,
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+) -> Dataset:
+    """Top-k rows per group; ``sort_cols``/``ascending`` must define a
+    total order (pin ties!) for determinism."""
+    sc, asc = list(sort_cols), list(ascending)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sc, ascending=asc, kind="mergesort").head(k)
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def latest_wins(
+    ds: Dataset, key: str | Sequence[str], ts_col: str,
+    *, tie_cols: Optional[Sequence[str]] = None,
+) -> Dataset:
+    """One row per key: max ``ts_col`` (ties broken by ``tie_cols``
+    ascending, then stable input order)."""
+    sc = [ts_col] + list(tie_cols or [])
+    asc = [False] + [True] * len(tie_cols or [])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sc, ascending=asc, kind="mergesort").head(1)
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def distinct_rows(ds: Dataset, cols: Sequence[str]) -> Dataset:
+    """Exact distinct over ``cols`` (hash shuffle on the tuple).
+    Per-block pre-dedup shrinks the shuffle before the global group."""
+    cols = list(cols)
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[cols].drop_duplicates()
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pruned = ds.map_batches(pre, batch_format="pandas")
+    return pruned.groupby(cols).map_groups(first, batch_format="pandas")
+
+
+def partial_group_count(ds: Dataset, key: str | Sequence[str],
+                        *, count_name: str = "n") -> Dataset:
+    """Grouped row count with map-side combining: count per block first
+    (one row per key per block), then sum the partials — the shuffle
+    moves keys, not rows."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby(keys, sort=False, dropna=False).size().reset_index(name=count_name)
+        # Arrow out: empty Arrow blocks keep their schema (empty pandas
+        # blocks do not, and break downstream Arrow joins)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out[count_name] = [int(g[count_name].sum())]
+        # map_groups instead of .aggregate(Sum): the built-in aggregate
+        # emits schema-less empty pandas blocks that break Arrow joins
+        # downstream (Ray 2.49)
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    partial = ds.map_batches(pre, batch_format="pandas")
+    grouped = partial.groupby(key if isinstance(key, str) else keys).map_groups(
+        final, batch_format="pandas"
+    )
+    # drop the schema-less empty blocks sort-groupby leaves behind
+    # (they crash Arrow joins downstream; see functions.blocks)
+    from .blocks import scrub_empty_blocks
+
+    return scrub_empty_blocks(grouped)
+
+
+def count_zero_fill(
+    ds: Dataset, key: str, domain: Dataset, domain_key: str,
+    *, count_name: str = "n", num_partitions: int = 8,
+) -> Dataset:
+    """Counts per key, left-joined onto the full key domain with
+    missing counts as 0 (reference ``class_count`` zero-fill)."""
+    counts = partial_group_count(ds, key, count_name=count_name)
+    joined = domain.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(domain_key,),
+        right_on=(key,),
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        b[count_name] = b[count_name].fillna(0).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def dict_merge_aggregate(
+    ds: Dataset, key: str, item_col: str,
+    *, out_col: str = "counts",
+) -> Dataset:
+    """reduceByKey with a dict-sum monoid: per key, merge
+    ``{item: count}`` counters (reference ``property_domains`` /
+    ``article_aliases`` dict merges). Output dict is serialized as a
+    canonical JSON string column (sorted keys) for a stable schema."""
+
+    def init(_k):
+        return {}
+
+    def acc_block(acc: dict, block) -> dict:
+        df = block.to_pandas() if isinstance(block, pa.Table) else block
+        for v, c in df[item_col].value_counts().items():
+            acc[v] = acc.get(v, 0) + int(c)
+        return acc
+
+    def merge(a, b) -> dict:
+        # hash-shuffle aggregation may hand a None accumulator for
+        # partitions that saw no rows
+        a = a if isinstance(a, dict) else {}
+        b = b if isinstance(b, dict) else {}
+        for k, v in b.items():
+            if v is None:
+                # accumulators round-trip through Arrow structs between
+                # shuffle stages; absent keys surface as None values
+                continue
+            cur = a.get(k, 0)
+            a[k] = (0 if cur is None else cur) + v
+        return a
+
+    def finalize(a: dict) -> str:
+        return json.dumps(a, sort_keys=True)
+
+    agg = AggregateFn(
+        init=init, merge=merge, accumulate_block=acc_block,
+        finalize=finalize, name=out_col,
+    )
+    return ds.groupby(key).aggregate(agg)
+
+
+def zip_with_index(ds: Dataset, *, sort_key: str, descending: bool = False,
+                   index_col: str = "index") -> Dataset:
+    """Global consecutive int64 ids in sort order: sort (range
+    partition), count rows per sorted block, cumulative offsets, then a
+    per-block position + offset — no driver materialization of rows."""
+    sorted_ds = ds.sort(sort_key, descending=descending)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    @ray.remote
+    def _index(t: pa.Table, off: int) -> pa.Table:
+        import numpy as np
+
+        return t.append_column(
+            index_col, pa.array(np.arange(off, off + t.num_rows), pa.int64())
+        )
+
+    import ray.data as rd
+
+    out_refs = [_index.remote(r, o) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

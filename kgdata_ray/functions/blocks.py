@@ -1,0 +1,22 @@
+"""Block hygiene at shuffle boundaries.
+
+Ray 2.49's sort-based ``groupby``/``map_groups`` emits empty,
+schema-less pandas blocks for empty sort partitions, and ``map_batches``
+does not run UDFs on empty blocks — so such blocks survive any
+per-batch fix-up and crash Arrow hash joins downstream
+(``No match ... for key field reference ... on right side``).
+
+``repartition(n)`` rebuilds blocks through a block builder, dropping
+the schema-less empties and unifying the format to Arrow.
+:func:`scrub_empty_blocks` is that scrub; apply it to any
+``map_groups`` output that feeds ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+from ray.data import Dataset
+
+
+def scrub_empty_blocks(ds: Dataset, *, target_blocks: int = 8) -> Dataset:
+    """Rebuild blocks (drops schema-less empties; unifies to Arrow)."""
+    return ds.repartition(target_blocks)

@@ -210,6 +210,7 @@ def apply_canonical_map(
     *,
     concurrency=(1, 8),
     batch_size: int = 16384,
+    num_cpus: float = 0.5,
 ) -> Dataset:
     return ds.map_batches(
         ApplyCanonicalMap,
@@ -217,4 +218,5 @@ def apply_canonical_map(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )

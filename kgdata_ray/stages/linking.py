@@ -112,13 +112,17 @@ def link_broadcast(
     *,
     concurrency=(1, 8),
     batch_size: int = 8192,
+    num_cpus: float = 0.5,
 ) -> Dataset:
+    # fractional num_cpus: dict lookups are light; lets this pool
+    # co-schedule with shuffle aggregators on small clusters
     return raw.map_batches(
         LinkBroadcast,
         fn_constructor_args=(alias_map_ref,),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )
 
 
@@ -137,7 +141,9 @@ def link_via_join(
 ) -> Dataset:
     """Inner-join linking against the rank-0 candidate table; drops
     unlinkable mentions exactly like the broadcast plan."""
-    best = (
+    from ..functions.blocks import scrub_empty_blocks
+
+    best = scrub_empty_blocks(
         candidates.filter(expr="rank == 0")
         .select_columns(["alias_norm", "entity_id"])
     )
