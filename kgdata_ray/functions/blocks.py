@@ -14,9 +14,26 @@ the schema-less empties and unifying the format to Arrow.
 
 from __future__ import annotations
 
+import pyarrow as pa
 from ray.data import Dataset
 
 
 def scrub_empty_blocks(ds: Dataset, *, target_blocks: int = 8) -> Dataset:
     """Rebuild blocks (drops schema-less empties; unifies to Arrow)."""
     return ds.repartition(target_blocks)
+
+
+def rename_cols(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+    """pandas-block-safe column rename.
+
+    ``Dataset.rename_columns`` plans a Project that calls Arrow's
+    ``Table.rename_columns`` on the raw block and crashes on pandas
+    blocks (Ray 2.49). This converts each batch to Arrow and renames
+    there. Empty schema-less blocks pass through untouched (map UDFs
+    skip them) — scrub before an Arrow join if those matter.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")

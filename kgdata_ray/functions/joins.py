@@ -98,7 +98,9 @@ def broadcast_join(
 def hot_keys(ds: Dataset, on: str, threshold: int) -> dict:
     """Pre-pass frequency count; returns {key: count} for keys with
     count > threshold (reference threshold: 10 000)."""
-    counts = ds.groupby(on).count().rename_columns({"count()": "__cnt"})
+    from .blocks import rename_cols
+
+    counts = rename_cols(ds.groupby(on).count(), {"count()": "__cnt"})
     hot = counts.filter(expr=f"__cnt > {threshold}")
     out = {}
     for row in hot.iter_rows():

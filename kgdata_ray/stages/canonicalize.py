@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions.blocks import rename_cols, scrub_empty_blocks
+
 
 # --------------------------------------------------------------------------
 # Redirect chains — driver-side (small maps)
@@ -70,7 +72,7 @@ def resolve_redirects_distributed(
     """
     cur = redirects.select_columns(["src_id", "dst_id"]).materialize()
     for _ in range(max_rounds):
-        hop = cur.rename_columns({"src_id": "h_src", "dst_id": "h_dst"})
+        hop = rename_cols(cur, {"src_id": "h_src", "dst_id": "h_dst"})
         joined = cur.join(
             hop,
             join_type="left_outer",
@@ -91,7 +93,11 @@ def resolve_redirects_distributed(
 
         stepped = joined.map_batches(_advance, batch_format="pandas").materialize()
         changed = stepped.sum("changed")
-        cur = stepped.drop_columns(["changed"])
+        # scrub: the next round joins `cur` on both sides; block schemas
+        # must be Arrow-stable (see functions.blocks)
+        cur = scrub_empty_blocks(
+            stepped.drop_columns(["changed"]), target_blocks=num_partitions
+        ).materialize()
         if not changed:
             break
     else:
@@ -99,7 +105,7 @@ def resolve_redirects_distributed(
             f"redirect graph did not converge in {max_rounds} pointer-doubling "
             "rounds — cycle suspected"
         )
-    return cur.rename_columns({"dst_id": "canonical_id"})
+    return rename_cols(cur, {"dst_id": "canonical_id"})
 
 
 # --------------------------------------------------------------------------
@@ -137,27 +143,30 @@ def connected_components(
             ignore_index=True,
         )
 
-    labels = (
-        sym.map_batches(_self_edge, batch_format="pandas")
-        .groupby("u")
-        .min("v")
-        .rename_columns({"u": "node_id", "min(v)": "component_id"})
-        .materialize()
-    )
+    labels = rename_cols(
+        scrub_empty_blocks(
+            sym.map_batches(_self_edge, batch_format="pandas")
+            .groupby("u")
+            .min("v")
+        ),
+        {"u": "node_id", "min(v)": "component_id"},
+    ).materialize()
 
     for _ in range(max_rounds):
         # candidate label for u = min over neighbors v of label(v)
-        cand = (
-            sym.join(
-                labels,
-                join_type="inner",
-                num_partitions=8,
-                on=("v",),
-                right_on=("node_id",),
-            )
-            .groupby("u")
-            .min("component_id")
-            .rename_columns({"u": "node_id", "min(component_id)": "cand"})
+        cand = rename_cols(
+            scrub_empty_blocks(
+                sym.join(
+                    labels,
+                    join_type="inner",
+                    num_partitions=8,
+                    on=("v",),
+                    right_on=("node_id",),
+                )
+                .groupby("u")
+                .min("component_id")
+            ),
+            {"u": "node_id", "min(component_id)": "cand"},
         )
         merged = labels.join(
             cand, join_type="left_outer", num_partitions=8, on=("node_id",)
@@ -175,7 +184,9 @@ def connected_components(
 
         stepped = merged.map_batches(_update, batch_format="pandas").materialize()
         changed = stepped.sum("changed")
-        labels = stepped.drop_columns(["changed"])
+        labels = scrub_empty_blocks(
+            stepped.drop_columns(["changed"])
+        ).materialize()
         if not changed:
             break
     return labels

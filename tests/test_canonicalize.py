@@ -1,0 +1,76 @@
+"""Canonicalization: chain collapse (driver + distributed pointer
+doubling) and connected components."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgdata_ray.stages.canonicalize import (
+    canonical_map_from_table,
+    collapse_chains,
+    connected_components,
+    resolve_redirects_distributed,
+)
+from kgdata_ray.synth import redirects_table
+
+
+def test_collapse_chains_multi_hop():
+    direct = {"a": "b", "b": "c", "c": "d", "x": "y"}
+    got = collapse_chains(direct)
+    assert got == {"a": "d", "b": "d", "c": "d", "x": "y"}
+
+
+def test_collapse_chains_cycle_min_id():
+    direct = {"b": "c", "c": "b"}
+    got = collapse_chains(direct)
+    assert got["b"] == "b" and got["c"] == "b"
+
+
+def test_distributed_matches_driver(small_cfg):
+    rt = redirects_table(small_cfg)
+    want = canonical_map_from_table(rt)
+    got_ds = resolve_redirects_distributed(rd.from_arrow(rt), num_partitions=4)
+    got = {
+        r["src_id"]: r["canonical_id"] for r in got_ds.take_all()
+    }
+    assert got == want
+
+
+def test_distributed_long_chain():
+    # a 9-hop chain must collapse in O(log) doubling rounds
+    edges = pa.table(
+        {
+            "src_id": [f"n{i}" for i in range(9)],
+            "dst_id": [f"n{i+1}" for i in range(9)],
+        }
+    )
+    got_ds = resolve_redirects_distributed(rd.from_arrow(edges), num_partitions=2)
+    got = {r["src_id"]: r["canonical_id"] for r in got_ds.take_all()}
+    assert set(got.values()) == {"n9"}
+
+
+def test_connected_components():
+    # two components: {a,b,c,d} (chain + duplicate edge) and {x,y}
+    edges = pa.table(
+        {
+            "src_id": ["b", "c", "c", "x"],
+            "dst_id": ["a", "b", "d", "y"],
+        }
+    )
+    labels = connected_components(rd.from_arrow(edges)).take_all()
+    lab = {r["node_id"]: r["component_id"] for r in labels}
+    assert lab == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_star_and_singleton_free():
+    edges = pa.table(
+        {"src_id": ["h", "h", "h"], "dst_id": ["s1", "s2", "s3"]}
+    )
+    lab = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(rd.from_arrow(edges)).take_all()
+    }
+    assert set(lab.values()) == {"h"}
+    assert set(lab) == {"h", "s1", "s2", "s3"}
