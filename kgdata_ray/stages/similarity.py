@@ -1,0 +1,213 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+  - :func:`knn_bruteforce` — exact cosine top-k: per-batch numpy matmul
+    of the corpus batch against a broadcast query matrix, per-batch
+    partial top-k, then a tiny global per-query top-k. The corpus
+    streams; only (query, candidate) partials shuffle.
+  - :func:`build_ivf` / :func:`knn_ivf` — IVF scale path: seeded
+    Lloyd-iteration centroids from a sample, batchwise cluster
+    assignment, query-time probing of the top ``nprobe`` centroids.
+    Approximate; recall tested against brute force.
+
+No reference analog (kgdata has no vector ops) — this is part of the
+training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..functions.agg import group_top_k
+
+
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _vec_matrix(b: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+
+
+class _BatchTopK:
+    """Corpus batch x broadcast queries -> per-batch top-k partials."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 exclude_self: bool):
+        q_ids, q_mat = (
+            ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        )
+        self.q_ids = q_ids
+        self.q_mat = q_mat  # (Q, d) normalized float64
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        cand_ids = b[self.id_col].to_numpy(np.int64)
+        mat = _l2_normalize(_vec_matrix(b, self.vec_col))
+        sims = np.round(self.q_mat @ mat.T, 6)  # (Q, batch)
+        if self.exclude_self:
+            same = self.q_ids[:, None] == cand_ids[None, :]
+            sims[same] = -np.inf
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(self.q_ids)), k)
+        cols = idx.ravel()
+        out = pd.DataFrame(
+            {
+                "query_id": self.q_ids[rows],
+                "neighbor_id": cand_ids[cols],
+                "cosine": sims[rows, cols],
+            }
+        )
+        return out[np.isfinite(out["cosine"])]
+
+
+def _final_topk(topk: Dataset, k: int) -> Dataset:
+    ranked = group_top_k(
+        topk, "query_id",
+        sort_cols=["cosine", "neighbor_id"], ascending=[False, True], k=k,
+    )
+
+    def add_rank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ranked.groupby("query_id").map_groups(add_rank, batch_format="pandas")
+
+
+def query_matrix(
+    ds: Dataset, query_ids: list[int], *, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect + L2-normalize the query vectors (the broadcast side)."""
+    wanted = set(query_ids)
+    got: dict[int, np.ndarray] = {}
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=8192, batch_format="pandas"
+    ):
+        for i, v in zip(b[id_col], b[vec_col]):
+            if i in wanted:
+                got[int(i)] = np.asarray(v, dtype=np.float64)
+    ids = np.asarray(sorted(got), dtype=np.int64)
+    mat = _l2_normalize(np.vstack([got[i] for i in ids]))
+    return ids, mat
+
+
+def knn_bruteforce(
+    ds: Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+    Ties pinned by (cosine desc, neighbor_id asc); cosine rounded to
+    6 dp so engine and SQL oracle agree on boundaries."""
+    q_ref = ray.put(query_matrix(ds, query_ids, id_col=id_col, vec_col=vec_col))
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(q_ref, k, id_col, vec_col, exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+    return _final_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# IVF
+
+
+@dataclass
+class IVFIndex:
+    centroids: np.ndarray  # (C, d), L2-normalized
+
+
+def build_ivf(
+    ds: Dataset,
+    *,
+    num_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Seeded mini-KMeans on a sample (driver-side; centroids are tiny
+    and broadcast everywhere)."""
+    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    mat = _l2_normalize(
+        np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    )
+    rng = np.random.default_rng(seed)
+    C = min(num_centroids, len(mat))
+    cent = mat[rng.choice(len(mat), size=C, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(C):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _l2_normalize(cent)
+    return IVFIndex(centroids=cent)
+
+
+def knn_ivf(
+    ds: Dataset,
+    query_ids: list[int],
+    index: IVFIndex,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Approximate top-k: only corpus rows assigned to the queries'
+    ``nprobe`` nearest centroids are scored. Same output schema and
+    tie-breaks as :func:`knn_bruteforce`."""
+    q_ids, q_mat = query_matrix(ds, query_ids, id_col=id_col, vec_col=vec_col)
+    probe = np.argsort(-(q_mat @ index.centroids.T), axis=1)[:, :nprobe]
+    probed: set[int] = set(probe.ravel().tolist())
+    cent_ref = ray.put(index.centroids)
+    probed_ref = ray.put(probed)
+
+    class _Filter:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.probed = ray.get(probed_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            mat = _l2_normalize(_vec_matrix(b, vec_col))
+            assign = (mat @ self.cent.T).argmax(axis=1)
+            mask = np.isin(assign, list(self.probed))
+            return b[mask]
+
+    filtered = ds.map_batches(
+        _Filter, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 8), num_cpus=0.5,
+    )
+    q_ref = ray.put((q_ids, q_mat))
+    partials = filtered.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(q_ref, k, id_col, vec_col, exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+    return _final_topk(partials, k)

@@ -1,0 +1,149 @@
+"""Text analysis over document corpora: token counting, quality
+metrics, language ID, fingerprinting.
+
+Reference analog: the per-record normalizers / predicate batteries
+(``normalize_mention`` ``kgdata/wikidata/datasets/norm_mentions.py:48-51``,
+``EasyTests`` rule battery ``kgdata/wikipedia/datasets/easy_tables.py:
+36-61``) — stateless vectorized ``map_batches`` stages. The metric
+definitions here are pinned so the DuckDB oracle SQL in
+``__ray_entry__`` computes the identical values:
+
+  - n_chars     = length(text)
+  - n_tokens    = number of maximal \\S+ runs
+  - n_punct     = count of chars in ``.,;:!?``
+  - upper_ratio is intentionally NOT in the SQL-checked set (locale
+    traps); it lives in the quality score only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+_TOKEN_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+
+# small built-in stopword lists for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "that", "with",
+           "on", "as", "are", "this", "it"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf",
+           "ein", "eine", "nicht", "den", "im", "zu"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "pour",
+           "dans", "que", "qui", "sur", "avec"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "para", "del"},
+}
+
+
+def doc_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> SQL-matchable per-doc stats."""
+    text = b["text"]
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"],
+            "n_chars": text.str.len().astype("int64"),
+            "n_tokens": text.str.count(_TOKEN_RE).astype("int64"),
+            "n_punct": text.str.count(_PUNCT_RE).astype("int64"),
+        }
+    )
+
+
+def doc_stats(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pandas"
+    )
+
+
+def quality_score_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Heuristic quality in [0,1]: length band + punctuation density +
+    mean token length band (deterministic, unit-tested vs a naive
+    reimplementation)."""
+    text = b["text"]
+    n_chars = text.str.len().astype("float64")
+    n_tokens = text.str.count(_TOKEN_RE).astype("float64").clip(lower=1)
+    n_punct = text.str.count(_PUNCT_RE).astype("float64")
+    mean_tok = (n_chars - n_tokens + 1) / n_tokens
+    len_score = np.clip(n_chars / 500.0, 0, 1)
+    punct_density = (n_punct / n_tokens).clip(upper=1.0)
+    punct_score = 1.0 - (punct_density - 0.2).abs()
+    tok_score = 1.0 - np.clip((mean_tok - 5.5).abs() / 5.5, 0, 1)
+    score = (0.4 * len_score + 0.3 * punct_score + 0.3 * tok_score).round(6)
+    return pd.DataFrame({"doc_id": b["doc_id"], "quality": score})
+
+
+def quality_scores(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pandas"
+    )
+
+
+class LangId:
+    """Stopword-overlap language ID (actor pool: token regex + word sets
+    compiled once per actor). Deterministic tie-break: score desc, then
+    language code asc; all-zero scores -> 'und'."""
+
+    def __init__(self):
+        self.token_re = re.compile(r"[a-zäöüéèêàçñ]+")
+        self.langs = sorted(_STOPWORDS)
+        self.sets = [_STOPWORDS[lang] for lang in self.langs]
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in b["text"]:
+            toks = self.token_re.findall(text.lower())
+            if not toks:
+                preds.append("und")
+                continue
+            scores = [sum(t in s for t in toks) for s in self.sets]
+            best = max(range(len(self.langs)), key=lambda i: (scores[i], -i))
+            preds.append(self.langs[best] if scores[best] > 0 else "und")
+        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": preds})
+
+
+def lang_id(ds: Dataset, *, concurrency=(1, 8)) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
+    )
+
+
+def fingerprint_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """md5 content fingerprint (matches DuckDB ``md5(text)``)."""
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"],
+            "fingerprint": [
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"]
+            ],
+        }
+    )
+
+
+def fingerprints(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas"
+    )
+
+
+def rolling_fingerprint_batch(b: pd.DataFrame, *, window: int = 64) -> pd.DataFrame:
+    """Winnowing-style document fingerprint: min 32-bit rolling-window
+    hash over the text (robust to small appends; rows-only check)."""
+    from .dedup import char_shingle_hashes
+
+    out = []
+    for t in b["text"]:
+        h = char_shingle_hashes(t, min(window, max(1, len(t))))
+        out.append(int(h.min()) if h.size else 0)
+    return pd.DataFrame(
+        {"doc_id": b["doc_id"], "rolling_fp": pd.Series(out, dtype="int64")}
+    )
+
+
+def rolling_fingerprints(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pandas"
+    )

@@ -1,0 +1,132 @@
+"""Dedup suite: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — verified against brute-force oracles on a corpus with planted
+near-duplicates."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from kgdata_ray.stages.dedup import (
+    char_shingle_hashes,
+    dedup_clusters,
+    embedding_pairs,
+    exact_dedup_ids,
+    jaccard,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_ngram_hashes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """120 real docs + planted near-dups (small edits) + one exact dup."""
+    df = (
+        pq.read_table(f"{SF}/documents.parquet")
+        .to_pandas()[["doc_id", "text"]]
+        .head(120)
+    )
+    planted = []
+    for i, (doc_id, text) in enumerate(
+        zip(df["doc_id"].head(10), df["text"].head(10))
+    ):
+        planted.append(
+            {"doc_id": 10_000 + i, "text": text + " extra tail token"}
+        )
+    planted.append({"doc_id": 20_000, "text": df["text"].iloc[0]})  # exact dup
+    return pd.concat([df, pd.DataFrame(planted)], ignore_index=True)
+
+
+def test_exact_dedup(corpus):
+    got = exact_dedup_ids(rd.from_pandas(corpus)).to_pandas()
+    want = corpus.groupby("text")["doc_id"].min()
+    assert sorted(got["doc_id"]) == sorted(want)
+    # the exact dup (20000) must collapse into its original
+    assert 20_000 not in set(got["doc_id"])
+
+
+def _brute_pairs(corpus, features, threshold):
+    feats = {r.doc_id: features(r.text) for r in corpus.itertuples()}
+    out = set()
+    for a, b in combinations(sorted(feats), 2):
+        if jaccard(feats[a], feats[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_vs_bruteforce(corpus):
+    got = minhash_pairs(
+        rd.from_pandas(corpus), threshold=0.6, seed=7
+    ).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    want = _brute_pairs(corpus, lambda t: char_shingle_hashes(t, 5), 0.6)
+    # verification step guarantees precision; planted high-sim dups
+    # guarantee recall at these LSH parameters
+    assert got_pairs <= want
+    high = _brute_pairs(corpus, lambda t: char_shingle_hashes(t, 5), 0.85)
+    assert high <= got_pairs
+    assert len(got_pairs) >= 11  # 10 planted near-dups + 1 exact dup
+
+
+def test_ngram_jaccard_pairs(corpus):
+    got = ngram_jaccard_pairs(
+        rd.from_pandas(corpus), threshold=0.5
+    ).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    want = _brute_pairs(corpus, lambda t: word_ngram_hashes(t, 3), 0.5)
+    assert got_pairs <= want
+    high = _brute_pairs(corpus, lambda t: word_ngram_hashes(t, 3), 0.9)
+    assert high <= got_pairs
+
+
+def test_simhash_pairs(corpus):
+    got = simhash_pairs(rd.from_pandas(corpus), max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # the exact dup has hamming 0 from its source and must be found
+    assert (corpus["doc_id"].iloc[0], 20_000) in got_pairs
+    assert (got["hamming"] <= 3).all()
+
+
+def test_embedding_pairs_vs_bruteforce():
+    # threshold chosen below the corpus max cosine (~0.479) so the
+    # result is non-empty
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = embedding_pairs(ds, threshold=0.4).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    ids = df["vec_id"].to_numpy()
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.4
+    }
+    assert want and got_pairs == want
+
+
+def test_dedup_clusters():
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 7, "id_b": 9},
+        ]
+    )
+    lab = {
+        r["node_id"]: r["component_id"]
+        for r in dedup_clusters(pairs).take_all()
+    }
+    assert lab == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}

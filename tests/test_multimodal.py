@@ -1,0 +1,60 @@
+"""Multimodal plumbing: schema, stubbed decode determinism, resize,
+frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+import ray.data as rd
+
+from kgdata_ray.stages.multimodal import (
+    DecodeFeatures,
+    decode_features,
+    frame_sample,
+    media_from_documents,
+    resize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media():
+    docs = rd.read_parquet(f"{SF}/documents.parquet").limit(64)
+    return media_from_documents(docs).materialize()
+
+
+def test_media_schema(media):
+    sch = media.schema()
+    assert sch.names == ["item_id", "kind", "payload", "meta"]
+    assert media.count() == 64
+
+
+def test_decode_fake_deterministic(media):
+    a = decode_features(media, engine="fake").to_pandas().sort_values("item_id")
+    b = decode_features(media, engine="fake").to_pandas().sort_values("item_id")
+    assert list(a["digest"]) == list(b["digest"])
+    assert all(len(f) == 8 for f in a["feat"])
+
+
+def test_decode_real_raises():
+    import pyarrow as pa
+
+    dec = DecodeFeatures(engine="real")
+    t = pa.table(
+        {"item_id": [1], "kind": ["image"], "payload": [b"x"], "meta": ["{}"]}
+    )
+    with pytest.raises(NotImplementedError):
+        dec(t)
+
+
+def test_resize(media):
+    out = resize(media, target_bytes=100).to_pandas()
+    assert (out["payload"].map(len) == 100).all()
+
+
+def test_frame_sample(media):
+    frames = frame_sample(media, every=2, frame_bytes=64).to_pandas()
+    src = media.to_pandas()
+    n = src["payload"].map(len)
+    want = (((n + 63) // 64).clip(lower=1) + 1) // 2
+    assert len(frames) == int(want.sum())

@@ -1,0 +1,112 @@
+"""Text analysis + similarity search vs naive oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from kgdata_ray.stages.similarity import build_ivf, knn_bruteforce, knn_ivf
+from kgdata_ray.stages.textstats import (
+    doc_stats,
+    fingerprints,
+    lang_id,
+    quality_scores,
+    rolling_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_doc_stats(docs_pdf):
+    got = doc_stats(rd.read_parquet(f"{SF}/documents.parquet")).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+    tok = re.compile(r"\S+")
+    punct = re.compile(r"[.,;:!?]")
+    for r in docs_pdf.head(50).itertuples():
+        assert got.loc[r.doc_id, "n_chars"] == len(r.text)
+        assert got.loc[r.doc_id, "n_tokens"] == len(tok.findall(r.text))
+        assert got.loc[r.doc_id, "n_punct"] == len(punct.findall(r.text))
+
+
+def test_fingerprints(docs_pdf):
+    got = fingerprints(rd.read_parquet(f"{SF}/documents.parquet")).to_pandas()
+    got = got.set_index("doc_id")
+    for r in docs_pdf.head(20).itertuples():
+        assert got.loc[r.doc_id, "fingerprint"] == hashlib.md5(
+            r.text.encode()
+        ).hexdigest()
+
+
+def test_quality_and_rolling_fp_deterministic():
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    q1 = quality_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    q2 = quality_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert q1.equals(q2)
+    assert ((q1["quality"] >= 0) & (q1["quality"] <= 1)).all()
+    f1 = rolling_fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    f2 = rolling_fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert f1.equals(f2)
+
+
+def test_lang_id():
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the cat and the dog are in the house"},
+            {"doc_id": 2, "text": "der Hund und die Katze sind nicht im Haus"},
+            {"doc_id": 3, "text": "le chat et le chien sont dans la maison"},
+            {"doc_id": 4, "text": "el perro y el gato en la casa es bonito"},
+            {"doc_id": 5, "text": "zzz qqq 12345"},
+        ]
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(ds).take_all()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def _brute_knn(k=5, n_queries=8):
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    qids = sorted(ids[:n_queries])
+    sims = np.round(mat[np.isin(ids, qids)] @ mat.T, 6)
+    out = {}
+    for qi, q in enumerate(qids):
+        order = sorted(
+            ((s, int(i)) for s, i in zip(sims[qi], ids) if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [i for _, i in order[:k]]
+    return qids, out
+
+
+def test_knn_bruteforce_matches_numpy():
+    qids, want = _brute_knn()
+    got = knn_bruteforce(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), qids, k=5
+    ).to_pandas()
+    for q in qids:
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["neighbor_id"]) == want[q], q
+
+
+def test_knn_ivf_recall():
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qids, want = _brute_knn()
+    index = build_ivf(ds, num_centroids=8, seed=13)
+    got = knn_ivf(ds, qids, index, k=5, nprobe=4).to_pandas()
+    hits = total = 0
+    for q in qids:
+        g = set(got[got["query_id"] == q]["neighbor_id"])
+        hits += len(g & set(want[q]))
+        total += len(want[q])
+    assert hits / total >= 0.6, hits / total
