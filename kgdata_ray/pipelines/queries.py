@@ -1,0 +1,627 @@
+"""Driver-contract query registry: one entry per implemented operator /
+pipeline (SURVEY §2), each with a DuckDB oracle where SQL can express
+it.
+
+Contract rules honored here (see ``__ray_entry__``):
+  - every computed/aggregate column is named identically in the Ray
+    plan and the SQL (the driver hash-compares values by sorted column
+    name);
+  - float aggregates are rounded identically on both sides (summation
+    order differs across engines);
+  - callables never call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions.agg import (
+    count_zero_fill,
+    distinct_rows,
+    group_top_k,
+    latest_wins,
+    partial_group_count,
+    zip_with_index,
+)
+from ..functions.joins import (
+    anti_join,
+    broadcast_join,
+    equi_join,
+    salted_join,
+    semi_join,
+)
+from ..stages import textstats
+from ..stages.dedup import embedding_pairs, exact_dedup_ids, minhash_pairs, \
+    ngram_jaccard_pairs, simhash_pairs
+from ..stages.similarity import build_ivf, knn_bruteforce, knn_ivf
+from ..stages.multimodal import decode_features, media_from_documents
+from ..synth import config_for_sf, gazetteer_table, redirects_table, \
+    sf_from_dir, transcripts_dataset
+
+
+def _t(sf_dir: str, name: str) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Relational / primitive queries (DuckDB-checked)
+
+
+def q_filter_project(sf_dir: str) -> Dataset:
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-06-01")))
+        t = t.filter(mask)
+        revenue = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": revenue,
+            }
+        )
+
+    return li.map_batches(fn, batch_format="pyarrow")
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        g = b.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [round(g["sum_qty"].sum(), 2)],
+                "sum_base_price": [round(g["sum_base_price"].sum(), 2)],
+                "sum_disc_price": [round(g["sum_disc_price"].sum(), 2)],
+                "count_order": [int(g["count_order"].sum())],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # map-side partial aggregation, then a tiny grouped combine
+    return (
+        li.map_batches(pre, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_join_orders_customers(sf_dir: str) -> Dataset:
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    j1 = equi_join(orders, cust, "o_custkey", right_on="c_custkey",
+                   num_partitions=8)
+    j2 = broadcast_join(j1, nation.to_pandas(), on="c_nationkey",
+                        right_on="n_nationkey", how="inner")
+    return j2.select_columns(["o_orderkey", "c_name", "n_name"])
+
+
+def q_salted_join(sf_dir: str) -> Dataset:
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_suppkey"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    # every supplier key is hot at this threshold -> fully salted path
+    j = salted_join(
+        li.rename_columns({"l_suppkey": "k"}),
+        supp.rename_columns({"s_suppkey": "k"}),
+        "k", hot_threshold=100, salt_batch=500, num_partitions=8,
+    )
+    return j.select_columns(["l_orderkey", "l_linenumber", "s_name"])
+
+
+def q_broadcast_join(sf_dir: str) -> Dataset:
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    j = broadcast_join(li, part.to_pandas(), on="l_partkey",
+                       right_on="p_partkey", how="inner")
+    return j.select_columns(["l_orderkey", "l_linenumber", "p_brand"])
+
+
+def q_anti_join(sf_dir: str) -> Dataset:
+    # nations with no supplier (10 suppliers, 25 nations -> non-empty
+    # both ways)
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return anti_join(nation, supp, "n_nationkey", right_on="s_nationkey")
+
+
+def q_semi_join(sf_dir: str) -> Dataset:
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return semi_join(nation, supp, "n_nationkey", right_on="s_nationkey")
+
+
+def q_topk_orders(sf_dir: str) -> Dataset:
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(20)
+
+
+def q_group_topk(sf_dir: str) -> Dataset:
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = group_top_k(
+        orders, "o_custkey",
+        sort_cols=["o_totalprice", "o_orderkey"], ascending=[False, True], k=2,
+    )
+    return top.select_columns(["o_custkey", "o_orderkey"])
+
+
+def q_distinct(sf_dir: str) -> Dataset:
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus"])
+    return distinct_rows(li, ["l_returnflag", "l_linestatus"])
+
+
+def q_latest_event_per_user(sf_dir: str) -> Dataset:
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type", "ts"])
+    last = latest_wins(ev, "user_id", "ts", tie_cols=["event_id"])
+    return last.select_columns(["user_id", "event_id", "event_type"])
+
+
+def q_event_type_counts(sf_dir: str) -> Dataset:
+    return partial_group_count(_t(sf_dir, "events"), "event_type")
+
+
+def q_zero_fill_counts(sf_dir: str) -> Dataset:
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    z = count_zero_fill(cust, "c_nationkey", nation, "n_nationkey",
+                        num_partitions=4)
+    return z.select_columns(["n_name", "n"])
+
+
+def q_union_names(sf_dir: str) -> Dataset:
+    s = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_name"]) \
+        .rename_columns({"s_name": "name"})
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"]) \
+        .rename_columns({"c_name": "name"})
+    return s.union(c)
+
+
+def q_zip_with_index(sf_dir: str) -> Dataset:
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    z = zip_with_index(orders, sort_key=["o_totalprice", "o_orderkey"],
+                       index_col="idx")
+    return z.select_columns(["o_orderkey", "idx"])
+
+
+def q_events_sequence(sf_dir: str) -> Dataset:
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type", "ts"])
+
+    def agg(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "seq": [",".join(g["event_type"])]}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ev.groupby("user_id").map_groups(agg, batch_format="pandas")
+
+
+def q_window_agg(sf_dir: str) -> Dataset:
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        b = b.assign(hour=b["ts"].dt.floor("h"))
+        g = b.groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "hour": [g["hour"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sum_value": [round(g["sum_value"].sum(), 2)],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ev.map_batches(pre, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_sessionize(sf_dir: str) -> Dataset:
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=30)).fillna(False)
+        g = g.assign(session_id=brk.cumsum().astype("int64"))
+        out = (
+            g.groupby("session_id", sort=False)
+            .agg(user_id=("user_id", "first"), n_events=("session_id", "size"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["user_id", "session_id", "n_events"]], preserve_index=False
+        )
+
+    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+def q_doc_mentions(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        rx = re.compile(r"([a-z]{6,})")
+        m = b["text"].str.extractall(rx)
+        if m.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "mention": pd.Series([], dtype="object")}
+            )
+        rows = m.index.get_level_values(0).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy()[rows], "mention": m[0].to_numpy()}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def q_doc_stats(sf_dir: str) -> Dataset:
+    return textstats.doc_stats(_t(sf_dir, "documents"))
+
+
+def q_exact_dedup_docs(sf_dir: str) -> Dataset:
+    return exact_dedup_ids(_t(sf_dir, "documents"))
+
+
+def q_fingerprint_docs(sf_dir: str) -> Dataset:
+    return textstats.fingerprints(_t(sf_dir, "documents"))
+
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    emb = _t(sf_dir, "embeddings")
+    out = knn_bruteforce(emb, query_ids=list(range(8)), k=5).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_embedding_pairs(sf_dir: str) -> pd.DataFrame:
+    out = embedding_pairs(_t(sf_dir, "embeddings"), threshold=0.4).to_pandas()
+    return out[["id_a", "id_b"]]
+
+
+# --------------------------------------------------------------------------
+# Rows-only checked (non-SQL-expressible) operators
+
+
+def q_minhash_pairs(sf_dir: str) -> Dataset:
+    return minhash_pairs(_t(sf_dir, "documents"), threshold=0.6)
+
+
+def q_simhash_pairs(sf_dir: str) -> Dataset:
+    return simhash_pairs(_t(sf_dir, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
+    return ngram_jaccard_pairs(_t(sf_dir, "documents"), threshold=0.5)
+
+
+def q_lang_id(sf_dir: str) -> Dataset:
+    return textstats.lang_id(_t(sf_dir, "documents"))
+
+
+def q_quality(sf_dir: str) -> Dataset:
+    return textstats.quality_scores(_t(sf_dir, "documents"))
+
+
+def q_rolling_fp(sf_dir: str) -> Dataset:
+    return textstats.rolling_fingerprints(_t(sf_dir, "documents"))
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    emb = _t(sf_dir, "embeddings")
+    index = build_ivf(emb, num_centroids=8, seed=13)
+    out = knn_ivf(emb, list(range(8)), index, k=5, nprobe=4).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_media_features(sf_dir: str) -> Dataset:
+    media = media_from_documents(_t(sf_dir, "documents").limit(128))
+    return decode_features(media, engine="fake")
+
+
+# --------------------------------------------------------------------------
+# KG pipeline over synthesized transcripts (rows-only; correctness is
+# enforced against the pure-Python oracle in tests/test_kg_pipeline.py)
+
+
+def _kg_world(sf_dir: str):
+    cfg = config_for_sf(sf_from_dir(sf_dir))
+    return cfg, gazetteer_table(cfg), redirects_table(cfg)
+
+
+def q_kg_triples(sf_dir: str) -> Dataset:
+    from .kg import kg_triples
+
+    cfg, gz, rt = _kg_world(sf_dir)
+    return kg_triples(transcripts_dataset(cfg), gz, rt, linking="broadcast")
+
+
+def q_kg_triples_join(sf_dir: str) -> Dataset:
+    from .kg import kg_triples
+
+    cfg, gz, rt = _kg_world(sf_dir)
+    return kg_triples(transcripts_dataset(cfg), gz, rt, linking="join")
+
+
+def q_kg_conversations(sf_dir: str) -> Dataset:
+    from ..stages.reconstruct import conversations
+
+    cfg, _, _ = _kg_world(sf_dir)
+    return conversations(transcripts_dataset(cfg))
+
+
+def q_kg_mentions(sf_dir: str) -> Dataset:
+    from ..stages.mentions import detect_mentions
+
+    cfg, gz, _ = _kg_world(sf_dir)
+    return detect_mentions(
+        transcripts_dataset(cfg), gz.column("alias").to_pylist()
+    )
+
+
+def q_kg_alias_candidates(sf_dir: str) -> Dataset:
+    from ..stages.linking import alias_candidates
+
+    cfg, gz, _ = _kg_world(sf_dir)
+    return alias_candidates(rd.from_arrow(gz))
+
+
+def q_kg_canonical_map(sf_dir: str) -> Dataset:
+    from ..stages.canonicalize import resolve_redirects_distributed
+
+    cfg, _, rt = _kg_world(sf_dir)
+    return resolve_redirects_distributed(rd.from_arrow(rt), num_partitions=4)
+
+
+# --------------------------------------------------------------------------
+# Registry
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "filter_project": q_filter_project,
+        "pricing_summary": q_pricing_summary,
+        "join_orders_customers": q_join_orders_customers,
+        "salted_join": q_salted_join,
+        "broadcast_join": q_broadcast_join,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "topk_orders": q_topk_orders,
+        "group_topk": q_group_topk,
+        "distinct_flag_status": q_distinct,
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_type_counts": q_event_type_counts,
+        "zero_fill_counts": q_zero_fill_counts,
+        "union_names": q_union_names,
+        "zip_with_index": q_zip_with_index,
+        "events_sequence": q_events_sequence,
+        "window_agg": q_window_agg,
+        "sessionize": q_sessionize,
+        "doc_mentions": q_doc_mentions,
+        "doc_stats": q_doc_stats,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "knn_bruteforce": q_knn,
+        "embedding_neardup_pairs": q_embedding_pairs,
+        # rows-only
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality,
+        "rolling_fingerprints": q_rolling_fp,
+        "knn_ivf": q_knn_ivf,
+        "media_features": q_media_features,
+        "kg_triples": q_kg_triples,
+        "kg_triples_join": q_kg_triples_join,
+        "kg_conversations": q_kg_conversations,
+        "kg_mentions": q_kg_mentions,
+        "kg_alias_candidates": q_kg_alias_candidates,
+        "kg_canonical_map": q_kg_canonical_map,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customers": """
+            SELECT o.o_orderkey, c.c_name, n.n_name
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "salted_join": """
+            SELECT l.l_orderkey, l.l_linenumber, s.s_name
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        """,
+        "broadcast_join": """
+            SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "anti_join": """
+            SELECT n_nationkey, n_name FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        """,
+        "semi_join": """
+            SELECT n_nationkey, n_name FROM nation n
+            WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "group_topk": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "event_type_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "zero_fill_counts": """
+            SELECT n.n_name, count(c.c_nationkey) AS n
+            FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "union_names": """
+            SELECT s_name AS name FROM supplier
+            UNION ALL SELECT c_name AS name FROM customer
+        """,
+        "zip_with_index": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS idx
+            FROM orders
+        """,
+        "events_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "window_agg": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM d
+            )
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "doc_mentions": """
+            SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS mention
+            FROM documents
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+        """,
+    }
