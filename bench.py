@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract).
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32), run the
+headline KG pipeline (synthesized transcript parquet at the sf of
+$GRAFT_SF_DIR, cached under /tmp/kgbench) plus representative operator
+benchmarks over $GRAFT_SF_DIR, print ONE JSON line.
+
+--scaling: run this script in two fresh processes at num_cpus=8 and 32
+on the same input and report both times + scaling efficiency
+(the sandbox stand-in for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = Path(os.environ.get("KGBENCH_CACHE", "/tmp/kgbench"))
+
+
+def _prepare_transcripts(cfg) -> Path:
+    """Materialize the synthetic transcript parquet once (untimed, keyed
+    by scale+seed); both scaling runs then read the same files."""
+    from kgdata_ray.state.manifest import has_complete_data, write_dataset
+    from kgdata_ray.synth import transcripts_dataset
+
+    out = CACHE / f"transcripts_c{cfg.n_convs}_e{cfg.n_entities}_s{cfg.seed}"
+    params = {"n_convs": cfg.n_convs, "n_entities": cfg.n_entities,
+              "seed": cfg.seed}
+    if not has_complete_data(out, params=params):
+        write_dataset(
+            transcripts_dataset(cfg), out, name="transcripts", params=params,
+            min_rows_per_file=200_000,
+        )
+    return out
+
+
+def bench_kg(sf: float) -> dict:
+    import ray.data as rd
+
+    from kgdata_ray.pipelines.kg import kg_triples
+    from kgdata_ray.synth import config_for_sf, gazetteer_table, redirects_table
+
+    cfg = config_for_sf(sf)
+    tdir = _prepare_transcripts(cfg)
+    gz, rt = gazetteer_table(cfg), redirects_table(cfg)
+
+    files = sorted(str(p) for p in tdir.glob("*.parquet"))
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    turns = rd.read_parquet(files).count()
+
+    out_dir = CACHE / "out_triples"
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    t0 = time.perf_counter()
+    ds = kg_triples(rd.read_parquet(files), gz, rt, linking="broadcast")
+    ds.write_parquet(str(out_dir))
+    sec = time.perf_counter() - t0
+    import pyarrow.parquet as pq
+
+    triples = sum(
+        pq.read_metadata(p).num_rows for p in out_dir.glob("*.parquet")
+    )
+    return {
+        "sec": round(sec, 3),
+        "turns": turns,
+        "triples": triples,
+        "turns_per_sec": round(turns / sec, 1),
+        "triples_per_sec": round(triples / sec, 1),
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    from kgdata_ray.pipelines import queries as q
+
+    def consume(result):
+        if hasattr(result, "count") and not hasattr(result, "shape"):
+            return result.count()
+        return len(result)
+
+    picks = {
+        "pricing_summary": q.q_pricing_summary,
+        "join_orders_customers": q.q_join_orders_customers,
+        "salted_join": q.q_salted_join,
+        "window_agg": q.q_window_agg,
+        "minhash_pairs": q.q_minhash_pairs,
+        "knn_bruteforce": q.q_knn,
+        "exact_dedup_docs": q.q_exact_dedup_docs,
+    }
+    out = {}
+    for name, fn in picks.items():
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from kgdata_ray import context
+    from kgdata_ray.synth import sf_from_dir
+
+    context.configure()
+    sf = sf_from_dir(SF_DIR, default=0.1)
+    try:
+        kg = bench_kg(sf)
+        qs = bench_queries(SF_DIR)
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": kg["sec"],
+        "unit": "sec",
+        "queries": qs,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "turns": kg["turns"],
+        "triples": kg["triples"],
+        "turns_per_sec": kg["turns_per_sec"],
+        "triples_per_sec": kg["triples_per_sec"],
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, check=True, cwd=str(Path(__file__).parent),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    sub(lo)  # warm caches (transcript parquet + OS page cache), untimed
+    r_lo, r_hi = sub(lo), sub(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    CACHE.mkdir(parents=True, exist_ok=True)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -27,6 +27,30 @@ from ray.data import Dataset
 from ray.data.aggregate import AggregateFn
 
 
+def grouped_blockwise(
+    ds: Dataset,
+    keys: Sequence[str],
+    block_fn,
+) -> Dataset:
+    """Shuffle by ``keys`` and apply ``block_fn`` once per whole block.
+
+    Ray's range-partitioning sort places all rows with equal key tuples
+    in a single block (partition boundaries fall between distinct key
+    values — verified empirically on this Ray version), so a vectorized
+    pandas groupby inside ``block_fn`` sees every group in full. This
+    replaces ``groupby().map_groups(...)``, which re-invokes the UDF
+    once per group (catastrophic for millions of small groups — e.g.
+    per-conversation or per-mention groups).
+
+    ``block_fn`` must do its own within-block ordering (sort only by
+    ``keys`` here; secondary sort keys would split groups across range
+    boundaries).
+    """
+    return ds.sort(list(keys)).map_batches(
+        block_fn, batch_size=None, batch_format="pandas"
+    )
+
+
 def group_top_k(
     ds: Dataset,
     key: str | Sequence[str],
@@ -37,12 +61,14 @@ def group_top_k(
 ) -> Dataset:
     """Top-k rows per group; ``sort_cols``/``ascending`` must define a
     total order (pin ties!) for determinism."""
+    keys = [key] if isinstance(key, str) else list(key)
     sc, asc = list(sort_cols), list(ascending)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sc, ascending=asc, kind="mergesort").head(k)
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(sc, ascending=asc, kind="mergesort")
+        return b.groupby(keys, sort=False, dropna=False).head(k)
 
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    return grouped_blockwise(ds, keys, block)
 
 
 def latest_wins(
@@ -53,26 +79,24 @@ def latest_wins(
     ascending, then stable input order)."""
     sc = [ts_col] + list(tie_cols or [])
     asc = [False] + [True] * len(tie_cols or [])
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sc, ascending=asc, kind="mergesort").head(1)
-
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    return group_top_k(
+        ds, key, sort_cols=sc, ascending=asc, k=1
+    )
 
 
 def distinct_rows(ds: Dataset, cols: Sequence[str]) -> Dataset:
-    """Exact distinct over ``cols`` (hash shuffle on the tuple).
-    Per-block pre-dedup shrinks the shuffle before the global group."""
+    """Exact distinct over ``cols``. Per-block pre-dedup shrinks the
+    shuffle; the post-shuffle dedup is one vectorized pass per block."""
     cols = list(cols)
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         return b[cols].drop_duplicates()
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(cols)
 
     pruned = ds.map_batches(pre, batch_format="pandas")
-    return pruned.groupby(cols).map_groups(first, batch_format="pandas")
+    return grouped_blockwise(pruned, cols, block)
 
 
 def partial_group_count(ds: Dataset, key: str | Sequence[str],
@@ -88,19 +112,18 @@ def partial_group_count(ds: Dataset, key: str | Sequence[str],
         # blocks do not, and break downstream Arrow joins)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        out = {k: [g[k].iloc[0]] for k in keys}
-        out[count_name] = [int(g[count_name].sum())]
-        # map_groups instead of .aggregate(Sum): the built-in aggregate
-        # emits schema-less empty pandas blocks that break Arrow joins
-        # downstream (Ray 2.49)
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby(keys, sort=False, dropna=False)[count_name]
+            .sum()
+            .reset_index()
+        )
+        out[count_name] = out[count_name].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partial = ds.map_batches(pre, batch_format="pandas")
-    grouped = partial.groupby(key if isinstance(key, str) else keys).map_groups(
-        final, batch_format="pandas"
-    )
-    # drop the schema-less empty blocks sort-groupby leaves behind
+    grouped = grouped_blockwise(partial, keys, final)
+    # drop the schema-less empty blocks the sort shuffle leaves behind
     # (they crash Arrow joins downstream; see functions.blocks)
     from .blocks import scrub_empty_blocks
 

@@ -37,19 +37,28 @@ from ..stages.reconstruct import reconstruct_turns
 
 TRIPLE_COLUMNS = ("subj", "pred", "obj", "conv_id", "turn_idx")
 
-
-def _first_by_provenance(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(["conv_id", "turn_idx"], kind="mergesort").head(1)
+_SPO = ["subj", "pred", "obj"]
 
 
 def dedup_triples(linked: Dataset) -> Dataset:
     """Exact dedup on (subj, pred, obj), keeping the first occurrence in
-    (conv_id, turn_idx) order — deterministic provenance."""
-    return (
-        linked.groupby(["subj", "pred", "obj"])
-        .map_groups(_first_by_provenance, batch_format="pandas")
-        .select_columns(list(TRIPLE_COLUMNS))
-    )
+    (conv_id, turn_idx) order — deterministic provenance.
+
+    Map-side pre-dedup shrinks the shuffle (combiner); the post-shuffle
+    pass is one vectorized drop_duplicates per block.
+    """
+    from ..functions.agg import grouped_blockwise
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(_SPO + ["conv_id", "turn_idx"], kind="mergesort")
+        return b.drop_duplicates(_SPO, keep="first")
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(_SPO + ["conv_id", "turn_idx"], kind="mergesort")
+        return b.drop_duplicates(_SPO, keep="first")[list(TRIPLE_COLUMNS)]
+
+    pruned = linked.map_batches(pre, batch_format="pandas")
+    return grouped_blockwise(pruned, _SPO, block)
 
 
 def kg_triples(
@@ -82,3 +91,55 @@ def kg_triples(
     canon_ref = ray.put(canonical_map_from_table(redirects))
     canonical = apply_canonical_map(linked, canon_ref, ("subj", "obj"))
     return dedup_triples(canonical)
+
+
+def kg_triples_checkpointed(
+    transcripts: Dataset,
+    gazetteer: pa.Table,
+    redirects: pa.Table,
+    workdir: str,
+    *,
+    linking: str = "broadcast",
+) -> Dataset:
+    """Checkpointed variant: each macro-stage writes a parquet directory
+    with a ``_MANIFEST.json`` (per-partition rows/bytes + input
+    lineage); a rerun skips every stage whose manifest validates —
+    reference ``has_complete_data`` semantics
+    (``kgdata/dataset.py:367-428``) without the partial-output footgun.
+    """
+    from pathlib import Path
+
+    from ..state.manifest import run_stage
+
+    wd = Path(workdir)
+    params = {"linking": linking}
+
+    raw_ds, raw_m = run_stage(
+        lambda: extract_raw(reconstruct_turns(transcripts)),
+        wd / "raw_triples",
+        name="raw_triples",
+        params=params,
+    )
+
+    def build_linked() -> Dataset:
+        alias_ref = ray.put(best_candidate_map(gazetteer))
+        linked = link_broadcast(raw_ds, alias_ref)
+        canon_ref = ray.put(canonical_map_from_table(redirects))
+        return apply_canonical_map(linked, canon_ref, ("subj", "obj"))
+
+    linked_ds, linked_m = run_stage(
+        build_linked,
+        wd / "linked_triples",
+        name="linked_triples",
+        params=params,
+        input_manifests=[raw_m],
+    )
+
+    triples_ds, _ = run_stage(
+        lambda: dedup_triples(linked_ds),
+        wd / "triples",
+        name="triples",
+        params=params,
+        input_manifests=[linked_m],
+    )
+    return triples_ds

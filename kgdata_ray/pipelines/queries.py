@@ -97,26 +97,29 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        out = pd.DataFrame(
-            {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "l_linestatus": [g["l_linestatus"].iloc[0]],
-                "sum_qty": [round(g["sum_qty"].sum(), 2)],
-                "sum_base_price": [round(g["sum_base_price"].sum(), 2)],
-                "sum_disc_price": [round(g["sum_disc_price"].sum(), 2)],
-                "count_order": [int(g["count_order"].sum())],
-            }
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("sum_qty", "sum"),
+                sum_base_price=("sum_base_price", "sum"),
+                sum_disc_price=("sum_disc_price", "sum"),
+                count_order=("count_order", "sum"),
+            )
+            .reset_index()
         )
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            out[c] = out[c].round(2)
+        out["count_order"] = out["count_order"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    from ..functions.agg import grouped_blockwise
+
     # map-side partial aggregation, then a tiny grouped combine
-    return (
-        li.map_batches(pre, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-    )
+    partial = li.map_batches(pre, batch_format="pandas")
+    return grouped_blockwise(
+        partial, ["l_returnflag", "l_linestatus"], final
+    ).to_pandas()
 
 
 def q_join_orders_customers(sf_dir: str) -> Dataset:
@@ -236,15 +239,19 @@ def q_events_sequence(sf_dir: str) -> Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "event_type", "ts"])
 
-    def agg(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        out = pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "seq": [",".join(g["event_type"])]}
+    def agg(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = (
+            b.groupby("user_id", sort=False)["event_type"]
+            .agg(",".join)
+            .reset_index()
+            .rename(columns={"event_type": "seq"})
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ev.groupby("user_id").map_groups(agg, batch_format="pandas")
+    from ..functions.agg import grouped_blockwise
+
+    return grouped_blockwise(ev, ["user_id"], agg)
 
 
 def q_window_agg(sf_dir: str) -> Dataset:
@@ -258,21 +265,20 @@ def q_window_agg(sf_dir: str) -> Dataset:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        out = pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "hour": [g["hour"].iloc[0]],
-                "n": [int(g["n"].sum())],
-                "sum_value": [round(g["sum_value"].sum(), 2)],
-            }
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby(["event_type", "hour"], sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
         )
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ev.map_batches(pre, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .map_groups(final, batch_format="pandas")
+    from ..functions.agg import grouped_blockwise
+
+    return grouped_blockwise(
+        ev.map_batches(pre, batch_format="pandas"), ["event_type", "hour"], final
     )
 
 
@@ -280,21 +286,23 @@ def q_sessionize(sf_dir: str) -> Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "ts"])
 
-    def fn(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        brk = (g["ts"].diff() > pd.Timedelta(minutes=30)).fillna(False)
-        g = g.assign(session_id=brk.cumsum().astype("int64"))
+    def fn(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = b.groupby("user_id", sort=False)
+        gap = b["ts"] - g["ts"].shift()
+        brk = (gap > pd.Timedelta(minutes=30)).fillna(False)
+        b = b.assign(session_id=brk.groupby(b["user_id"]).cumsum().astype("int64"))
         out = (
-            g.groupby("session_id", sort=False)
-            .agg(user_id=("user_id", "first"), n_events=("session_id", "size"))
-            .reset_index()
+            b.groupby(["user_id", "session_id"], sort=False)
+            .size()
+            .reset_index(name="n_events")
         )
         out["n_events"] = out["n_events"].astype("int64")
-        return pa.Table.from_pandas(
-            out[["user_id", "session_id", "n_events"]], preserve_index=False
-        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+    from ..functions.agg import grouped_blockwise
+
+    return grouped_blockwise(ev, ["user_id"], fn)
 
 
 def q_doc_mentions(sf_dir: str) -> Dataset:

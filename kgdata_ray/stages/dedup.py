@@ -27,7 +27,6 @@ identical.
 
 from __future__ import annotations
 
-from itertools import combinations
 from typing import Optional, Union
 
 import numpy as np
@@ -91,20 +90,20 @@ def exact_dedup_ids(
     semantics plus a pinned representative.
     """
 
+    from ..functions.agg import grouped_blockwise
+
     def pre(b: pd.DataFrame) -> pa.Table:
         out = b.groupby(text_col, sort=False)[id_col].min().reset_index()
         return pa.Table.from_pandas(out[[id_col, text_col]], preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pa.Table:
-        out = pd.DataFrame({id_col: [g[id_col].min()]})
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby(text_col, sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pandas(out[[id_col]], preserve_index=False)
 
-    return (
-        ds.select_columns([id_col, text_col])
-        .map_batches(pre, batch_format="pandas")
-        .groupby(text_col)
-        .map_groups(final, batch_format="pandas")
+    pruned = ds.select_columns([id_col, text_col]).map_batches(
+        pre, batch_format="pandas"
     )
+    return grouped_blockwise(pruned, [text_col], final)
 
 
 # --------------------------------------------------------------------------
@@ -154,19 +153,50 @@ class MinHashSketcher:
         )
 
 
-def _bucket_pairs(id_col: str, max_bucket: int):
-    """(band, band_hash) groups -> candidate id pairs (id_a < id_b)."""
+def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
+                        carry: Optional[list[str]] = None):
+    """Blockwise candidate-pair generation: one vectorized pass finds
+    buckets with >=2 members; pairs are emitted per such bucket
+    (id_a < id_b). Buckets larger than ``max_bucket`` are degenerate
+    hash collisions and dropped — a documented skew cap mirroring the
+    reference's salted-join thresholds."""
+    carry = carry or []
 
-    def fn(g: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            # oversized buckets are degenerate hashes; drop (logged as a
-            # documented cap, reference-style skew guard)
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = zip(*combinations(ids, 2))
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64())})
+    def fn(b: pd.DataFrame) -> pa.Table:
+        empty = {
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            **{f"{c}_a": pa.array([]) for c in carry},
+            **{f"{c}_b": pa.array([]) for c in carry},
+        }
+        if not len(b):
+            return pa.table(empty)
+        b = b.drop_duplicates(bucket_cols + [id_col]).sort_values(
+            bucket_cols + [id_col], kind="mergesort"
+        )
+        sizes = b.groupby(bucket_cols, sort=False)[id_col].transform("size")
+        b = b[(sizes >= 2) & (sizes <= max_bucket)]
+        if not len(b):
+            return pa.table(empty)
+        out_a, out_b = [], []
+        carry_a = {c: [] for c in carry}
+        carry_b = {c: [] for c in carry}
+        for _, grp in b.groupby(bucket_cols, sort=False):
+            ids = grp[id_col].to_numpy()
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            for c in carry:
+                vals = grp[c].to_numpy()
+                carry_a[c].append(vals[ia])
+                carry_b[c].append(vals[ib])
+        data = {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+        for c in carry:
+            data[f"{c}_a"] = pa.array(np.concatenate(carry_a[c]))
+            data[f"{c}_b"] = pa.array(np.concatenate(carry_b[c]))
+        return pa.table(data)
 
     return fn
 
@@ -207,10 +237,12 @@ class _PairVerifier:
 
 
 def _distinct_pairs(pairs: Dataset) -> Dataset:
-    def final(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(g.head(1), preserve_index=False)
+    from ..functions.agg import grouped_blockwise
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(final, batch_format="pandas")
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id_a", "id_b"])
+
+    return grouped_blockwise(pairs, ["id_a", "id_b"], block)
 
 
 def minhash_pairs(
@@ -237,8 +269,11 @@ def minhash_pairs(
         concurrency=(1, 8),
         num_cpus=0.5,
     )
-    cand = sketches.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs(id_col, max_bucket), batch_format="pandas"
+    from ..functions.agg import grouped_blockwise
+
+    cand = grouped_blockwise(
+        sketches, ["band", "band_hash"],
+        _bucket_pairs_block(["band", "band_hash"], id_col, max_bucket),
     )
     cand = _distinct_pairs(cand)
     return cand.map_batches(
@@ -316,6 +351,8 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
     Band blocking: two docs within Hamming 3 of each other share at
     least one of the four 16-bit bands (pigeonhole)."""
+    from ..functions.agg import grouped_blockwise
+
     sk = ds.select_columns([id_col, text_col]).map_batches(
         SimHashSketcher,
         fn_constructor_args=(text_col, id_col),
@@ -324,30 +361,14 @@ def simhash_pairs(
         num_cpus=0.5,
     ).materialize()
 
-    def band_pairs(band: int):
-        def fn(g: pd.DataFrame) -> pa.Table:
-            g = g.drop_duplicates(id_col).sort_values(id_col)
-            if len(g) < 2 or len(g) > max_bucket:
-                return pa.table({"id_a": pa.array([], pa.int64()),
-                                 "id_b": pa.array([], pa.int64()),
-                                 "h_a": pa.array([], pa.int64()),
-                                 "h_b": pa.array([], pa.int64())})
-            rows = list(zip(g[id_col], g["simhash"]))
-            a, b = [], []
-            ha, hb = [], []
-            for (ia, sa), (ib, sb) in combinations(rows, 2):
-                a.append(ia); b.append(ib); ha.append(sa); hb.append(sb)
-            return pa.table({"id_a": pa.array(a, pa.int64()),
-                             "id_b": pa.array(b, pa.int64()),
-                             "h_a": pa.array(ha, pa.int64()),
-                             "h_b": pa.array(hb, pa.int64())})
-
-        return fn
-
     parts = []
     for band in range(4):
         parts.append(
-            sk.groupby(f"b{band}").map_groups(band_pairs(band), batch_format="pandas")
+            grouped_blockwise(
+                sk, [f"b{band}"],
+                _bucket_pairs_block([f"b{band}"], id_col, max_bucket,
+                                    carry=["simhash"]),
+            )
         )
     cand = parts[0]
     for p in parts[1:]:
@@ -359,7 +380,9 @@ def simhash_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
             )
-        d = hamming64(b["h_a"].to_numpy(np.int64), b["h_b"].to_numpy(np.int64))
+        d = hamming64(
+            b["simhash_a"].to_numpy(np.int64), b["simhash_b"].to_numpy(np.int64)
+        )
         out = pd.DataFrame(
             {"id_a": b["id_a"], "id_b": b["id_b"], "hamming": d}
         )
@@ -396,11 +419,13 @@ def ngram_jaccard_pairs(
             {id_col: np.asarray(ids), "block": np.asarray(keys, dtype=np.int64)}
         )
 
+    from ..functions.agg import grouped_blockwise
+
     blocked = ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pandas"
     )
-    cand = blocked.groupby("block").map_groups(
-        _bucket_pairs(id_col, max_bucket), batch_format="pandas"
+    cand = grouped_blockwise(
+        blocked, ["block"], _bucket_pairs_block(["block"], id_col, max_bucket)
     )
     cand = _distinct_pairs(cand)
     return cand.map_batches(

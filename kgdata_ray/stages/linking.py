@@ -42,27 +42,29 @@ def _add_alias_norm(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def _rank_candidates(k: int):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["freq_global", "entity_id"], ascending=[False, True],
-            kind="mergesort",
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index.astype("int32")
-        return g
+def _rank_block(k: int):
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["alias_norm", "freq_global", "entity_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = b.groupby("alias_norm", sort=False)
+        b = b.assign(rank=g.cumcount().astype("int32"))
+        return b[b["rank"] < k]
 
     return fn
 
 
 def alias_candidates(gazetteer: Dataset, *, k: int = 2048) -> Dataset:
     """(alias_norm, entity_id, freq_global, freq_doc, rank) — top-k
-    candidates per normalized mention (per-group top-k, analog of the
-    reference's 2048-candidate cap)."""
+    candidates per normalized mention, ranked (freq desc, id asc) with
+    pinned ties (analog of the reference's 2048-candidate cap,
+    ``mention_to_entities.py:59-62``). One sort shuffle + one vectorized
+    pass per block."""
+    from ..functions.agg import grouped_blockwise
+
     norm = gazetteer.map_batches(_add_alias_norm, batch_format="pandas")
-    return norm.groupby("alias_norm").map_groups(
-        _rank_candidates(k), batch_format="pandas"
-    )
+    return grouped_blockwise(norm, ["alias_norm"], _rank_block(k))
 
 
 def best_candidate_map(gazetteer_table: pa.Table) -> dict[str, str]:

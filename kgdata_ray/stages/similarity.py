@@ -23,9 +23,6 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..functions.agg import group_top_k
-
-
 def _l2_normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -73,18 +70,18 @@ class _BatchTopK:
 
 
 def _final_topk(topk: Dataset, k: int) -> Dataset:
-    ranked = group_top_k(
-        topk, "query_id",
-        sort_cols=["cosine", "neighbor_id"], ascending=[False, True], k=k,
-    )
+    from ..functions.agg import grouped_blockwise
 
-    def add_rank(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort").reset_index(drop=True)
-        g["rank"] = (g.index + 1).astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def block(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = b.groupby("query_id", sort=False)
+        b = b.assign(rank=(g.cumcount() + 1).astype("int64"))
+        return pa.Table.from_pandas(b[b["rank"] <= k], preserve_index=False)
 
-    return ranked.groupby("query_id").map_groups(add_rank, batch_format="pandas")
+    return grouped_blockwise(topk, ["query_id"], block)
 
 
 def query_matrix(
