@@ -37,7 +37,7 @@ def _prepare_transcripts(cfg) -> Path:
     if not has_complete_data(out, params=params):
         write_dataset(
             transcripts_dataset(cfg), out, name="transcripts", params=params,
-            min_rows_per_file=200_000,
+            min_rows_per_file=65_536,
         )
     return out
 
@@ -53,8 +53,11 @@ def bench_kg(sf: float) -> dict:
     gz, rt = gazetteer_table(cfg), redirects_table(cfg)
 
     files = sorted(str(p) for p in tdir.glob("*.parquet"))
-    # warm the page cache so we measure compute+shuffle, not cold disk
-    turns = rd.read_parquet(files).count()
+    # warm the page cache AND the Ray worker-process pool so we measure
+    # compute+shuffle, not cold disk or interpreter startup
+    turns = rd.read_parquet(files).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
 
     out_dir = CACHE / "out_triples"
     if out_dir.exists():
@@ -116,10 +119,10 @@ def run_once() -> dict:
     from kgdata_ray.synth import sf_from_dir
 
     context.configure()
-    sf = sf_from_dir(SF_DIR, default=0.1)
+    sf = float(os.environ.get("KGBENCH_SF") or sf_from_dir(SF_DIR, default=0.1))
     try:
         kg = bench_kg(sf)
-        qs = bench_queries(SF_DIR)
+        qs = {} if os.environ.get("KGBENCH_KG_ONLY") else bench_queries(SF_DIR)
     finally:
         ray.shutdown()
     return {
@@ -138,7 +141,12 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling runs use a larger fixed workload (sf=0.3 transcripts,
+        # ~2M turns) so per-run fixed costs (actor/aggregator startup,
+        # shuffle sampling) amortize; same input files at both levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   KGBENCH_SF=os.environ.get("KGBENCH_SCALING_SF", "0.3"),
+                   KGBENCH_KG_ONLY="1")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True,
             text=True, check=True, cwd=str(Path(__file__).parent),

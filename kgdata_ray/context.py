@@ -32,6 +32,15 @@ def configure(
     ctx = DataContext.get_current()
     ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
+    # Size read splits to the cluster instead of the library default of
+    # 200 blocks: hundreds of tiny blocks turn the driver's task loop
+    # into the serial bottleneck (measured ~20% CPU utilization on a
+    # 32-CPU pipeline at the default).
+    import ray
+
+    if ray.is_initialized():
+        ncpu_ = int(ray.cluster_resources().get("CPU", 8))
+        ctx.read_op_min_num_blocks = max(8, 2 * ncpu_)
     if hash_shuffle:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         # Size shuffle parallelism to the actual cluster: the library

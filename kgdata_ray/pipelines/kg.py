@@ -68,28 +68,46 @@ def kg_triples(
     *,
     linking: str = "broadcast",
     num_partitions: int = 8,
+    reconstruct_first: bool = False,
 ) -> Dataset:
     """transcripts Dataset -> deduplicated canonical triples Dataset.
 
-    ``linking``: "broadcast" (alias dict via ray.put, actor pool) or
-    "join" (hash-shuffle joins against the candidate table).
+    ``linking``: "broadcast" (alias dict via ray.put, fused map tasks /
+    actor pool) or "join" (hash-shuffle joins against the candidate
+    table).
+
+    ``reconstruct_first=False`` (default) applies **extraction
+    pushdown**: extraction is pure per-turn (its output is independent
+    of turn order and batch boundaries — tested against the oracle and
+    against the ``reconstruct_first=True`` plan), so the engine runs it
+    fused with the read and lets the only wide shuffle move extracted
+    triples (~30x smaller than turn text) instead of globally sorting
+    the full transcript payload. At 10^12 turns the full-text sort is
+    the difference between shuffling the corpus and shuffling the KG.
+    ``reconstruct_first=True`` executes the literal
+    reconstruct-then-extract order; conversation-level operators
+    (``stages.reconstruct.conversations``) always use the conv_id
+    shuffle.
     """
-    turns = reconstruct_turns(transcripts)
-    raw = extract_raw(turns)
+    src = reconstruct_turns(transcripts) if reconstruct_first else transcripts
+    raw = extract_raw(src)
 
     if linking == "broadcast":
+        # linking + canonicalization fused into ONE actor pool: the
+        # canonical map is pre-composed into the alias dict per actor
         alias_ref = ray.put(best_candidate_map(gazetteer))
-        linked = link_broadcast(raw, alias_ref)
+        canon_ref = ray.put(canonical_map_from_table(redirects))
+        canonical = link_broadcast(raw, alias_ref, canon_ref)
     elif linking == "join":
         import ray.data as rd
 
         cands = alias_candidates(rd.from_arrow(gazetteer))
         linked = link_via_join(raw, cands, num_partitions=num_partitions)
+        canon_ref = ray.put(canonical_map_from_table(redirects))
+        canonical = apply_canonical_map(linked, canon_ref, ("subj", "obj"))
     else:
         raise ValueError(f"unknown linking mode: {linking}")
 
-    canon_ref = ray.put(canonical_map_from_table(redirects))
-    canonical = apply_canonical_map(linked, canon_ref, ("subj", "obj"))
     return dedup_triples(canonical)
 
 

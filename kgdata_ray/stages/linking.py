@@ -86,11 +86,26 @@ def best_candidate_map(gazetteer_table: pa.Table) -> dict[str, str]:
 
 class LinkBroadcast:
     """Actor-pool linker: dict fetched from the object store once per
-    actor; per-batch vectorized normalize + dict map."""
+    actor; per-batch vectorized normalize + dict map.
 
-    def __init__(self, alias_map: Union["ray.ObjectRef", dict]):
+    Optionally fuses canonicalization (``canon_map``): linking and
+    redirect rewrite are adjacent per-row maps, so running them in one
+    actor pool halves pool-startup cost and batch hand-offs."""
+
+    def __init__(
+        self,
+        alias_map: Union["ray.ObjectRef", dict],
+        canon_map: Union["ray.ObjectRef", dict, None] = None,
+    ):
         if isinstance(alias_map, ray.ObjectRef):
             alias_map = ray.get(alias_map)
+        if isinstance(canon_map, ray.ObjectRef):
+            canon_map = ray.get(canon_map)
+        if canon_map:
+            # pre-compose: alias -> canonical entity directly
+            alias_map = {
+                k: canon_map.get(v, v) for k, v in alias_map.items()
+            }
         self.alias_map = alias_map
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -108,24 +123,78 @@ class LinkBroadcast:
         return out[out["subj"].notna() & out["obj"].notna()]
 
 
+# Worker-process-global cache for broadcast objects: a plain-function
+# map stage fuses with its upstream operator (no actor-pool startup,
+# no extra stage boundary); each long-lived worker process fetches and
+# composes the dicts once.
+_WORKER_CACHE: dict = {}
+
+
+def _cached_alias_map(alias_ref, canon_ref) -> dict:
+    key = (
+        alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref),
+        canon_ref.hex() if hasattr(canon_ref, "hex") else id(canon_ref),
+    )
+    m = _WORKER_CACHE.get(key)
+    if m is None:
+        alias_map = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        canon = ray.get(canon_ref) if isinstance(canon_ref, ray.ObjectRef) else canon_ref
+        if canon:
+            alias_map = {k: canon.get(v, v) for k, v in alias_map.items()}
+        _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = m = alias_map
+    return m
+
+
 def link_broadcast(
     raw: Dataset,
     alias_map_ref: Union["ray.ObjectRef", dict],
+    canon_map_ref: Union["ray.ObjectRef", dict, None] = None,
     *,
-    concurrency=(1, 8),
+    compute: str = "tasks",
+    concurrency=(1, 16),
     batch_size: int = 8192,
     num_cpus: float = 0.5,
 ) -> Dataset:
-    # fractional num_cpus: dict lookups are light; lets this pool
-    # co-schedule with shuffle aggregators on small clusters
-    return raw.map_batches(
-        LinkBroadcast,
-        fn_constructor_args=(alias_map_ref,),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
+    """``compute="tasks"`` (default): plain-function map that fuses with
+    the upstream extract stage; the broadcast dicts are fetched once per
+    worker process (module-global cache). Right choice for dictionary
+    state that fits worker heaps.
+
+    ``compute="actors"``: explicit actor pool (state in ``__init__``) —
+    the pattern to keep when the per-actor state is heavy to build
+    (models, big sharded indexes)."""
+    if compute == "actors":
+        return raw.map_batches(
+            LinkBroadcast,
+            fn_constructor_args=(alias_map_ref, canon_map_ref),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
+
+    if not isinstance(alias_map_ref, ray.ObjectRef):
+        alias_map_ref = ray.put(alias_map_ref)
+    if canon_map_ref is not None and not isinstance(canon_map_ref, ray.ObjectRef):
+        canon_map_ref = ray.put(canon_map_ref)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_alias_map(alias_map_ref, canon_map_ref)
+        subj = normalize_mention_series(batch["subj_raw"]).map(m)
+        obj = normalize_mention_series(batch["obj_raw"]).map(m)
+        out = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "subj": subj,
+                "pred": batch["pred"],
+                "obj": obj,
+            }
+        )
+        return out[out["subj"].notna() & out["obj"].notna()]
+
+    return raw.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
 # --------------------------------------------------------------------------

@@ -58,6 +58,21 @@ def test_precision_recall(world, golden, small_cfg, linking):
     assert p == 1.0 and r == 1.0
 
 
+def test_extraction_pushdown_plan_equivalence(world, small_cfg):
+    """The pushed-down plan (extract before the conv shuffle) and the
+    literal reconstruct-then-extract plan yield identical triples."""
+    ds = transcripts_dataset(small_cfg)
+    a = kg_triples(ds, world["gazetteer"], world["redirects"],
+                   reconstruct_first=False).to_pandas()
+    b = kg_triples(transcripts_dataset(small_cfg), world["gazetteer"],
+                   world["redirects"], reconstruct_first=True).to_pandas()
+    cols = list(a.columns)
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
 def test_provenance_deterministic(world, golden, small_cfg):
     df = _run(world, small_cfg, "broadcast")
     got = df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
