@@ -445,6 +445,37 @@ def q_kg_canonical_map(sf_dir: str) -> Dataset:
     return resolve_redirects_distributed(rd.from_arrow(rt), num_partitions=4)
 
 
+def q_kg_entity_degrees(sf_dir: str) -> Dataset:
+    from ..stages.graph import entity_degrees
+
+    return entity_degrees(q_kg_triples(sf_dir))
+
+
+def q_kg_meta_graph(sf_dir: str) -> Dataset:
+    from ..stages.graph import meta_graph
+    from ..synth import build_world
+
+    cfg, _, _ = _kg_world(sf_dir)
+    w = build_world(cfg)
+    etypes = dict(zip(w.entity_ids, w.etypes))
+    return meta_graph(q_kg_triples(sf_dir), etypes)
+
+
+def q_kg_pagerank(sf_dir: str) -> Dataset:
+    from ..stages.graph import pagerank
+
+    return pagerank(q_kg_triples(sf_dir), iters=5)
+
+
+def q_kg_unlinkable(sf_dir: str) -> Dataset:
+    from ..stages.extract import extract_raw
+    from ..stages.linking import best_candidate_map, unlinkable_mentions
+
+    cfg, gz, _ = _kg_world(sf_dir)
+    raw = extract_raw(transcripts_dataset(cfg))
+    return unlinkable_mentions(raw, best_candidate_map(gz))
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -490,6 +521,10 @@ def queries() -> dict[str, Callable]:
         "kg_mentions": q_kg_mentions,
         "kg_alias_candidates": q_kg_alias_candidates,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_entity_degrees": q_kg_entity_degrees,
+        "kg_meta_graph": q_kg_meta_graph,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_unlinkable": q_kg_unlinkable,
     }
 
 

@@ -1,0 +1,209 @@
+"""Graph analytics over the triple table: degrees, meta-graph,
+PageRank.
+
+Reference analogs:
+  - entity degrees (``kgdata/wikidata/datasets/entity_degrees.py:19-105``):
+    out-degree = triples per subject, in-degree = triples per object,
+    merged with a full-outer combine.
+  - meta graph (``kgdata/wikidata/datasets/meta_graph.py:20-115``):
+    schema-level rollup (subject-type, predicate, object-type) →
+    counts, with entity→type resolved through a broadcast map.
+  - PageRank (``kgdata/wikidata/datasets/entity_pagerank.py:50-223``):
+    the reference exports edges and runs single-node graph-tool
+    (``scripts/pagerank_v2.py:17-37``); here the iteration itself is
+    distributed — each round is one groupby-sum shuffle over edge
+    contributions, O(iters) rounds, no driver materialization of the
+    rank vector.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..functions.agg import grouped_blockwise, partial_group_count
+from ..functions.blocks import rename_cols, scrub_empty_blocks
+
+
+def entity_degrees(triples: Dataset, *, num_partitions: int = 8) -> Dataset:
+    """(entity_id, out_degree, in_degree) over a (subj, pred, obj)
+    triple table; entities appearing only as subject or only as object
+    get 0 for the missing side."""
+    out_c = rename_cols(
+        partial_group_count(triples, "subj", count_name="out_degree"),
+        {"subj": "entity_id"},
+    )
+    in_c = rename_cols(
+        partial_group_count(triples, "obj", count_name="in_degree"),
+        {"obj": "entity_id_r"},
+    )
+    j = out_c.join(
+        in_c, join_type="full_outer", num_partitions=num_partitions,
+        on=("entity_id",), right_on=("entity_id_r",),
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        # full-outer join coalesces the key pair into the left column
+        return pd.DataFrame(
+            {
+                "entity_id": b["entity_id"],
+                "out_degree": b["out_degree"].fillna(0).astype("int64"),
+                "in_degree": b["in_degree"].fillna(0).astype("int64"),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
+def meta_graph(
+    triples: Dataset,
+    etype_map: Union["ray.ObjectRef", dict],
+) -> Dataset:
+    """(subj_type, pred, obj_type, n) — schema-level graph rollup.
+    ``etype_map``: entity_id -> type name (broadcast; unknown ids roll
+    up as 'unknown')."""
+    if not isinstance(etype_map, ray.ObjectRef):
+        etype_map = ray.put(etype_map)
+
+    def add_types(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(etype_map)
+        return pd.DataFrame(
+            {
+                "subj_type": b["subj"].map(m).fillna("unknown"),
+                "pred": b["pred"],
+                "obj_type": b["obj"].map(m).fillna("unknown"),
+            }
+        )
+
+    typed = triples.map_batches(add_types, batch_format="pandas")
+    return partial_group_count(typed, ["subj_type", "pred", "obj_type"])
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Distributed PageRank: (node_id, rank) after ``iters`` power
+    iterations. Dangling mass is redistributed uniformly each round so
+    ranks sum to 1 (graph-tool-compatible semantics).
+
+    Each round: join ranks onto the out-degree-weighted edge list,
+    groupby(dst).sum the contributions, rebuild the rank vector. The
+    rank vector never leaves the cluster.
+    """
+
+    def edge_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b[src_col], "dst": b[dst_col]})
+
+    pairs = edges.map_batches(edge_pairs, batch_format="pandas").materialize()
+
+    # node universe + out-degrees
+    nodes_src = pairs.map_batches(
+        lambda b: pd.DataFrame({"node_id": b["src"]}), batch_format="pandas"
+    )
+    nodes_dst = pairs.map_batches(
+        lambda b: pd.DataFrame({"node_id": b["dst"]}), batch_format="pandas"
+    )
+
+    def distinct_block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("node_id")
+
+    nodes = grouped_blockwise(
+        nodes_src.union(nodes_dst), ["node_id"], distinct_block
+    ).materialize()
+    n_nodes = nodes.count()
+
+    outdeg = rename_cols(
+        partial_group_count(pairs, "src", count_name="out_degree"),
+        {"src": "od_node"},
+    ).materialize()
+
+    def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = 1.0 / n_nodes
+        return b
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        # contribution of each edge = rank(src)/outdeg(src)
+        contrib_in = pairs.join(
+            ranks.join(
+                outdeg, join_type="inner", num_partitions=num_partitions,
+                on=("node_id",), right_on=("od_node",),
+            ),
+            join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node_id",),
+        )
+
+        def to_contrib(b: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame(
+                {"dst": b["dst"], "c": b["rank"] / b["out_degree"]}
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def sum_block(b: pd.DataFrame) -> pa.Table:
+            out = b.groupby("dst", sort=False)["c"].sum().reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        sums = scrub_empty_blocks(
+            grouped_blockwise(
+                contrib_in.map_batches(to_contrib, batch_format="pandas"),
+                ["dst"], sum_block,
+            ),
+            target_blocks=num_partitions,
+        )
+
+        # dangling mass = 1 - sum of distributed contributions
+        distributed = sums.sum("c") or 0.0
+        dangling = max(0.0, 1.0 - distributed)
+
+        merged = nodes.join(
+            rename_cols(sums, {"dst": "s_node"}),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node_id",), right_on=("s_node",),
+        )
+        base = (1.0 - damping) / n_nodes
+        dshare = damping * dangling / n_nodes
+
+        def new_rank(b: pd.DataFrame) -> pd.DataFrame:
+            c = b["c"].fillna(0.0)
+            return pd.DataFrame(
+                {
+                    "node_id": b["node_id"],
+                    "rank": base + dshare + damping * c,
+                }
+            )
+
+        ranks = scrub_empty_blocks(
+            merged.map_batches(new_rank, batch_format="pandas"),
+            target_blocks=num_partitions,
+        ).materialize()
+
+    return ranks
+
+
+def rank_moments(ranks: Dataset, *, col: str = "rank") -> dict:
+    """Distributed moments of the rank vector (sum/mean/std + log-mean),
+    reference analog ``entity_pagerank.py:194-207`` — computed with
+    dataset aggregates, nothing collected but scalars."""
+    import numpy as np
+
+    def logs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"log_rank": np.log(b[col].clip(lower=1e-300))})
+
+    return {
+        "sum": ranks.sum(col),
+        "mean": ranks.mean(col),
+        "std": ranks.std(col),
+        "log_mean": ranks.map_batches(logs, batch_format="pandas").mean("log_rank"),
+    }

@@ -197,6 +197,35 @@ def link_broadcast(
     return raw.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
+def unlinkable_mentions(
+    raw: Dataset,
+    alias_map_ref: Union["ray.ObjectRef", dict],
+    *,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Side error report: raw triple candidates whose subject or object
+    mention has no gazetteer candidate (reference analog: the
+    ``error_invalid_qualifiers`` quarantine dataset,
+    ``kgdata/wikidata/datasets/entities.py:116-124`` — errors become a
+    side output, never exceptions)."""
+    if not isinstance(alias_map_ref, ray.ObjectRef):
+        alias_map_ref = ray.put(alias_map_ref)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_alias_map(alias_map_ref, None)
+        subj = normalize_mention_series(batch["subj_raw"]).map(m)
+        obj = normalize_mention_series(batch["obj_raw"]).map(m)
+        bad = subj.isna() | obj.isna()
+        out = batch[bad].copy()
+        out["error"] = (
+            subj[bad].isna().map({True: "subj_unlinkable", False: ""})
+            + obj[bad].isna().map({True: " obj_unlinkable", False: ""})
+        ).str.strip()
+        return out
+
+    return raw.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
 # --------------------------------------------------------------------------
 # Join linking (scale path)
 

@@ -1,0 +1,99 @@
+"""Sharded lookup actors, text-line sources, PropQuery, invariant
+checks, unlinkable quarantine, CLI."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+import ray
+import ray.data as rd
+
+from kgdata_ray.functions.checks import assert_unique, duplicate_keys
+from kgdata_ray.functions.propquery import PropQuery, prop_filter
+from kgdata_ray.sources.textline import read_ndjson, read_tsv
+from kgdata_ray.stages.extract import extract_raw
+from kgdata_ray.stages.linking import best_candidate_map, unlinkable_mentions
+from kgdata_ray.state.lookup import ShardedDict, lookup_column
+from kgdata_ray.synth import gazetteer_table, transcripts_dataset
+
+
+def test_sharded_dict_lookup():
+    d = {f"k{i}": i * 10 for i in range(100)}
+    sd = ShardedDict.from_dict(d, num_shards=4)
+    assert sd.total_size() == 100
+    keys = ["k3", "k99", "missing", "k0"]
+    assert sd.lookup(keys) == [30, 990, None, 0]
+
+    ds = rd.from_items([{"k": f"k{i}"} for i in range(0, 50, 7)])
+    got = lookup_column(ds, sd, key_col="k", out_col="v").to_pandas()
+    assert list(got["v"]) == [i * 10 for i in range(0, 50, 7)]
+
+
+def test_read_ndjson_with_filters(tmp_path):
+    p = tmp_path / "part-0.json"
+    rows = [{"id": i, "kind": "a" if i % 2 else "b"} for i in range(10)]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_ndjson(
+        str(p),
+        prefilter=lambda line: '"kind": "a"' in line,  # raw-string filter
+        postfilter=lambda rec: rec["id"] > 3,
+    )
+    got = sorted(r["id"] for r in ds.take_all())
+    assert got == [5, 7, 9]
+
+
+def test_read_tsv(tmp_path):
+    p = tmp_path / "part-0.tsv"
+    p.write_text("a\t1\nb\t2\n")
+    ds = read_tsv(str(p), ["name", "val"])
+    got = {r["name"]: r["val"] for r in ds.take_all()}
+    assert got == {"a": "1", "b": "2"}
+
+
+def test_prop_query():
+    ds = rd.from_items(
+        [
+            {"id": 1, "tags": ["x", "y"], "meta": {"lang": "en"}},
+            {"id": 2, "tags": ["z"], "meta": {"lang": "de"}},
+        ]
+    )
+    assert PropQuery.parse("meta.lang = en").op == "eq"
+    got = prop_filter(ds, "meta.lang = en").take_all()
+    assert [r["id"] for r in got] == [1]
+    got = prop_filter(ds, "z in tags").take_all()
+    assert [r["id"] for r in got] == [2]
+    got = prop_filter(ds, "id = 2").take_all()
+    assert [r["id"] for r in got] == [2]
+
+
+def test_uniqueness_checks():
+    ds = rd.from_items([{"k": 1, "v": "a"}, {"k": 1, "v": "b"}, {"k": 2, "v": "c"}])
+    dups = duplicate_keys(ds, ["k"])
+    assert len(dups) == 1 and dups[0]["k"] == 1 and dups[0]["n"] == 2
+    with pytest.raises(AssertionError):
+        assert_unique(ds, ["k"])
+    assert_unique(ds, ["k", "v"])  # no raise
+
+
+def test_unlinkable_quarantine(small_cfg):
+    gz = gazetteer_table(small_cfg)
+    raw = extract_raw(transcripts_dataset(small_cfg))
+    bad = unlinkable_mentions(raw, best_candidate_map(gz)).to_pandas()
+    # the synth world plants ~4% unknown "Visitor N" subjects
+    assert len(bad) > 0
+    assert set(bad["error"]) <= {"subj_unlinkable", "obj_unlinkable",
+                                 "subj_unlinkable obj_unlinkable"}
+    assert bad["subj_raw"].str.contains("Visitor").any()
+
+
+def test_cli_list_queries():
+    out = subprocess.run(
+        [sys.executable, "-m", "kgdata_ray", "list-queries"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout
+    assert "pricing_summary" in out and "sql-checked" in out
+    assert "minhash_pairs" in out and "rows-only" in out
