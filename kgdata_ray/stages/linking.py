@@ -236,30 +236,66 @@ def _norm_cols(batch: pd.DataFrame) -> pd.DataFrame:
     return batch.drop(columns=["subj_raw", "obj_raw"])
 
 
+def rename_ds(ds: Dataset, mapping: dict) -> Dataset:
+    from ..functions.blocks import rename_cols
+
+    return rename_cols(ds, mapping)
+
+
 def link_via_join(
-    raw: Dataset, candidates: Dataset, *, num_partitions: int = 16
+    raw: Dataset,
+    candidates: Dataset,
+    *,
+    num_partitions: int = 16,
+    hot_threshold: int = 0,
+    salt_batch: int = 1_000,
 ) -> Dataset:
     """Inner-join linking against the rank-0 candidate table; drops
-    unlinkable mentions exactly like the broadcast plan."""
+    unlinkable mentions exactly like the broadcast plan.
+
+    ``hot_threshold > 0`` enables hot-mention skew salting: mention
+    keys hotter than the threshold on the probe side are split into
+    sub-keys with the build side replicated per sub-key (reference
+    ``join_repartition``, ``kgdata/spark/common.py:205-304``; threshold
+    10 000 there). Zipf-headed mention distributions make this the
+    required plan at 10^12-turn scale.
+    """
     from ..functions.blocks import scrub_empty_blocks
+    from ..functions.joins import salted_join
 
     best = scrub_empty_blocks(
         candidates.filter(expr="rank == 0")
         .select_columns(["alias_norm", "entity_id"])
-    )
+    ).materialize()
     normed = raw.map_batches(_norm_cols, batch_format="pandas")
-    j1 = normed.join(
-        best,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("subj_norm",),
-        right_on=("alias_norm",),
-    ).rename_columns({"entity_id": "subj"})
-    j2 = j1.join(
-        best,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("obj_norm",),
-        right_on=("alias_norm",),
-    ).rename_columns({"entity_id": "obj"})
+
+    def one_join(left: Dataset, key: str, out_name: str) -> Dataset:
+        if hot_threshold > 0:
+            j = salted_join(
+                rename_ds(left, {key: "__k"}),
+                rename_ds(best, {"alias_norm": "__k"}),
+                "__k",
+                hot_threshold=hot_threshold,
+                salt_batch=salt_batch,
+                num_partitions=num_partitions,
+            )
+            j = j.drop_columns(["__k"])
+        else:
+            j = left.join(
+                best,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=(key,),
+                right_on=("alias_norm",),
+            )
+        return rename_ds(j, {"entity_id": out_name})
+
+    j1 = one_join(normed, "subj_norm", "subj")
+    if hot_threshold > 0:
+        # stage boundary between the two salted joins: each salted join
+        # spins probe/build salt pools + join aggregators; running both
+        # concurrently can exceed small clusters' actor budget (the
+        # reference materializes every stage to disk at this boundary)
+        j1 = j1.materialize()
+    j2 = one_join(j1, "obj_norm", "obj")
     return j2.select_columns(list(LINKED_COLUMNS))

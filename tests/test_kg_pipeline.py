@@ -58,6 +58,30 @@ def test_precision_recall(world, golden, small_cfg, linking):
     assert p == 1.0 and r == 1.0
 
 
+def test_salted_join_linking_equivalence(world, small_cfg):
+    """Join linking with hot-mention salting yields exactly the same
+    links as the plain join plan (threshold forced low so every
+    mention takes the salted path)."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.extract import extract_raw
+    from kgdata_ray.stages.linking import alias_candidates, link_via_join
+
+    raw = extract_raw(transcripts_dataset(small_cfg))
+    cands = alias_candidates(rd.from_arrow(world["gazetteer"]))
+    plain = link_via_join(raw, cands, num_partitions=4).to_pandas()
+    salted = link_via_join(
+        extract_raw(transcripts_dataset(small_cfg)),
+        alias_candidates(rd.from_arrow(world["gazetteer"])),
+        num_partitions=4, hot_threshold=2, salt_batch=5,
+    ).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        salted[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
 def test_extraction_pushdown_plan_equivalence(world, small_cfg):
     """The pushed-down plan (extract before the conv shuffle) and the
     literal reconstruct-then-extract plan yield identical triples."""
