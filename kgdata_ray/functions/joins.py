@@ -5,7 +5,7 @@
   2. salted skew join          -> :func:`salted_join`
      (``kgdata/spark/common.py:205-304`` ``join_repartition``: detect
      keys hotter than a threshold, salt them into sub-keys — replicate
-     build side, randomize probe side — then equi-join and drop salt)
+     build side, spread probe side — then equi-join and drop salt)
   3. broadcast small side      -> :func:`broadcast_join`
      (``kgdata/spark/common.py:393-449`` ``left_outer_join_broadcast``)
   4. anti join                 -> :func:`anti_join` (``subtract`` uses,
@@ -14,6 +14,10 @@
      ``classes.py:50-53``)
   6. FK-explode join           -> :func:`fk_explode_join`
      (``kgdata/spark/common.py:307-390`` list-valued foreign keys)
+
+All broadcast-side stages are plain task functions with worker-cached
+broadcast objects (``functions.broadcast``) — they fuse with adjacent
+map stages instead of spinning actor pools.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+
+from .broadcast import as_ref, get_broadcast
 
 
 def equi_join(
@@ -50,19 +56,6 @@ def equi_join(
 # Broadcast join
 
 
-class _BroadcastJoiner:
-    def __init__(self, table_ref, on: str, right_on: str, how: str):
-        table = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
-        if isinstance(table, pa.Table):
-            table = table.to_pandas()
-        self.small = table.rename(columns={right_on: on}) if right_on != on else table
-        self.on = on
-        self.how = how
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how, sort=False)
-
-
 def broadcast_join(
     left: Dataset,
     small: Union[pd.DataFrame, pa.Table, "ray.ObjectRef"],
@@ -70,25 +63,26 @@ def broadcast_join(
     *,
     how: str = "left",
     right_on: Optional[str] = None,
-    concurrency=(1, 8),
     batch_size: int = 16384,
 ) -> Dataset:
     """Map-side join: the small side lives in the object store once
-    (``ray.put``) and each actor merges per batch — no shuffle.
+    (``ray.put``) and every task merges per batch — no shuffle.
 
     ``how``: "left" or "inner" (pandas merge semantics per batch; the
     small side must have unique keys for row-count stability).
     """
-    if not isinstance(small, ray.ObjectRef):
-        small = ray.put(small)
-    return left.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(small, on, right_on or on, how),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=0.5,
-    )
+    ref = as_ref(small)
+    r_on = right_on or on
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        table = get_broadcast(ref)
+        if isinstance(table, pa.Table):
+            table = table.to_pandas()
+        if r_on != on:
+            table = table.rename(columns={r_on: on})
+        return batch.merge(table, on=on, how=how, sort=False)
+
+    return left.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
 # --------------------------------------------------------------------------
@@ -106,41 +100,6 @@ def hot_keys(ds: Dataset, on: str, threshold: int) -> dict:
     for row in hot.iter_rows():
         out[row[on]] = row["__cnt"]
     return out
-
-
-class _AddProbeSalt:
-    """Probe side: hot keys get a deterministic per-row salt in
-    [0, ceil(freq/batch)); cold keys get salt 0."""
-
-    def __init__(self, hot_ref, on: str, batch: int):
-        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        self.shards = {k: -(-v // batch) for k, v in hot.items()}
-        self.on = on
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        n = b[self.on].map(self.shards).fillna(1).astype("int64")
-        # deterministic spread: row position within batch modulo shard count
-        b["__salt"] = (np.arange(len(b)) % n.to_numpy()).astype("int64")
-        return b
-
-
-class _ExplodeBuildSalt:
-    """Build side: replicate each hot-key row once per salt shard."""
-
-    def __init__(self, hot_ref, on: str, batch: int):
-        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        self.shards = {k: -(-v // batch) for k, v in hot.items()}
-        self.on = on
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        n = b[self.on].map(self.shards).fillna(1).astype("int64").to_numpy()
-        idx = np.repeat(np.arange(len(b)), n)
-        out = b.iloc[idx].reset_index(drop=True)
-        salts = np.concatenate([np.arange(k) for k in n]) if len(b) else np.array([], dtype="int64")
-        out["__salt"] = salts.astype("int64")
-        # rename in-batch: Dataset.rename_columns after a pandas-block
-        # stage trips on non-Arrow blocks in Ray 2.49
-        return out.rename(columns={self.on: f"{self.on}__r"})
 
 
 def salted_join(
@@ -163,15 +122,31 @@ def salted_join(
     hot = precomputed_hot if precomputed_hot is not None else hot_keys(left, on, hot_threshold)
     if not hot:
         return equi_join(left, right, on, how=how, num_partitions=num_partitions)
-    hot_ref = ray.put(hot)
-    lp = left.map_batches(
-        _AddProbeSalt, fn_constructor_args=(hot_ref, on, salt_batch),
-        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
-    )
-    rp = right.map_batches(
-        _ExplodeBuildSalt, fn_constructor_args=(hot_ref, on, salt_batch),
-        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
-    )
+    hot_ref = ray.put({k: -(-v // salt_batch) for k, v in hot.items()})
+
+    def probe_salt(b: pd.DataFrame) -> pd.DataFrame:
+        shards = get_broadcast(hot_ref)
+        n = b[on].map(shards).fillna(1).astype("int64")
+        # deterministic spread: row position within batch modulo shards
+        b["__salt"] = (np.arange(len(b)) % n.to_numpy()).astype("int64")
+        return b
+
+    def build_explode(b: pd.DataFrame) -> pd.DataFrame:
+        shards = get_broadcast(hot_ref)
+        n = b[on].map(shards).fillna(1).astype("int64").to_numpy()
+        idx = np.repeat(np.arange(len(b)), n)
+        out = b.iloc[idx].reset_index(drop=True)
+        salts = (
+            np.concatenate([np.arange(k) for k in n])
+            if len(b) else np.array([], dtype="int64")
+        )
+        out["__salt"] = salts.astype("int64")
+        # rename in-batch: a Project rename after a pandas-block stage
+        # crashes in Ray 2.49 (see functions.blocks.rename_cols)
+        return out.rename(columns={on: f"{on}__r"})
+
+    lp = left.map_batches(probe_salt, batch_format="pandas")
+    rp = right.map_batches(build_explode, batch_format="pandas")
     joined = lp.join(
         rp,
         join_type=how,
@@ -187,42 +162,28 @@ def salted_join(
 # Semi / anti joins via broadcast key set
 
 
-class _KeySetFilter:
-    def __init__(self, keys_ref, on: str, keep_in: bool):
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        self.keys = set(keys)
-        self.on = on
-        self.keep_in = keep_in
+def _key_set_filter(left: Dataset, right: Dataset, on: str,
+                    right_on: Optional[str], keep_in: bool) -> Dataset:
+    keys_ref = ray.put(set(right.unique(right_on or on)))
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        mask = b[self.on].isin(self.keys)
-        return b[mask] if self.keep_in else b[~mask]
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        keys = get_broadcast(keys_ref)
+        mask = b[on].isin(keys)
+        return b[mask] if keep_in else b[~mask]
 
-
-def _key_set(right: Dataset, key: str) -> set:
-    return set(right.unique(key))
+    return left.map_batches(fn, batch_format="pandas")
 
 
 def semi_join(left: Dataset, right: Dataset, on: str, *, right_on: Optional[str] = None) -> Dataset:
     """Rows of ``left`` whose key appears in ``right`` (broadcast set
     membership — no shuffle of the big side)."""
-    keys = _key_set(right, right_on or on)
-    ref = ray.put(keys)
-    return left.map_batches(
-        _KeySetFilter, fn_constructor_args=(ref, on, True),
-        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
-    )
+    return _key_set_filter(left, right, on, right_on, keep_in=True)
 
 
 def anti_join(left: Dataset, right: Dataset, on: str, *, right_on: Optional[str] = None) -> Dataset:
     """Rows of ``left`` whose key does NOT appear in ``right``
     (reference ``subtract``; dangling/unknown-id computations)."""
-    keys = _key_set(right, right_on or on)
-    ref = ray.put(keys)
-    return left.map_batches(
-        _KeySetFilter, fn_constructor_args=(ref, on, False),
-        batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
-    )
+    return _key_set_filter(left, right, on, right_on, keep_in=False)
 
 
 # --------------------------------------------------------------------------

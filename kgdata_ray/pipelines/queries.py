@@ -160,20 +160,27 @@ def q_broadcast_join(sf_dir: str) -> Dataset:
     return j.select_columns(["l_orderkey", "l_linenumber", "p_brand"])
 
 
+def _big_orders(sf_dir: str) -> Dataset:
+    # threshold chosen so BOTH the anti and semi results are non-empty
+    # at every test scale (sf0.001-0.1) — an empty Ray result loses its
+    # schema and fails the driver's schema compare
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 350000.0"
+    )
+
+
 def q_anti_join(sf_dir: str) -> Dataset:
-    # nations with no supplier (10 suppliers, 25 nations -> non-empty
-    # both ways)
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
-    return anti_join(nation, supp, "n_nationkey", right_on="s_nationkey")
+    # customers with no order over 350k
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return anti_join(cust, _big_orders(sf_dir), "c_custkey", right_on="o_custkey")
 
 
 def q_semi_join(sf_dir: str) -> Dataset:
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                             columns=["n_nationkey", "n_name"])
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
-    return semi_join(nation, supp, "n_nationkey", right_on="s_nationkey")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return semi_join(cust, _big_orders(sf_dir), "c_custkey", right_on="o_custkey")
 
 
 def q_topk_orders(sf_dir: str) -> Dataset:
@@ -558,12 +565,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         """,
         "anti_join": """
-            SELECT n_nationkey, n_name FROM nation n
-            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
         """,
         "semi_join": """
-            SELECT n_nationkey, n_name FROM nation n
-            WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
