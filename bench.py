@@ -141,11 +141,11 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        # scaling runs use a larger fixed workload (sf=0.3 transcripts,
-        # ~2M turns) so per-run fixed costs (actor/aggregator startup,
+        # scaling runs use a larger fixed workload (sf=1.0 transcripts,
+        # ~6.9M turns) so per-run fixed costs (actor/aggregator startup,
         # shuffle sampling) amortize; same input files at both levels
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   KGBENCH_SF=os.environ.get("KGBENCH_SCALING_SF", "0.3"),
+                   KGBENCH_SF=os.environ.get("KGBENCH_SCALING_SF", "1.0"),
                    KGBENCH_KG_ONLY="1")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True,

@@ -312,6 +312,57 @@ def q_sessionize(sf_dir: str) -> Dataset:
     return grouped_blockwise(ev, ["user_id"], fn)
 
 
+def q_fk_explode(sf_dir: str) -> Dataset:
+    """Exercises the list-valued FK-explode join: per-customer order-key
+    lists (built with a grouped rollup) exploded and joined back against
+    orders for the price."""
+    from ..functions.agg import grouped_blockwise
+    from ..functions.joins import fk_explode_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_lists(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby("o_custkey", sort=False)["o_orderkey"]
+            .agg(list)
+            .reset_index()
+            .rename(columns={"o_orderkey": "fk", "o_custkey": "c_custkey"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lists = grouped_blockwise(
+        orders.select_columns(["o_custkey", "o_orderkey"]),
+        ["o_custkey"], to_lists,
+    )
+    j = fk_explode_join(
+        lists,
+        orders.select_columns(["o_orderkey", "o_totalprice"]),
+        fk_col="fk", id_col="c_custkey", right_key="o_orderkey",
+        num_partitions=8,
+    )
+    return j.select_columns(["c_custkey", "fk", "o_totalprice"])
+
+
+def q_running_total(sf_dir: str) -> Dataset:
+    """Per-user running sum of event values in (ts, event_id) order —
+    sequential cumsum per group, so float order matches SQL windowing
+    exactly."""
+    from ..functions.agg import grouped_blockwise
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        b["running_value"] = b.groupby("user_id", sort=False)["value"].cumsum()
+        return pa.Table.from_pandas(
+            b[["user_id", "event_id", "running_value"]], preserve_index=False
+        )
+
+    return grouped_blockwise(ev, ["user_id"], fn)
+
+
 def q_doc_mentions(sf_dir: str) -> Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -504,6 +555,8 @@ def queries() -> dict[str, Callable]:
         "zero_fill_counts": q_zero_fill_counts,
         "union_names": q_union_names,
         "zip_with_index": q_zip_with_index,
+        "fk_explode": q_fk_explode,
+        "running_total": q_running_total,
         "events_sequence": q_events_sequence,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,
@@ -613,6 +666,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS idx
             FROM orders
+        """,
+        "fk_explode": """
+            SELECT o_custkey AS c_custkey, o_orderkey AS fk, o_totalprice
+            FROM orders
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS running_value
+            FROM events
         """,
         "events_sequence": """
             SELECT user_id,

@@ -131,6 +131,22 @@ def test_reconstruction_invariant(world, small_cfg):
         assert list(g["text"]) == list(w["text"])
 
 
+def test_precision_recall_medium_scale():
+    """FIXTURES 'correctness run' scale point (~1k conversations):
+    P/R vs oracle stays exact as the world grows (more entities, more
+    redirect chains, more ambiguity)."""
+    from kgdata_ray.synth import SynthConfig
+
+    cfg = SynthConfig(n_convs=1000, n_entities=150)
+    tt = transcripts_table(cfg)
+    gz, rt = gazetteer_table(cfg), redirects_table(cfg)
+    golden = triple_set(extract_triples(tt, gz, rt))
+    df = kg_triples(transcripts_dataset(cfg), gz, rt).to_pandas()
+    predicted = set(zip(df["subj"], df["pred"], df["obj"]))
+    p, r = precision_recall(predicted, golden)
+    assert p == 1.0 and r == 1.0, (p, r)
+
+
 def test_conversations_rollup(world, small_cfg):
     ds = transcripts_dataset(small_cfg)
     conv = conversations(ds).to_pandas()
