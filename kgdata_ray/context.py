@@ -32,6 +32,10 @@ def configure(
     ctx = DataContext.get_current()
     ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
+    # Joins/hash-repartitions wait this long for aggregator actors to
+    # come up before proceeding; the library default (300 s) adds
+    # multi-second latency to every join op — 1 s is ample locally.
+    ctx.min_hash_shuffle_aggregator_wait_time_in_s = 1
     # Size read splits to the cluster instead of the library default of
     # 200 blocks: hundreds of tiny blocks turn the driver's task loop
     # into the serial bottleneck (measured ~20% CPU utilization on a
@@ -55,7 +59,6 @@ def configure(
             ncpu = 8
         ctx.default_hash_shuffle_parallelism = max(2, 2 * ncpu)
         ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
         if ncpu <= 8:
             # tiny local clusters: keep aggregator CPU reservations low so
             # shuffle aggregators co-schedule with actor-pool stages

@@ -91,10 +91,11 @@ def broadcast_join(
 
 def hot_keys(ds: Dataset, on: str, threshold: int) -> dict:
     """Pre-pass frequency count; returns {key: count} for keys with
-    count > threshold (reference threshold: 10 000)."""
-    from .blocks import rename_cols
+    count > threshold (reference threshold: 10 000). Map-side combined:
+    the shuffle moves one partial count per key per block, not rows."""
+    from .agg import partial_group_count
 
-    counts = rename_cols(ds.groupby(on).count(), {"count()": "__cnt"})
+    counts = partial_group_count(ds, on, count_name="__cnt")
     hot = counts.filter(expr=f"__cnt > {threshold}")
     out = {}
     for row in hot.iter_rows():
