@@ -59,10 +59,12 @@ def configure(
             ncpu = 8
         ctx.default_hash_shuffle_parallelism = max(2, 2 * ncpu)
         ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-        if ncpu <= 8:
-            # tiny local clusters: keep aggregator CPU reservations low so
+        if ncpu <= 16:
+            # small clusters: keep aggregator CPU reservations low so
             # shuffle aggregators co-schedule with actor-pool stages
-            # instead of deadlocking the pipeline
+            # instead of deadlocking the pipeline. (Covers both scaling
+            # levels, 4 and 16, with an identical configuration; at 32
+            # CPUs the adaptive default schedules joins better.)
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
     if quiet:
         ctx.enable_progress_bars = False

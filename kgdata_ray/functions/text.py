@@ -46,3 +46,18 @@ _TOKEN_RE = re.compile(r"\S+")
 def count_tokens(s: str) -> int:
     """Whitespace token count (scalar)."""
     return len(_TOKEN_RE.findall(s))
+
+
+def normalize_mention_arrow(arr):
+    """pyarrow-compute implementation of :func:`normalize_mention`
+    (RE2 kernels, zero pandas). RE2's ``\\w`` is ASCII-only vs
+    Python's unicode ``\\w`` — equivalent on the engine's mention
+    charset (tested against the scalar version over the noise
+    generator's alphabet)."""
+    import pyarrow.compute as pc
+
+    a = pc.replace_substring(arr, " ", " ")
+    a = pc.utf8_lower(a)
+    a = pc.replace_substring_regex(a, r"[^\w\- ]", "")
+    a = pc.replace_substring_regex(a, r"\s+", " ")
+    return pc.utf8_trim_whitespace(a)

@@ -146,6 +146,27 @@ def _cached_alias_map(alias_ref, canon_ref) -> dict:
     return m
 
 
+def _cached_alias_arrays(alias_ref, canon_ref):
+    """(keys, values) Arrow arrays of the composed alias map, built once
+    per worker — lookups become ``index_in`` + ``take`` C kernels."""
+    import pyarrow as pa
+
+    key = (
+        "arr",
+        alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref),
+        canon_ref.hex() if hasattr(canon_ref, "hex") else id(canon_ref),
+    )
+    pair = _WORKER_CACHE.get(key)
+    if pair is None:
+        m = _cached_alias_map(alias_ref, canon_ref)
+        pair = (
+            pa.array(list(m.keys()), pa.string()),
+            pa.array(list(m.values()), pa.string()),
+        )
+        _WORKER_CACHE[key] = pair
+    return pair
+
+
 def link_broadcast(
     raw: Dataset,
     alias_map_ref: Union["ray.ObjectRef", dict],
@@ -179,22 +200,29 @@ def link_broadcast(
     if canon_map_ref is not None and not isinstance(canon_map_ref, ray.ObjectRef):
         canon_map_ref = ray.put(canon_map_ref)
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _cached_alias_map(alias_map_ref, canon_map_ref)
-        subj = normalize_mention_series(batch["subj_raw"]).map(m)
-        obj = normalize_mention_series(batch["obj_raw"]).map(m)
-        out = pd.DataFrame(
+    def fn(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.text import normalize_mention_arrow
+
+        keys, vals = _cached_alias_arrays(alias_map_ref, canon_map_ref)
+        si = pc.index_in(normalize_mention_arrow(t["subj_raw"]), value_set=keys)
+        oi = pc.index_in(normalize_mention_arrow(t["obj_raw"]), value_set=keys)
+        mask = pc.and_(pc.is_valid(si), pc.is_valid(oi))
+        return pa.table(
             {
-                "conv_id": batch["conv_id"],
-                "turn_idx": batch["turn_idx"],
-                "subj": subj,
-                "pred": batch["pred"],
-                "obj": obj,
+                "conv_id": t["conv_id"].filter(mask),
+                "turn_idx": t["turn_idx"].filter(mask),
+                "subj": pc.take(vals, si.filter(mask)),
+                "pred": t["pred"].filter(mask),
+                "obj": pc.take(vals, oi.filter(mask)),
             }
         )
-        return out[out["subj"].notna() & out["obj"].notna()]
 
-    return raw.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+    return raw.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
 
 
 def unlinkable_mentions(

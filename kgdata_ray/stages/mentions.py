@@ -68,7 +68,9 @@ def detect_mentions(
     batch_size: int = 4096,
 ) -> Dataset:
     """Turns -> (conv_id, turn_idx, mention_norm), one row per alias
-    occurrence in normalized turn text."""
+    occurrence in normalized turn text (regex-alternation actor pool —
+    the reference-shaped implementation; see
+    :func:`detect_mentions_ngram` for the vectorized scale path)."""
     if not isinstance(aliases, ray.ObjectRef):
         aliases = ray.put(list(aliases))
     return ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
@@ -78,4 +80,114 @@ def detect_mentions(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# Vectorized token-n-gram matcher (scale path)
+
+from ..functions.broadcast import as_ref, get_broadcast  # noqa: E402
+
+
+def _alias_arrays(aliases_ref):
+    """Per-worker cache: (arrow array of normalized aliases, max token
+    count) — built once, then matching is index_in C kernels."""
+    import pyarrow as pa
+
+    from ..functions.broadcast import _CACHE
+
+    key = ("mention_aliases", aliases_ref.hex()
+           if hasattr(aliases_ref, "hex") else id(aliases_ref))
+    got = _CACHE.get(key)
+    if got is None:
+        aliases = get_broadcast(aliases_ref)
+        norm = sorted({normalize_mention(a) for a in aliases
+                       if normalize_mention(a)})
+        max_tokens = max(len(a.split(" ")) for a in norm)
+        got = (pa.array(norm, pa.string()), max_tokens)
+        _CACHE[key] = got
+    return got
+
+
+def detect_mentions_ngram(
+    ds: Dataset,
+    aliases: Union["ray.ObjectRef", list],
+    *,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Vectorized gazetteer matcher: normalized turn text is
+    whitespace-tokenized (normalization strips punctuation, so token
+    runs are exactly the regex word-boundary matches); token n-grams
+    for n = 1..max-alias-length are matched against the alias array
+    with ``index_in``. Same output as :func:`detect_mentions` (tested
+    equal); no per-alias automaton, so it scales to very large
+    gazetteers and runs as fused Arrow/pandas kernels.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.text import normalize_mention_arrow
+
+    aliases_ref = as_ref(list(aliases) if not isinstance(aliases, ray.ObjectRef) else aliases)
+
+    def fn(t: pa.Table) -> pa.Table:
+        alias_arr, max_n = _alias_arrays(aliases_ref)
+        norm = normalize_mention_arrow(t["text"])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        toks = pc.split_pattern(norm, " ")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+
+        out_rows: list[np.ndarray] = []
+        out_chunks: list[pa.Array] = []
+        for n in range(1, max_n + 1):
+            m = L - (n - 1)
+            if m <= 0:
+                break
+            if n == 1:
+                gram = flat
+                valid_span = np.ones(L, dtype=bool)
+            else:
+                # zero-copy shifted views + one C-kernel join per n
+                gram = pc.binary_join_element_wise(
+                    *[flat.slice(k, m) for k in range(n)], " "
+                )
+                valid_span = parent[: m] == parent[n - 1:]
+            idx = pc.index_in(gram, value_set=alias_arr)
+            hit = pc.is_valid(idx).to_numpy(zero_copy_only=False) & valid_span
+            if hit.any():
+                hit_idx = np.nonzero(hit)[0]
+                out_rows.append(parent[hit_idx])
+                out_chunks.append(pc.take(gram, pa.array(hit_idx)))
+        if not out_rows:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "mention_norm": pa.array([], pa.string()),
+                }
+            )
+        rows = np.concatenate(out_rows)
+        mentions = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in out_chunks]
+        )
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        mentions = pc.take(mentions, pa.array(order))
+        return pa.table(
+            {
+                "conv_id": pc.take(t["conv_id"], pa.array(rows)),
+                "turn_idx": pc.take(t["turn_idx"], pa.array(rows)),
+                "mention_norm": mentions,
+            }
+        )
+
+    return ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
