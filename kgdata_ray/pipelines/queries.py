@@ -481,12 +481,39 @@ def q_kg_conversations(sf_dir: str) -> Dataset:
 
 
 def q_kg_mentions(sf_dir: str) -> Dataset:
-    from ..stages.mentions import detect_mentions
+    from ..stages.mentions import detect_mentions_ngram
 
     cfg, gz, _ = _kg_world(sf_dir)
-    return detect_mentions(
+    return detect_mentions_ngram(
         transcripts_dataset(cfg), gz.column("alias").to_pylist()
     )
+
+
+def q_kg_triples_salted(sf_dir: str) -> Dataset:
+    """Join-linking with hot-mention salting enabled (threshold low
+    enough that head mentions take the salted path at sf>=0.001)."""
+    import ray.data as rd_
+
+    from ..stages.canonicalize import apply_canonical_map, canonical_map_from_table
+    from ..stages.extract import extract_raw
+    from ..stages.linking import alias_candidates, link_via_join
+    from .kg import dedup_triples
+
+    cfg, gz, rt = _kg_world(sf_dir)
+    raw = extract_raw(transcripts_dataset(cfg))
+    cands = alias_candidates(rd_.from_arrow(gz))
+    linked = link_via_join(raw, cands, num_partitions=8,
+                           hot_threshold=200, salt_batch=100)
+    canon = apply_canonical_map(
+        linked, ray.put(canonical_map_from_table(rt)), ("subj", "obj")
+    )
+    return dedup_triples(canon)
+
+
+def q_kg_outlinks(sf_dir: str) -> Dataset:
+    from ..stages.graph import entity_outlinks
+
+    return entity_outlinks(q_kg_triples(sf_dir))
 
 
 def q_kg_alias_candidates(sf_dir: str) -> Dataset:
@@ -581,6 +608,8 @@ def queries() -> dict[str, Callable]:
         "kg_mentions": q_kg_mentions,
         "kg_alias_candidates": q_kg_alias_candidates,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_triples_salted": q_kg_triples_salted,
+        "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_meta_graph": q_kg_meta_graph,
         "kg_pagerank": q_kg_pagerank,

@@ -83,6 +83,28 @@ def meta_graph(
     return partial_group_count(typed, ["subj_type", "pred", "obj_type"])
 
 
+def entity_outlinks(triples: Dataset) -> Dataset:
+    """(entity_id, outlinks) — sorted unique target list per subject
+    (reference ``entity_outlinks``,
+    ``kgdata/wikidata/datasets/entity_outlinks.py:19-103``: per-entity
+    set-union of outgoing targets)."""
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby("subj", sort=False)["obj"]
+            .agg(lambda s: sorted(set(s)))
+            .reset_index()
+            .rename(columns={"subj": "entity_id", "obj": "outlinks"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["subj", "obj"]].drop_duplicates()
+
+    pruned = triples.map_batches(pre, batch_format="pandas")
+    return grouped_blockwise(pruned, ["subj"], block)
+
+
 def pagerank(
     edges: Dataset,
     *,

@@ -90,18 +90,21 @@ def write_dataset(
     params: Optional[dict] = None,
     input_digests: Sequence[str] = (),
     min_rows_per_file: Optional[int] = None,
+    compression: str = "zstd",
 ) -> dict:
     """``write_parquet`` into a temp dir + manifest + atomic rename.
 
     Output is a directory of part files (never one giant file), so a
     downstream consumer parallelizes over it and a rerun of the owning
-    stage is all-or-nothing.
+    stage is all-or-nothing. Default codec zstd, mirroring the
+    reference's output compression
+    (``kgdata/wikidata/datasets/entities.py:145``).
     """
     out_dir = Path(out_dir)
     tmp = out_dir.parent / f".{out_dir.name}.tmp-{uuid.uuid4().hex[:8]}"
     tmp.mkdir(parents=True, exist_ok=True)
     try:
-        kwargs: dict[str, Any] = {}
+        kwargs: dict[str, Any] = {"compression": compression}
         if min_rows_per_file is not None:
             kwargs["min_rows_per_file"] = min_rows_per_file
         ds.write_parquet(str(tmp), **kwargs)
