@@ -41,6 +41,26 @@ def test_long_conversation_reconstruction():
     assert (conv.drop(index="conv-big")["n_turns"] == 1).all()
 
 
+def test_salted_conversations_rollup_matches_plain():
+    from kgdata_ray.stages.reconstruct import conversations_salted
+
+    df = _skewed_transcripts()
+    ds = rd.from_pandas(df).repartition(8)
+    plain = (
+        conversations(ds).to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    salted = (
+        conversations_salted(rd.from_pandas(df).repartition(8),
+                             turns_per_salt=512)
+        .to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    cols = ["conv_id", "n_turns", "first_ts", "last_ts", "dialogue"]
+    pd.testing.assert_frame_equal(plain[cols], salted[cols],
+                                  check_dtype=False)
+
+
 def test_hot_key_salted_join_correctness():
     # 20k probe rows, 99% on ONE key; build side one row per key
     probe = pd.DataFrame(
