@@ -20,7 +20,7 @@ from typing import Any
 import pyarrow as pa
 
 from .functions.text import normalize_mention
-from .patterns import RELATION_PHRASES, SENTENCE_RE
+from .patterns import LITERAL_PREDICATES, RELATION_PHRASES, SENTENCE_RE
 
 
 def build_alias_index(gazetteer: pa.Table) -> dict[str, str]:
@@ -78,13 +78,19 @@ def extract_triples(
         turns = sorted(convs[cid])  # stable turn ordering (the invariant)
         for tix, text in turns:
             for m in SENTENCE_RE.finditer(text):
-                subj_id = alias_index.get(normalize_mention(m.group(1)))
-                obj_id = alias_index.get(normalize_mention(m.group(3)))
-                if subj_id is None or obj_id is None:
-                    continue  # unlinkable mention -> dropped
                 pred = RELATION_PHRASES[m.group(2)]
+                subj_id = alias_index.get(normalize_mention(m.group(1)))
+                if subj_id is None:
+                    continue  # unlinkable mention -> dropped
                 subj = canon.get(subj_id, subj_id)
-                obj = canon.get(obj_id, obj_id)
+                if pred in LITERAL_PREDICATES:
+                    # literal object: normalized value, no linking
+                    obj = normalize_mention(m.group(3))
+                else:
+                    obj_id = alias_index.get(normalize_mention(m.group(3)))
+                    if obj_id is None:
+                        continue
+                    obj = canon.get(obj_id, obj_id)
                 raw.append((subj, pred, obj, cid, tix))
 
     seen: set[tuple[str, str, str]] = set()

@@ -18,13 +18,21 @@ RELATION_PHRASES: dict[str, str] = {
     "works at": "works_at",
     "is located in": "located_in",
     "uses": "uses_tool",
+    "was founded in": "founded_in",
 }
+
+# Predicates whose object is a LITERAL value, not an entity mention —
+# the analog of the reference's non-entity WDValue types
+# (time/quantity, ``kgdata/wikidata/models/wdvalue.py:20-27``). Literal
+# objects bypass entity linking; they are normalized but never looked
+# up or canonicalized.
+LITERAL_PREDICATES = frozenset({"founded_in"})
 
 # One sentence = "<subject mention> <phrase> <object mention>."
 # Subject/object mentions never contain sentence-ending punctuation, so a
 # lazy char class bounded by [.!?] cannot cross sentence boundaries.
 SENTENCE_RE = re.compile(
-    r"([^.!?]+?)\s+(works at|is located in|uses)\s+([^.!?]+?)[.]"
+    r"([^.!?]+?)\s+(works at|is located in|uses|was founded in)\s+([^.!?]+?)[.]"
 )
 
 PREDICATES = tuple(sorted(set(RELATION_PHRASES.values())))

@@ -31,7 +31,7 @@ RAW_COLUMNS = ("conv_id", "turn_idx", "subj_raw", "pred", "obj_raw")
 # are consumed by the split)
 _SENTENCE_RX = (
     r"^\s*(?P<subj>[^.!?]+?)\s+"
-    r"(?P<phrase>works at|is located in|uses)\s+"
+    r"(?P<phrase>works at|is located in|uses|was founded in)\s+"
     r"(?P<obj>[^.!?]+?)\s*$"
 )
 

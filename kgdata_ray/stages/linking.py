@@ -109,8 +109,13 @@ class LinkBroadcast:
         self.alias_map = alias_map
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..patterns import LITERAL_PREDICATES
+
         subj = normalize_mention_series(batch["subj_raw"]).map(self.alias_map)
-        obj = normalize_mention_series(batch["obj_raw"]).map(self.alias_map)
+        obj_norm = normalize_mention_series(batch["obj_raw"])
+        obj_ent = obj_norm.map(self.alias_map)
+        literal = batch["pred"].isin(LITERAL_PREDICATES)
+        obj = obj_norm.where(literal, obj_ent)
         out = pd.DataFrame(
             {
                 "conv_id": batch["conv_id"],
@@ -120,7 +125,7 @@ class LinkBroadcast:
                 "obj": obj,
             }
         )
-        return out[out["subj"].notna() & out["obj"].notna()]
+        return out[subj.notna() & (obj_ent.notna() | literal)]
 
 
 # Worker-process-global cache for broadcast objects: a plain-function
@@ -206,17 +211,32 @@ def link_broadcast(
 
         from ..functions.text import normalize_mention_arrow
 
+        from ..patterns import LITERAL_PREDICATES
+
         keys, vals = _cached_alias_arrays(alias_map_ref, canon_map_ref)
         si = pc.index_in(normalize_mention_arrow(t["subj_raw"]), value_set=keys)
-        oi = pc.index_in(normalize_mention_arrow(t["obj_raw"]), value_set=keys)
-        mask = pc.and_(pc.is_valid(si), pc.is_valid(oi))
+        obj_norm = normalize_mention_arrow(t["obj_raw"])
+        oi = pc.index_in(obj_norm, value_set=keys)
+        literal = pc.is_in(
+            t["pred"], value_set=pa.array(sorted(LITERAL_PREDICATES))
+        )
+        mask = pc.and_(
+            pc.is_valid(si), pc.or_(pc.is_valid(oi), literal)
+        )
+        obj = pc.if_else(
+            literal.filter(mask) if isinstance(literal, pa.ChunkedArray)
+            else pa.chunked_array([literal]).filter(mask),
+            obj_norm.filter(mask) if isinstance(obj_norm, pa.ChunkedArray)
+            else pa.chunked_array([obj_norm]).filter(mask),
+            pc.take(vals, oi.filter(mask)),
+        )
         return pa.table(
             {
                 "conv_id": t["conv_id"].filter(mask),
                 "turn_idx": t["turn_idx"].filter(mask),
                 "subj": pc.take(vals, si.filter(mask)),
                 "pred": t["pred"].filter(mask),
-                "obj": pc.take(vals, oi.filter(mask)),
+                "obj": obj,
             }
         )
 
@@ -240,14 +260,18 @@ def unlinkable_mentions(
         alias_map_ref = ray.put(alias_map_ref)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..patterns import LITERAL_PREDICATES
+
         m = _cached_alias_map(alias_map_ref, None)
         subj = normalize_mention_series(batch["subj_raw"]).map(m)
         obj = normalize_mention_series(batch["obj_raw"]).map(m)
-        bad = subj.isna() | obj.isna()
+        # literal-valued predicates have no object mention to link
+        obj_bad = obj.isna() & ~batch["pred"].isin(LITERAL_PREDICATES)
+        bad = subj.isna() | obj_bad
         out = batch[bad].copy()
         out["error"] = (
             subj[bad].isna().map({True: "subj_unlinkable", False: ""})
-            + obj[bad].isna().map({True: " obj_unlinkable", False: ""})
+            + obj_bad[bad].map({True: " obj_unlinkable", False: ""})
         ).str.strip()
         return out
 
@@ -318,12 +342,37 @@ def link_via_join(
             )
         return rename_ds(j, {"entity_id": out_name})
 
-    j1 = one_join(normed, "subj_norm", "subj")
-    if hot_threshold > 0:
-        # stage boundary between the two salted joins: each salted join
-        # spins probe/build salt pools + join aggregators; running both
-        # concurrently can exceed small clusters' actor budget (the
-        # reference materializes every stage to disk at this boundary)
-        j1 = j1.materialize()
-    j2 = one_join(j1, "obj_norm", "obj")
-    return j2.select_columns(list(LINKED_COLUMNS))
+    # stage boundary after the subject join: (a) chained salted joins'
+    # actor demand can exceed small clusters' budget, and (b) the
+    # literal/entity branch split below consumes j1 twice — without a
+    # materialize the subject join would execute once per branch
+    # concurrently (the reference materializes every stage to disk at
+    # such boundaries)
+    j1 = one_join(normed, "subj_norm", "subj").materialize()
+
+    # literal-valued predicates: the object is the normalized value
+    # itself, no second join (WDValue literal analog)
+    from ..patterns import LITERAL_PREDICATES
+
+    def is_lit(b: pd.DataFrame, keep: bool) -> pd.DataFrame:
+        m = b["pred"].isin(LITERAL_PREDICATES)
+        return b[m] if keep else b[~m]
+
+    def lit_obj(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["obj"] = b["obj_norm"]
+        # Arrow out so the union with the (Arrow) join branch keeps a
+        # single block type downstream
+        return pa.Table.from_pandas(b[list(LINKED_COLUMNS)], preserve_index=False)
+
+    lit_branch = (
+        j1.map_batches(lambda b: is_lit(b, True), batch_format="pandas")
+        .map_batches(lit_obj, batch_format="pandas")
+    )
+    ent_branch = j1.map_batches(
+        lambda b: is_lit(b, False), batch_format="pandas"
+    )
+    j2 = one_join(ent_branch, "obj_norm", "obj").select_columns(
+        list(LINKED_COLUMNS)
+    )
+    return j2.union(lit_branch)

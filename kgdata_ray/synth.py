@@ -259,9 +259,11 @@ def redirects_table(cfg: SynthConfig) -> pa.Table:
 # --------------------------------------------------------------------------
 # Transcript generation (pure per conversation)
 
-_RELS = list(RELATION_PHRASES.keys())  # ["works at", "is located in", "uses"]
-_REL_SUBJ_TYPE = {"works at": "person", "is located in": "org", "uses": "person"}
-_REL_OBJ_TYPE = {"works at": "org", "is located in": "place", "uses": "tool"}
+_RELS = list(RELATION_PHRASES.keys())
+_REL_SUBJ_TYPE = {"works at": "person", "is located in": "org",
+                  "uses": "person", "was founded in": "org"}
+_REL_OBJ_TYPE = {"works at": "org", "is located in": "place",
+                 "uses": "tool", "was founded in": None}  # None = literal
 
 
 def _pick_entity(rng: np.random.Generator, pool: np.ndarray) -> int:
@@ -292,12 +294,16 @@ def _render_mention(rng: np.random.Generator, world: World, ei: int) -> str:
 def _relation_sentence(rng: np.random.Generator, world: World) -> str:
     phrase = _RELS[int(rng.integers(0, len(_RELS)))]
     si = _pick_entity(rng, world.pools[_REL_SUBJ_TYPE[phrase]])
-    oi = _pick_entity(rng, world.pools[_REL_OBJ_TYPE[phrase]])
     if rng.random() < world.cfg.p_unknown:
         subj = f"Visitor {int(rng.integers(0, 99999))}"
     else:
         subj = _render_mention(rng, world, si)
-    obj = _render_mention(rng, world, oi)
+    obj_type = _REL_OBJ_TYPE[phrase]
+    if obj_type is None:  # literal-valued predicate (year)
+        obj = str(1900 + int(rng.integers(0, 126)))
+    else:
+        oi = _pick_entity(rng, world.pools[obj_type])
+        obj = _render_mention(rng, world, oi)
     return f"{subj} {phrase} {obj}."
 
 
