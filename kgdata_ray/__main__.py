@@ -111,6 +111,49 @@ def cmd_ingest_ndjson(args) -> None:
     ray.shutdown()
 
 
+def cmd_diff(args) -> None:
+    """Diff two parquet dataset directories by key (reference
+    ``compare`` CLI, ``kgdata/dataset.py:470-558``)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.hashing import diff_datasets
+
+    d = diff_datasets(
+        rd.read_parquet(args.a), rd.read_parquet(args.b), args.key
+    ).to_pandas()
+    if d.empty:
+        print("datasets identical")
+    else:
+        print(d.to_string(index=False))
+    ray.shutdown()
+
+
+def cmd_checksum(args) -> None:
+    """Order-independent dataset checksum (reference fold-based hash)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.hashing import commutative_checksum
+
+    print(hex(commutative_checksum(rd.read_parquet(args.path))))
+    ray.shutdown()
+
+
+def cmd_verify_triples(args) -> None:
+    """Post-condition check on a triples directory: unique (s,p,o) keys
+    (reference entities.py:150-157 invariants)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .functions.checks import assert_unique
+
+    ds = rd.read_parquet(args.path)
+    assert_unique(ds, ["subj", "pred", "obj"])
+    print(f"OK: {ds.count()} triples, (subj, pred, obj) unique")
+    ray.shutdown()
+
+
 def cmd_bench(args) -> None:
     import subprocess
     from pathlib import Path
@@ -150,6 +193,23 @@ def main(argv=None) -> None:
     ing.add_argument("--out", required=True)
     ing.add_argument("--num-cpus", type=int)
     ing.set_defaults(fn=cmd_ingest_ndjson)
+
+    df = sub.add_parser("diff", help="diff two parquet dataset dirs by key")
+    df.add_argument("--a", required=True)
+    df.add_argument("--b", required=True)
+    df.add_argument("--key", required=True)
+    df.add_argument("--num-cpus", type=int)
+    df.set_defaults(fn=cmd_diff)
+
+    ck = sub.add_parser("checksum", help="order-independent dataset checksum")
+    ck.add_argument("path")
+    ck.add_argument("--num-cpus", type=int)
+    ck.set_defaults(fn=cmd_checksum)
+
+    vt = sub.add_parser("verify-triples", help="uniqueness post-conditions")
+    vt.add_argument("path")
+    vt.add_argument("--num-cpus", type=int)
+    vt.set_defaults(fn=cmd_verify_triples)
 
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--scaling", action="store_true")

@@ -552,6 +552,11 @@ def q_kg_pagerank(sf_dir: str) -> Dataset:
     return pagerank(q_kg_triples(sf_dir), iters=5)
 
 
+def q_kg_pred_counts(sf_dir: str) -> Dataset:
+    """Predicate frequency stats (class_count/property_count analog)."""
+    return partial_group_count(q_kg_triples(sf_dir), "pred")
+
+
 def q_kg_unlinkable(sf_dir: str) -> Dataset:
     from ..stages.extract import extract_raw
     from ..stages.linking import best_candidate_map, unlinkable_mentions
@@ -613,6 +618,7 @@ def queries() -> dict[str, Callable]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_meta_graph": q_kg_meta_graph,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pred_counts": q_kg_pred_counts,
         "kg_unlinkable": q_kg_unlinkable,
     }
 

@@ -37,6 +37,9 @@ from .patterns import RELATION_PHRASES
 
 EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
+# bump when generation semantics change (invalidates bench caches)
+SYNTH_VERSION = 2
+
 
 @dataclass(frozen=True)
 class SynthConfig:
