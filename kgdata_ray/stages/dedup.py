@@ -133,22 +133,42 @@ class MinHashSketcher:
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sh = char_shingle_hashes(text, self.shingle_k)
-            # (num_perm, n_shingles): universal-hash each shingle, take min
-            m = (self.a[:, None] * sh[None, :] + self.b[:, None]).min(axis=1)
-            bh = (
-                m.reshape(self.num_bands, self.band_size) * self.fold[None, :]
-            ).sum(axis=1)
-            ids.extend([doc_id] * self.num_bands)
-            bands.extend(range(self.num_bands))
-            hashes.extend(bh.tolist())
+        # gather all shingles of the batch into one array with per-doc
+        # segment offsets; each permutation is then one vectorized
+        # multiply-add + segmented min (np.minimum.reduceat) over the
+        # whole batch — no per-doc x per-perm Python loop
+        shingle_arrays = [
+            char_shingle_hashes(text, self.shingle_k)
+            for text in batch[self.text_col]
+        ]
+        sizes = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+        all_h = (
+            np.concatenate(shingle_arrays) if shingle_arrays
+            else np.array([], dtype=np.uint64)
+        )
+        offsets = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offsets[1:])
+        n_docs = len(sizes)
+
+        mins = np.empty((self.num_perm, n_docs), dtype=np.uint64)
+        for p in range(self.num_perm):
+            hv = self.a[p] * all_h + self.b[p]  # uint64 wraparound hash
+            mins[p] = np.minimum.reduceat(hv, offsets)
+        # fold each band's rows into one 64-bit band key
+        bh = np.zeros((self.num_bands, n_docs), dtype=np.uint64)
+        for band in range(self.num_bands):
+            seg = mins[band * self.band_size : (band + 1) * self.band_size]
+            bh[band] = (seg * self.fold[:, None]).sum(axis=0)
+
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.num_bands)
+        bands = np.tile(
+            np.arange(self.num_bands, dtype=np.int32), n_docs
+        )
         return pd.DataFrame(
             {
-                self.id_col: np.asarray(ids),
-                "band": np.asarray(bands, dtype=np.int32),
-                "band_hash": np.asarray(hashes, dtype=np.uint64).astype(np.int64),
+                self.id_col: ids,
+                "band": bands,
+                "band_hash": bh.T.reshape(-1).astype(np.int64),
             }
         )
 
