@@ -89,17 +89,31 @@ def broadcast_join(
 # Salted skew join
 
 
-def hot_keys(ds: Dataset, on: str, threshold: int) -> dict:
+def hot_keys(
+    ds: Dataset, on: str, threshold: int, *, sample_fraction: float = 1.0
+) -> dict:
     """Pre-pass frequency count; returns {key: count} for keys with
     count > threshold (reference threshold: 10 000). Map-side combined:
-    the shuffle moves one partial count per key per block, not rows."""
+    the shuffle moves one partial count per key per block, not rows.
+
+    ``sample_fraction < 1`` estimates counts from a Bernoulli sample
+    (scaled by 1/fraction). Join RESULTS are identical either way —
+    salting only changes the physical plan — so sampling is safe
+    whenever the threshold is far from the sampling noise floor.
+    """
     from .agg import partial_group_count
 
+    if sample_fraction < 1.0:
+        ds = ds.random_sample(sample_fraction, seed=7)
+        scale = 1.0 / sample_fraction
+    else:
+        scale = 1.0
     counts = partial_group_count(ds, on, count_name="__cnt")
-    hot = counts.filter(expr=f"__cnt > {threshold}")
+    eff_threshold = max(1, int(threshold / scale))
+    hot = counts.filter(expr=f"__cnt > {eff_threshold}")
     out = {}
     for row in hot.iter_rows():
-        out[row[on]] = row["__cnt"]
+        out[row[on]] = int(row["__cnt"] * scale)
     return out
 
 
@@ -113,6 +127,7 @@ def salted_join(
     salt_batch: int = 1_000,
     num_partitions: int = 8,
     precomputed_hot: Optional[dict] = None,
+    hot_sample_fraction: float = 1.0,
 ) -> Dataset:
     """Skew-aware equi-join: keys hotter than ``hot_threshold`` on the
     probe (left) side are split into ``ceil(freq/salt_batch)`` sub-keys;
@@ -120,7 +135,11 @@ def salted_join(
     sub-key. Semantics identical to :func:`equi_join`; right side must
     be the smaller / build side.
     """
-    hot = precomputed_hot if precomputed_hot is not None else hot_keys(left, on, hot_threshold)
+    hot = (
+        precomputed_hot if precomputed_hot is not None
+        else hot_keys(left, on, hot_threshold,
+                      sample_fraction=hot_sample_fraction)
+    )
     if not hot:
         return equi_join(left, right, on, how=how, num_partitions=num_partitions)
     hot_ref = ray.put({k: -(-v // salt_batch) for k, v in hot.items()})

@@ -146,6 +146,7 @@ def q_salted_join(sf_dir: str) -> Dataset:
         li.rename_columns({"l_suppkey": "k"}),
         supp.rename_columns({"s_suppkey": "k"}),
         "k", hot_threshold=100, salt_batch=500, num_partitions=8,
+        hot_sample_fraction=0.05,  # keys are ~1000x over threshold
     )
     return j.select_columns(["l_orderkey", "l_linenumber", "s_name"])
 
