@@ -245,6 +245,44 @@ def link_broadcast(
     )
 
 
+def link_sharded(
+    raw: Dataset,
+    sharded,
+    *,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Linking against a ``state.lookup.ShardedDict`` (alias_norm ->
+    canonical entity id): the plan when the dictionary exceeds worker
+    heaps — per-batch key fan-out to the owning shard actors, the
+    reference's remote-KV serving pattern
+    (``rust/src/db/remotedb/mod.rs``). Semantics identical to the
+    broadcast plan (tested)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..patterns import LITERAL_PREDICATES
+
+        subj_norm = normalize_mention_series(batch["subj_raw"])
+        obj_norm = normalize_mention_series(batch["obj_raw"])
+        uniq = pd.unique(pd.concat([subj_norm, obj_norm], ignore_index=True))
+        resolved = dict(zip(uniq, sharded.lookup(list(uniq))))
+        subj = subj_norm.map(resolved)
+        obj_ent = obj_norm.map(resolved)
+        literal = batch["pred"].isin(LITERAL_PREDICATES)
+        obj = obj_norm.where(literal, obj_ent)
+        out = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "subj": subj,
+                "pred": batch["pred"],
+                "obj": obj,
+            }
+        )
+        return out[subj.notna() & (obj_ent.notna() | literal)]
+
+    return raw.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
 def unlinkable_mentions(
     raw: Dataset,
     alias_map_ref: Union["ray.ObjectRef", dict],

@@ -58,6 +58,36 @@ def test_precision_recall(world, golden, small_cfg, linking):
     assert p == 1.0 and r == 1.0
 
 
+def test_sharded_linking_equivalence(world, small_cfg):
+    """Sharded-actor linking == broadcast linking (composed canonical
+    map in both)."""
+    import ray
+
+    from kgdata_ray.stages.canonicalize import canonical_map_from_table
+    from kgdata_ray.stages.extract import extract_raw
+    from kgdata_ray.stages.linking import (
+        best_candidate_map, link_broadcast, link_sharded,
+    )
+    from kgdata_ray.state.lookup import ShardedDict
+
+    alias = best_candidate_map(world["gazetteer"])
+    canon = canonical_map_from_table(world["redirects"])
+    composed = {k: canon.get(v, v) for k, v in alias.items()}
+
+    raw = extract_raw(transcripts_dataset(small_cfg))
+    a = link_broadcast(raw, ray.put(alias), ray.put(canon)).to_pandas()
+    sharded = ShardedDict.from_dict(composed, num_shards=4)
+    b = link_sharded(
+        extract_raw(transcripts_dataset(small_cfg)), sharded
+    ).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_salted_join_linking_equivalence(world, small_cfg):
     """Join linking with hot-mention salting yields exactly the same
     links as the plain join plan (threshold forced low so every
