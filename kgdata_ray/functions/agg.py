@@ -31,24 +31,86 @@ def grouped_blockwise(
     ds: Dataset,
     keys: Sequence[str],
     block_fn,
+    *,
+    check_boundaries: bool = True,
 ) -> Dataset:
     """Shuffle by ``keys`` and apply ``block_fn`` once per whole block.
 
     Ray's range-partitioning sort places all rows with equal key tuples
     in a single block (partition boundaries fall between distinct key
-    values — verified empirically on this Ray version), so a vectorized
-    pandas groupby inside ``block_fn`` sees every group in full. This
-    replaces ``groupby().map_groups(...)``, which re-invokes the UDF
-    once per group (catastrophic for millions of small groups — e.g.
-    per-conversation or per-mention groups).
+    values), so a vectorized pandas groupby inside ``block_fn`` sees
+    every group in full. This replaces ``groupby().map_groups(...)``,
+    which re-invokes the UDF once per group (catastrophic for millions
+    of small groups — e.g. per-conversation or per-mention groups).
+
+    That placement is a Ray implementation property, not a documented
+    contract — if a sorted partition were ever split mid-key (group
+    bigger than the target block size, or a future Ray change), every
+    grouped operator built on this helper would silently corrupt. So by
+    default (``check_boundaries=True``) the sort output is materialized
+    (the sort is a full barrier anyway — this adds no extra shuffle)
+    and per-block first/last key tuples are fetched with one tiny task
+    per block; any adjacent blocks sharing a key tuple are merged
+    before ``block_fn`` runs. The check moves only 2 key tuples per
+    block to the driver, never rows.
 
     ``block_fn`` must do its own within-block ordering (sort only by
     ``keys`` here; secondary sort keys would split groups across range
     boundaries).
     """
-    return ds.sort(list(keys)).map_batches(
+    keys = list(keys)
+    sorted_ds = ds.sort(keys)
+    if check_boundaries:
+        sorted_ds = _merge_key_straddling_blocks(sorted_ds.materialize(), keys)
+    return sorted_ds.map_batches(
         block_fn, batch_size=None, batch_format="pandas"
     )
+
+
+def _merge_key_straddling_blocks(sorted_ds: Dataset, keys: list[str]) -> Dataset:
+    """Guard for the sort-block invariant: fetch (first, last) key tuple
+    of every sorted block, then concat any run of adjacent blocks that
+    share a boundary key into a single block. Almost always a no-op; a
+    merge only fires when one key's group outgrew a block."""
+    import ray.data as rd
+
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def _bounds(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        sel = t.select(keys)
+        first = tuple(sel.column(i)[0].as_py() for i in range(len(keys)))
+        last = tuple(sel.column(i)[-1].as_py() for i in range(len(keys)))
+        return first, last
+
+    @ray.remote
+    def _concat(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables).combine_chunks()
+
+    bounds = ray.get([_bounds.remote(r) for r in refs])
+    nonempty = [(i, b[0], b[1]) for i, b in enumerate(bounds) if b is not None]
+    if not nonempty:
+        return sorted_ds
+    runs: list[list[int]] = []  # groups of block indices to merge
+    prev_last = None
+    for i, first, last in nonempty:
+        if runs and first == prev_last:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+        prev_last = last
+
+    if all(len(r) == 1 for r in runs) and len(nonempty) == len(refs):
+        return sorted_ds  # no straddle, no empty blocks: keep as-is
+    out_refs = [
+        refs[r[0]] if len(r) == 1 else _concat.remote(*[refs[i] for i in r])
+        for r in runs
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 def group_top_k(

@@ -733,8 +733,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), s AS (
                 SELECT user_id,
-                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                       -- BIGINT cast: DuckDB's windowed sum(INTEGER) is
+                       -- HUGEINT, which breaks the driver's dtype-strict
+                       -- value hash against the engine's int64
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM d
             )
             SELECT user_id, session_id, count(*) AS n_events

@@ -189,6 +189,15 @@ def connected_components(
         ).materialize()
         if not changed:
             break
+    else:
+        # mirror resolve_redirects_distributed: exhausting the round
+        # budget with changes still propagating means a component wider
+        # than max_rounds — silent exit would return split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} label-"
+            "propagation rounds (component diameter exceeds the budget); "
+            "raise max_rounds"
+        )
     return labels
 
 
