@@ -28,8 +28,20 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     context.configure()
+    _ensure_kg_oracle_tables()
     return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_kg_oracle_tables()
     return _q.oracle_sql()
+
+
+def _ensure_kg_oracle_tables() -> None:
+    """The KG-family oracle SQL reads deterministic parquet from
+    /tmp/kgr_oracle (the synthesized world + golden pure-Python-oracle
+    outputs). Materialize them for the driver's sf0.01 correctness run;
+    idempotent (marker-guarded), driver-side pure Python."""
+    from kgdata_ray.oracle_tables import ensure_oracle_tables
+
+    ensure_oracle_tables(0.01)

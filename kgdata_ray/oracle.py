@@ -109,6 +109,80 @@ def extract_triples(
     return out
 
 
+def extract_mentions(
+    transcripts: pa.Table, gazetteer: pa.Table
+) -> list[dict[str, Any]]:
+    """Golden mention occurrences (conv_id, turn_idx, mention_norm):
+    every normalized-alias token-run occurrence in normalized turn text
+    (nested aliases counted, matching the all-occurrences semantics of
+    ``stages.mentions.detect_mentions_ngram``). Dict-lookup n-gram scan
+    — independent of the engine's Arrow ``index_in`` implementation."""
+    norm_aliases = {
+        normalize_mention(a)
+        for a in gazetteer.column("alias").to_pylist()
+        if normalize_mention(a)
+    }
+    max_n = max(len(a.split(" ")) for a in norm_aliases)
+    out: list[dict[str, Any]] = []
+    d = transcripts.to_pydict()
+    for cid, tix, text in zip(d["conv_id"], d["turn_idx"], d["text"]):
+        toks = normalize_mention(text).split(" ")
+        for n in range(1, max_n + 1):
+            for i in range(len(toks) - n + 1):
+                gram = " ".join(toks[i : i + n])
+                if gram in norm_aliases:
+                    out.append(
+                        {"conv_id": cid, "turn_idx": tix, "mention_norm": gram}
+                    )
+    return out
+
+
+def extract_unlinkable(
+    transcripts: pa.Table, gazetteer: pa.Table
+) -> list[dict[str, Any]]:
+    """Golden unlinkable-mention quarantine rows: raw triple candidates
+    whose subject or (non-literal) object has no gazetteer candidate,
+    with the engine's error labels (semantics of
+    ``stages.linking.unlinkable_mentions``)."""
+    import re
+
+    alias_index = build_alias_index(gazetteer)
+    # the engine extracts per sentence-split part with an anchored regex
+    # (whitespace trimmed); reproduce that trimming here
+    anchored = re.compile(
+        r"^\s*([^.!?]+?)\s+(works at|is located in|uses|was founded in)"
+        r"\s+([^.!?]+?)\s*$"
+    )
+    out: list[dict[str, Any]] = []
+    d = transcripts.to_pydict()
+    for cid, tix, text in zip(d["conv_id"], d["turn_idx"], d["text"]):
+        for part in text.split("."):
+            m = anchored.match(part)
+            if not m:
+                continue
+            pred = RELATION_PHRASES[m.group(2)]
+            subj_bad = alias_index.get(normalize_mention(m.group(1))) is None
+            obj_bad = (
+                pred not in LITERAL_PREDICATES
+                and alias_index.get(normalize_mention(m.group(3))) is None
+            )
+            if not (subj_bad or obj_bad):
+                continue
+            err = " ".join(
+                lbl for lbl, bad in
+                (("subj_unlinkable", subj_bad), ("obj_unlinkable", obj_bad))
+                if bad
+            )
+            out.append(
+                {
+                    "conv_id": cid, "turn_idx": tix,
+                    "subj_raw": m.group(1), "pred": pred,
+                    "obj_raw": m.group(3), "error": err,
+                }
+            )
+    return out
+
+
 def triple_set(triples: list[dict[str, Any]]) -> set[tuple[str, str, str]]:
     return {(t["subj"], t["pred"], t["obj"]) for t in triples}
 

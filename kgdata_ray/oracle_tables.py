@@ -1,0 +1,163 @@
+"""Materialized oracle tables for the driver's DuckDB correctness gate.
+
+The KG-family queries run over *synthesized* transcripts (the engine's
+primary input per BASELINE.json), which the driver's pre-registered
+views (TPC-H-ish tables) do not cover. To give every KG query a real
+DuckDB oracle, this module materializes the deterministic synthetic
+world for a scale factor as parquet files under ``/tmp/kgr_oracle/sf*``:
+
+  - ``transcripts.parquet``  the turn table (driver-side generator —
+                             row-identical to the distributed one,
+                             tested in test_synth.py)
+  - ``gazetteer.parquet`` / ``redirects.parquet`` / ``entity_types.parquet``
+                             the world's lookup tables
+  - ``triples.parquet``      GOLDEN canonical triples from the
+                             independent pure-Python oracle
+                             (:mod:`kgdata_ray.oracle`)
+  - ``mentions.parquet``     golden mention occurrences
+  - ``unlinkable.parquet``   golden quarantine rows
+
+SQL-expressible KG queries (conversations, degrees, pred counts,
+meta-graph, canonical map, alias candidates) get *computed* SQL over
+the input tables; the extraction/linking queries compare against the
+golden outputs — either way the driver, not the repo's own tests,
+certifies Ray-vs-oracle equality.
+
+Generation is idempotent: a marker file records the synth + oracle
+versions and the config; regeneration only happens when they change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import oracle
+from .synth import (
+    SYNTH_VERSION,
+    build_world,
+    config_for_sf,
+    gazetteer_table,
+    redirects_table,
+    transcripts_table,
+)
+
+ORACLE_BASE = os.environ.get("KGR_ORACLE_DIR", "/tmp/kgr_oracle")
+
+# bump when the set of materialized tables or their schemas change
+ORACLE_TABLES_VERSION = 3
+
+
+def oracle_dir(sf: float) -> str:
+    return f"{ORACLE_BASE}/sf{sf:g}"
+
+
+def _marker(cfg) -> dict:
+    return {
+        "synth_version": SYNTH_VERSION,
+        "oracle_tables_version": ORACLE_TABLES_VERSION,
+        "n_convs": cfg.n_convs,
+        "n_entities": cfg.n_entities,
+        "seed": cfg.seed,
+    }
+
+
+def ensure_oracle_tables(sf: float) -> str:
+    """Write (once) the oracle parquet tables for scale factor ``sf``;
+    returns the directory. Safe to call repeatedly and from multiple
+    queries — it is a no-op when the marker matches."""
+    cfg = config_for_sf(sf)
+    out = Path(oracle_dir(sf))
+    marker = out / "_ORACLE_MARKER.json"
+    want = _marker(cfg)
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == want:
+                return str(out)
+        except (ValueError, OSError):
+            pass
+    out.mkdir(parents=True, exist_ok=True)
+
+    world = build_world(cfg)
+    tt = transcripts_table(cfg)
+    gz = gazetteer_table(cfg)
+    rt = redirects_table(cfg)
+    pq.write_table(tt, out / "transcripts.parquet")
+    pq.write_table(gz, out / "gazetteer.parquet")
+    pq.write_table(rt, out / "redirects.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "entity_id": pa.array(world.entity_ids, pa.string()),
+                "etype": pa.array(world.etypes, pa.string()),
+            }
+        ),
+        out / "entity_types.parquet",
+    )
+    pq.write_table(type_dag_table(cfg), out / "type_dag.parquet")
+
+    golden = oracle.extract_triples(tt, gz, rt)
+    pq.write_table(
+        pa.table(
+            {
+                "subj": pa.array([t["subj"] for t in golden], pa.string()),
+                "pred": pa.array([t["pred"] for t in golden], pa.string()),
+                "obj": pa.array([t["obj"] for t in golden], pa.string()),
+                "conv_id": pa.array([t["conv_id"] for t in golden], pa.string()),
+                "turn_idx": pa.array([t["turn_idx"] for t in golden], pa.int32()),
+            }
+        ),
+        out / "triples.parquet",
+    )
+
+    mentions = oracle.extract_mentions(tt, gz)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([m["conv_id"] for m in mentions], pa.string()),
+                "turn_idx": pa.array([m["turn_idx"] for m in mentions], pa.int32()),
+                "mention_norm": pa.array(
+                    [m["mention_norm"] for m in mentions], pa.string()
+                ),
+            }
+        ),
+        out / "mentions.parquet",
+    )
+
+    unlink = oracle.extract_unlinkable(tt, gz)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([u["conv_id"] for u in unlink], pa.string()),
+                "turn_idx": pa.array([u["turn_idx"] for u in unlink], pa.int32()),
+                "subj_raw": pa.array([u["subj_raw"] for u in unlink], pa.string()),
+                "pred": pa.array([u["pred"] for u in unlink], pa.string()),
+                "obj_raw": pa.array([u["obj_raw"] for u in unlink], pa.string()),
+                "error": pa.array([u["error"] for u in unlink], pa.string()),
+            }
+        ),
+        out / "unlinkable.parquet",
+    )
+
+    marker.write_text(json.dumps(want))
+    return str(out)
+
+
+def type_dag_table(cfg) -> pa.Table:
+    """Deterministic class DAG above the world's 4 base entity types
+    (SURVEY §2.6 ancestor-closure input; reference
+    ``kgdata/misc/hierarchy.py:18-57``). Edges are (child, parent);
+    acyclic by construction, with diamonds so min-distance matters."""
+    from .stages.hierarchy import SYNTH_TYPE_DAG
+
+    child, parent = zip(*SYNTH_TYPE_DAG)
+    return pa.table(
+        {
+            "child": pa.array(child, pa.string()),
+            "parent": pa.array(parent, pa.string()),
+        }
+    )

@@ -514,7 +514,20 @@ def q_kg_triples_salted(sf_dir: str) -> Dataset:
 def q_kg_outlinks(sf_dir: str) -> Dataset:
     from ..stages.graph import entity_outlinks
 
-    return entity_outlinks(q_kg_triples(sf_dir))
+    out = entity_outlinks(q_kg_triples(sf_dir))
+
+    # comma-join the per-entity target list for the driver compare
+    # (list-valued columns don't survive the driver's value hash; the
+    # operator itself stays list-valued)
+    def to_str(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity_id": b["entity_id"],
+                "outlinks": b["outlinks"].map(",".join),
+            }
+        )
+
+    return out.map_batches(to_str, batch_format="pandas")
 
 
 def q_kg_alias_candidates(sf_dir: str) -> Dataset:
@@ -780,4 +793,104 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
         """,
+        **_kg_oracle_sql(),
     }
+
+
+def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
+    """DuckDB oracles for the KG family. The driver's pre-registered
+    views don't cover the synthesized transcript world, so these read
+    the deterministic oracle parquet tables that
+    ``oracle_tables.ensure_oracle_tables`` materializes (transcripts /
+    gazetteer / redirects / entity_types are *inputs*; triples /
+    mentions / unlinkable are GOLDEN outputs of the independent
+    pure-Python oracle in :mod:`kgdata_ray.oracle`). The driver runs at
+    sf0.01, so the paths are pinned to that scale."""
+    from ..oracle_tables import oracle_dir
+
+    d = oracle_dir(sf)
+    tr = f"read_parquet('{d}/transcripts.parquet')"
+    gz = f"read_parquet('{d}/gazetteer.parquet')"
+    rt = f"read_parquet('{d}/redirects.parquet')"
+    et = f"read_parquet('{d}/entity_types.parquet')"
+    golden = f"read_parquet('{d}/triples.parquet')"
+    golden_spo = (
+        f"(SELECT subj, pred, obj, conv_id, turn_idx FROM {golden})"
+    )
+
+    norm_expr = (
+        "trim(regexp_replace(regexp_replace("
+        "lower(replace({col}, chr(160), ' ')), "
+        "'[^\\w\\- ]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+    sql = {
+        "kg_triples": f"SELECT * FROM {golden_spo}",
+        "kg_triples_join": f"SELECT * FROM {golden_spo}",
+        "kg_triples_salted": f"SELECT * FROM {golden_spo}",
+        "kg_conversations": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   string_agg(role || ': ' || text, chr(10)
+                       ORDER BY turn_idx) AS dialogue
+            FROM {tr} GROUP BY conv_id
+        """,
+        "kg_mentions": f"""
+            SELECT conv_id, turn_idx, mention_norm
+            FROM read_parquet('{d}/mentions.parquet')
+        """,
+        "kg_unlinkable": f"""
+            SELECT conv_id, turn_idx, subj_raw, pred, obj_raw, error
+            FROM read_parquet('{d}/unlinkable.parquet')
+        """,
+        "kg_alias_candidates": f"""
+            WITH n AS (
+                SELECT entity_id, alias, freq_global, freq_doc,
+                       {norm_expr.format(col='alias')} AS alias_norm
+                FROM {gz}
+            )
+            SELECT entity_id, alias, freq_global, freq_doc, alias_norm,
+                   CAST(row_number() OVER (PARTITION BY alias_norm
+                       ORDER BY freq_global DESC, entity_id ASC) - 1
+                       AS INTEGER) AS rank
+            FROM n QUALIFY rank < 2048
+        """,
+        "kg_canonical_map": f"""
+            WITH RECURSIVE chain(src_id, canonical_id) AS (
+                SELECT src_id, dst_id FROM {rt}
+                UNION ALL
+                SELECT c.src_id, r.dst_id
+                FROM chain c JOIN {rt} r ON c.canonical_id = r.src_id
+            )
+            SELECT src_id, canonical_id FROM chain
+            WHERE canonical_id NOT IN (SELECT src_id FROM {rt})
+        """,
+        "kg_pred_counts": f"""
+            SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_entity_degrees": f"""
+            WITH o AS (SELECT subj AS entity_id, count(*) AS out_degree
+                       FROM {golden} GROUP BY subj),
+                 i AS (SELECT obj AS entity_id, count(*) AS in_degree
+                       FROM {golden} GROUP BY obj)
+            SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree
+            FROM o FULL JOIN i ON o.entity_id = i.entity_id
+        """,
+        "kg_outlinks": f"""
+            SELECT subj AS entity_id,
+                   string_agg(DISTINCT obj, ',' ORDER BY obj) AS outlinks
+            FROM {golden} GROUP BY subj
+        """,
+        "kg_meta_graph": f"""
+            SELECT COALESCE(ts.etype, 'unknown') AS subj_type, t.pred,
+                   COALESCE(tt.etype, 'unknown') AS obj_type,
+                   count(*) AS n
+            FROM {golden} t
+            LEFT JOIN {et} ts ON t.subj = ts.entity_id
+            LEFT JOIN {et} tt ON t.obj = tt.entity_id
+            GROUP BY 1, 2, 3
+        """,
+    }
+    return sql
