@@ -179,7 +179,14 @@ def salted_join(
 
 
 # --------------------------------------------------------------------------
-# Semi / anti joins via broadcast key set
+# Semi / anti joins: broadcast key set (small right side) or hash
+# shuffle (reference `subtract`, ``kgdata/spark/extended_rdd.py:680-685``,
+# where the right side is the billion-key entity table)
+
+# right sides above this row count take the shuffle plan under
+# plan="auto"; below it, a broadcast key set is cheaper (one
+# object-store put vs an all-to-all)
+BROADCAST_KEYS_MAX = 2_000_000
 
 
 def _key_set_filter(left: Dataset, right: Dataset, on: str,
@@ -194,16 +201,89 @@ def _key_set_filter(left: Dataset, right: Dataset, on: str,
     return left.map_batches(fn, batch_format="pandas")
 
 
-def semi_join(left: Dataset, right: Dataset, on: str, *, right_on: Optional[str] = None) -> Dataset:
-    """Rows of ``left`` whose key appears in ``right`` (broadcast set
-    membership — no shuffle of the big side)."""
-    return _key_set_filter(left, right, on, right_on, keep_in=True)
+def _shuffle_key_filter(left: Dataset, right: Dataset, on: str,
+                        right_on: Optional[str], keep_in: bool,
+                        num_partitions: int) -> Dataset:
+    """Distributed existence filter: distinct right keys (per-block
+    pre-dedup shrinks the shuffle) marked with a presence column, then a
+    left_outer hash join and a null test — nothing ever collects to the
+    driver, matching the reference's shuffle ``subtract``."""
+    from .agg import distinct_rows
+    from .blocks import scrub_empty_blocks
+
+    r_on = right_on or on
+    keys = distinct_rows(right.select_columns([r_on]), [r_on])
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={r_on: "__k"})
+        out["__present"] = np.int8(1)
+        return out
+
+    marked = scrub_empty_blocks(
+        keys.map_batches(mark, batch_format="pandas")
+    )
+    joined = left.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=("__k",),
+    )
+    out_cols = [c for c in left.schema().names]
+
+    def filt(b: pd.DataFrame) -> pa.Table:
+        if "__present" not in b.columns:  # schema-less empty join block
+            b = pd.DataFrame({c: [] for c in out_cols + ["__present"]})
+        hit = b["__present"].notna()
+        out = (b[hit] if keep_in else b[~hit])[out_cols]
+        # Arrow out so empty blocks keep their schema downstream
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return scrub_empty_blocks(joined.map_batches(filt, batch_format="pandas"))
 
 
-def anti_join(left: Dataset, right: Dataset, on: str, *, right_on: Optional[str] = None) -> Dataset:
+def _existence_join(left: Dataset, right: Dataset, on: str,
+                    right_on: Optional[str], keep_in: bool,
+                    plan: str, num_partitions: int) -> Dataset:
+    if plan == "auto":
+        # the guard needs the right-side cardinality; materialize so the
+        # count and the subsequent key scan don't execute the pipeline
+        # twice (row count then comes from block metadata)
+        right = right.materialize()
+        plan = "broadcast" if right.count() <= BROADCAST_KEYS_MAX else "shuffle"
+    if plan == "broadcast":
+        return _key_set_filter(left, right, on, right_on, keep_in)
+    if plan == "shuffle":
+        return _shuffle_key_filter(left, right, on, right_on, keep_in,
+                                   num_partitions)
+    raise ValueError(f"unknown semi/anti join plan: {plan}")
+
+
+def semi_join(
+    left: Dataset, right: Dataset, on: str, *,
+    right_on: Optional[str] = None, plan: str = "auto",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Rows of ``left`` whose key appears in ``right``. ``plan``:
+    "broadcast" (key set via ray.put — small right sides), "shuffle"
+    (distributed existence join — the scale path), or "auto" (size
+    guard at BROADCAST_KEYS_MAX rows). Both plans produce identical
+    rows (tested)."""
+    return _existence_join(left, right, on, right_on, True, plan,
+                           num_partitions)
+
+
+def anti_join(
+    left: Dataset, right: Dataset, on: str, *,
+    right_on: Optional[str] = None, plan: str = "auto",
+    num_partitions: int = 8,
+) -> Dataset:
     """Rows of ``left`` whose key does NOT appear in ``right``
-    (reference ``subtract``; dangling/unknown-id computations)."""
-    return _key_set_filter(left, right, on, right_on, keep_in=False)
+    (reference ``subtract``; dangling/unknown-id computations where the
+    right side is the full entity-id table — hence the shuffle plan at
+    scale)."""
+    return _existence_join(left, right, on, right_on, False, plan,
+                           num_partitions)
 
 
 # --------------------------------------------------------------------------

@@ -108,6 +108,42 @@ def test_semi_anti_join(orders_pdf, customer_pdf):
     assert not set(got_anti["o_custkey"]) & set(half["c_custkey"])
 
 
+def test_semi_anti_join_shuffle_plan(orders_pdf, customer_pdf):
+    """Forced shuffle plan == broadcast plan, including the reference
+    `subtract` shape where the RIGHT side is the larger table
+    (extended_rdd.py:680-685: dangling ids = children - all known ids)."""
+    half = customer_pdf[customer_pdf["c_custkey"] % 2 == 0]
+    half_ds = rd.from_pandas(half[["c_custkey"]])
+    orders = _ds("orders")
+
+    for keep in (True, False):
+        fn = semi_join if keep else anti_join
+        a = fn(orders, half_ds, "o_custkey", right_on="c_custkey",
+               plan="broadcast").to_pandas()
+        b = fn(orders, half_ds, "o_custkey", right_on="c_custkey",
+               plan="shuffle").to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+    # right side larger than left (orders of even custkeys, ~750 rows,
+    # vs customer 150): customers without such an order, shuffle plan
+    cust = _ds("customer")
+    even_orders = orders.map_batches(
+        lambda b: b[b["o_custkey"] % 2 == 0], batch_format="pandas"
+    )
+    got = anti_join(
+        cust, even_orders.select_columns(["o_custkey"]), "c_custkey",
+        right_on="o_custkey", plan="shuffle",
+    ).to_pandas()
+    even = orders_pdf[orders_pdf["o_custkey"] % 2 == 0]
+    want = customer_pdf[
+        ~customer_pdf["c_custkey"].isin(set(even["o_custkey"]))
+    ]
+    assert len(even) > len(customer_pdf)  # reference `subtract` shape
+    assert len(want) > 0
+    assert sorted(got["c_custkey"]) == sorted(want["c_custkey"])
+    assert list(got.columns) == list(customer_pdf.columns)
+
+
 def test_fk_explode_join():
     left = rd.from_items(
         [
