@@ -38,8 +38,8 @@ from ..functions.joins import (
     semi_join,
 )
 from ..stages import textstats
-from ..stages.dedup import embedding_pairs, exact_dedup_ids, minhash_pairs, \
-    ngram_jaccard_pairs, simhash_pairs
+from ..stages.dedup import embedding_pairs, embedding_pairs_lsh, \
+    exact_dedup_ids, minhash_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..stages.similarity import build_ivf, knn_bruteforce, knn_ivf
 from ..stages.multimodal import decode_features, media_from_documents
 from ..synth import config_for_sf, gazetteer_table, redirects_table, \
@@ -418,6 +418,13 @@ def q_minhash_pairs(sf_dir: str) -> Dataset:
     return minhash_pairs(_t(sf_dir, "documents"), threshold=0.6)
 
 
+def q_embedding_pairs_lsh(sf_dir: str) -> pd.DataFrame:
+    out = embedding_pairs_lsh(
+        _t(sf_dir, "embeddings"), threshold=0.4, num_tables=16, bits=4
+    ).to_pandas()
+    return out[["id_a", "id_b"]]
+
+
 def q_simhash_pairs(sf_dir: str) -> Dataset:
     return simhash_pairs(_t(sf_dir, "documents"), max_hamming=3)
 
@@ -614,6 +621,7 @@ def queries() -> dict[str, Callable]:
         "embedding_neardup_pairs": q_embedding_pairs,
         # rows-only
         "minhash_pairs": q_minhash_pairs,
+        "embedding_neardup_lsh": q_embedding_pairs_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,

@@ -117,6 +117,73 @@ def test_embedding_pairs_vs_bruteforce():
     assert want and got_pairs == want
 
 
+def test_token_hashes_vs_scalar_reference():
+    """The vectorized token/n-gram hashers equal a naive scalar
+    implementation of the same polynomial scheme."""
+    from kgdata_ray.stages.dedup import _MASK32, _NGRAM_FOLD, _POW257, token_hashes
+
+    def scalar_token_hashes(text):
+        out = []
+        for tok in text.lower().encode("utf-8").split():
+            h = 0
+            for p, c in enumerate(tok):
+                h = (h + c * int(_POW257[p % len(_POW257)])) & int(_MASK32)
+            out.append(h)
+        return out
+
+    def scalar_ngrams(text, n):
+        th = scalar_token_hashes(text)
+        th = th + [0] * max(0, n - len(th))
+        out = {
+            sum(th[i + k] * int(_NGRAM_FOLD[k]) for k in range(n)) & int(_MASK32)
+            for i in range(len(th) - n + 1)
+        }
+        return sorted(out)
+
+    texts = [
+        "Alpha beta GAMMA  delta", "one", "", "   ", "tab\tsep\nlines",
+        "punct, stays. inside tokens!", "ünïcode tökensökay",
+    ]
+    for t in texts:
+        assert token_hashes(t).tolist() == scalar_token_hashes(t), t
+        assert word_ngram_hashes(t, 3).tolist() == scalar_ngrams(t, 3), t
+        assert word_ngram_hashes(t, 1).tolist() == scalar_ngrams(t, 1), t
+
+
+def test_join_and_broadcast_verifiers_equal(corpus):
+    ds = rd.from_pandas(corpus)
+    for fn, kw in (
+        (minhash_pairs, dict(threshold=0.6, seed=7)),
+        (ngram_jaccard_pairs, dict(threshold=0.5)),
+    ):
+        a = fn(ds, verifier="join", **kw).to_pandas()
+        b = fn(ds, verifier="broadcast", **kw).to_pandas()
+        key = ["id_a", "id_b"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[key + ["jaccard"]], b[key + ["jaccard"]])
+
+
+def test_embedding_pairs_lsh_recall():
+    from kgdata_ray.stages.dedup import embedding_pairs_lsh
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_pairs(ds, threshold=0.4).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert exact_pairs
+
+    # cos 0.4 -> bit-agree prob ~0.63; bits=4, 16 tables -> bucket-share
+    # prob ~0.94 at the threshold boundary, higher above it
+    lsh = embedding_pairs_lsh(
+        ds, threshold=0.4, num_tables=16, bits=4, seed=23
+    ).to_pandas()
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    # exact precision (every emitted pair passes the exact threshold)
+    assert lsh_pairs <= exact_pairs
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, recall
+
+
 def test_dedup_clusters():
     pairs = rd.from_items(
         [
