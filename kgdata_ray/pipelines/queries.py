@@ -578,6 +578,63 @@ def q_kg_pred_counts(sf_dir: str) -> Dataset:
     return partial_group_count(q_kg_triples(sf_dir), "pred")
 
 
+def _entity_types_ds(sf_dir: str) -> Dataset:
+    from ..synth import build_world
+
+    cfg, _, _ = _kg_world(sf_dir)
+    w = build_world(cfg)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(w.entity_ids, pa.string()),
+                "etype": pa.array(w.etypes, pa.string()),
+            }
+        )
+    )
+
+
+def q_kg_class_closure(sf_dir: str) -> Dataset:
+    """Ancestor closure of the type DAG, computed by the DISTRIBUTED
+    Dataset iteration (the driver-side BFS closure is the broadcast side
+    of kg_all_types; both are tested equal)."""
+    from ..oracle_tables import type_dag_table
+    from ..stages.hierarchy import ancestor_closure_distributed
+
+    cfg, _, _ = _kg_world(sf_dir)
+    # tiny vocabulary: 2 partitions keep the per-round join overhead low
+    return ancestor_closure_distributed(
+        rd.from_arrow(type_dag_table(cfg)), num_partitions=2
+    )
+
+
+def q_kg_all_types(sf_dir: str) -> Dataset:
+    """entity_all_types analog: every entity's direct type (dist 0) plus
+    all ancestors at min distance, via a broadcast closure explode."""
+    from ..stages.hierarchy import SYNTH_TYPE_DAG, ancestor_closure, entity_all_types
+
+    return entity_all_types(
+        _entity_types_ds(sf_dir), ancestor_closure(SYNTH_TYPE_DAG)
+    )
+
+
+def q_kg_property_domains(sf_dir: str) -> Dataset:
+    from ..stages.graph import property_domains
+
+    return property_domains(q_kg_triples(sf_dir), _entity_types_ds(sf_dir))
+
+
+def q_kg_property_ranges(sf_dir: str) -> Dataset:
+    from ..stages.graph import property_ranges
+
+    return property_ranges(q_kg_triples(sf_dir), _entity_types_ds(sf_dir))
+
+
+def q_kg_prop_connections(sf_dir: str) -> Dataset:
+    from ..stages.graph import property_connections
+
+    return property_connections(q_kg_triples(sf_dir), _entity_types_ds(sf_dir))
+
+
 def q_kg_unlinkable(sf_dir: str) -> Dataset:
     from ..stages.extract import extract_raw
     from ..stages.linking import best_candidate_map, unlinkable_mentions
@@ -642,6 +699,11 @@ def queries() -> dict[str, Callable]:
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_unlinkable": q_kg_unlinkable,
+        "kg_class_closure": q_kg_class_closure,
+        "kg_all_types": q_kg_all_types,
+        "kg_property_domains": q_kg_property_domains,
+        "kg_property_ranges": q_kg_property_ranges,
+        "kg_prop_connections": q_kg_prop_connections,
     }
 
 
@@ -822,6 +884,7 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
     rt = f"read_parquet('{d}/redirects.parquet')"
     et = f"read_parquet('{d}/entity_types.parquet')"
     golden = f"read_parquet('{d}/triples.parquet')"
+    dag = f"read_parquet('{d}/type_dag.parquet')"
     golden_spo = (
         f"(SELECT subj, pred, obj, conv_id, turn_idx FROM {golden})"
     )
@@ -898,6 +961,50 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM {golden} t
             LEFT JOIN {et} ts ON t.subj = ts.entity_id
             LEFT JOIN {et} tt ON t.obj = tt.entity_id
+            GROUP BY 1, 2, 3
+        """,
+        "kg_class_closure": f"""
+            WITH RECURSIVE walk(child, anc, dist) AS (
+                SELECT child, parent, 1 FROM {dag}
+                UNION ALL
+                SELECT w.child, d.parent, w.dist + 1
+                FROM walk w JOIN {dag} d ON w.anc = d.child
+            )
+            SELECT child, anc, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY child, anc
+        """,
+        "kg_all_types": f"""
+            WITH RECURSIVE walk(child, anc, dist) AS (
+                SELECT child, parent, 1 FROM {dag}
+                UNION ALL
+                SELECT w.child, d.parent, w.dist + 1
+                FROM walk w JOIN {dag} d ON w.anc = d.child
+            ), clo AS (
+                SELECT child, anc, min(dist) AS dist
+                FROM walk GROUP BY child, anc
+            )
+            SELECT entity_id, etype AS type, CAST(0 AS BIGINT) AS dist
+            FROM {et}
+            UNION ALL
+            SELECT e.entity_id, c.anc AS type, CAST(c.dist AS BIGINT) AS dist
+            FROM {et} e JOIN clo c ON e.etype = c.child
+        """,
+        "kg_property_domains": f"""
+            SELECT t.pred, e.etype AS subj_type, count(*) AS n
+            FROM {golden} t JOIN {et} e ON t.subj = e.entity_id
+            GROUP BY 1, 2
+        """,
+        "kg_property_ranges": f"""
+            SELECT t.pred, e.etype AS obj_type, count(*) AS n
+            FROM {golden} t JOIN {et} e ON t.obj = e.entity_id
+            GROUP BY 1, 2
+        """,
+        "kg_prop_connections": f"""
+            SELECT t.pred, s.etype AS subj_type,
+                   COALESCE(o.etype, '') AS obj_type, count(*) AS freq
+            FROM {golden} t
+            JOIN {et} s ON t.subj = s.entity_id
+            LEFT JOIN {et} o ON t.obj = o.entity_id
             GROUP BY 1, 2, 3
         """,
     }

@@ -105,6 +105,75 @@ def entity_outlinks(triples: Dataset) -> Dataset:
     return grouped_blockwise(pruned, ["subj"], block)
 
 
+def property_domains(
+    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+) -> Dataset:
+    """(pred, subj_type, n): per-property distribution of subject types
+    (reference ``property_domains``,
+    ``kgdata/wikidata/datasets/property_domains.py:11-72`` — the
+    dict-sum reduceByKey re-expressed as one hash join + map-side
+    combined count; the shuffle moves (pred, type) partials)."""
+    j = triples.select_columns(["subj", "pred"]).join(
+        entity_types, join_type="inner", num_partitions=num_partitions,
+        on=("subj",), right_on=("entity_id",),
+    )
+    typed = rename_cols(j, {"etype": "subj_type"})
+    return partial_group_count(typed.select_columns(["pred", "subj_type"]),
+                               ["pred", "subj_type"])
+
+
+def property_ranges(
+    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+) -> Dataset:
+    """(pred, obj_type, n): per-property distribution of object-value
+    types (reference ``property_ranges``,
+    ``kgdata/wikidata/datasets/property_ranges.py:15-76``:
+    reduce→join→flatMap→reduce — here join-then-combine; literal-valued
+    objects have no entity type and drop out of the inner join, matching
+    the reference's "empty types produce nothing")."""
+    j = triples.select_columns(["pred", "obj"]).join(
+        entity_types, join_type="inner", num_partitions=num_partitions,
+        on=("obj",), right_on=("entity_id",),
+    )
+    typed = rename_cols(j, {"etype": "obj_type"})
+    return partial_group_count(typed.select_columns(["pred", "obj_type"]),
+                               ["pred", "obj_type"])
+
+
+def property_connections(
+    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+) -> Dataset:
+    """(pred, subj_type, obj_type, freq): schema-level connection table
+    (reference ``main_property_connections``,
+    ``main_property_connections.py:28-48``:
+    combineByKey→leftOuterJoin→reduceByKey). Literal objects keep an
+    empty obj_type (the reference's target_type=None connections) —
+    unlike :func:`meta_graph`, which rolls unknowns up as 'unknown'."""
+    j1 = triples.select_columns(["subj", "pred", "obj"]).join(
+        entity_types, join_type="inner", num_partitions=num_partitions,
+        on=("subj",), right_on=("entity_id",),
+    )
+    j1 = rename_cols(j1, {"etype": "subj_type"})
+    j2 = j1.join(
+        rename_cols(entity_types, {"entity_id": "o_ent", "etype": "obj_type"}),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("obj",), right_on=("o_ent",),
+    )
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pred": b["pred"],
+                "subj_type": b["subj_type"],
+                "obj_type": b["obj_type"].fillna(""),
+            }
+        )
+
+    typed = j2.map_batches(fix, batch_format="pandas")
+    return partial_group_count(typed, ["pred", "subj_type", "obj_type"],
+                               count_name="freq")
+
+
 def pagerank(
     edges: Dataset,
     *,

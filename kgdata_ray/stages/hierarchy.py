@@ -206,10 +206,15 @@ def ancestor_closure_distributed(
     from ..functions.agg import grouped_blockwise
     from ..functions.blocks import rename_cols, scrub_empty_blocks
 
-    def seed(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"child": b["child"], "anc": b["parent"],
-             "dist": np.int64(1)}
+    def seed(b: pd.DataFrame) -> pa.Table:
+        # Arrow out: unions downstream mix these blocks with Arrow
+        # grouped output; block types must agree
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"child": b["child"], "anc": b["parent"],
+                 "dist": np.full(len(b), 1, dtype=np.int64)}
+            ),
+            preserve_index=False,
         )
 
     edges = dag.materialize()
@@ -233,13 +238,16 @@ def ancestor_closure_distributed(
             right_on=("e_child",),
         )
 
-        def hop(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "child": b["child"],
-                    "anc": b["e_parent"],
-                    "dist": (b["dist"] + 1).astype("int64"),
-                }
+        def hop(b: pd.DataFrame) -> pa.Table:
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "child": b["child"],
+                        "anc": b["e_parent"],
+                        "dist": (b["dist"] + 1).astype("int64"),
+                    }
+                ),
+                preserve_index=False,
             )
 
         stepped = scrub_empty_blocks(

@@ -24,6 +24,8 @@ CHECK = [
     "kg_entity_degrees",
     "kg_outlinks",
     "kg_meta_graph",
+    "kg_all_types",
+    "kg_prop_connections",
 ]
 
 
