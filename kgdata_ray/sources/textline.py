@@ -86,3 +86,29 @@ def write_ndjson(ds: Dataset, out_dir: str) -> None:
     """Dataset -> ndjson part files (interop back to the reference's
     on-disk format)."""
     ds.write_json(out_dir)
+
+
+def write_single_text_file(
+    ds: Dataset,
+    path: str,
+    *,
+    serialize: Callable[[dict], str] = json.dumps,
+    sort_key: Optional[str] = None,
+) -> int:
+    """One text line per record into ONE file (reference
+    ``save_as_single_text_file``, ``extended_rdd.py:212-229``:
+    coalesce(1) -> single part). A single output file forces a single
+    writer, so the driver streams batches to disk (bounded memory) —
+    use only for small exports; big outputs belong in partitioned
+    parquet (``state.manifest.write_dataset``). Returns the line
+    count."""
+    if sort_key is not None:
+        ds = ds.sort(sort_key)
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pandas"):
+            for rec in batch.to_dict("records"):
+                f.write(serialize(rec))
+                f.write("\n")
+                n += 1
+    return n

@@ -240,3 +240,21 @@ def apply_canonical_map(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def verify_single_target(redirects: Dataset) -> None:
+    """Assert every redirect source maps to exactly ONE target
+    (reference: the multi-target consistency check in
+    ``kgdata/wikidata/datasets/entity_redirections.py:78-141``). Raises
+    with example offenders; the check is distributed (distinct + count
+    per src — only violating keys reach the driver)."""
+    from ..functions.agg import distinct_rows, partial_group_count
+
+    pairs = distinct_rows(redirects, ["src_id", "dst_id"])
+    counts = partial_group_count(pairs, "src_id", count_name="__n")
+    bad = counts.filter(expr="__n > 1").limit(5).take_all()
+    if bad:
+        offenders = ", ".join(r["src_id"] for r in bad)
+        raise ValueError(
+            f"redirect sources with multiple targets: {offenders} ..."
+        )

@@ -97,3 +97,37 @@ def test_cli_list_queries():
     ).stdout
     assert "pricing_summary" in out and "sql-checked" in out
     assert "minhash_pairs" in out and "rows-only" in out
+
+
+def test_write_single_text_file(tmp_path):
+    import json
+
+    import ray.data as rd
+
+    from kgdata_ray.sources.textline import write_single_text_file
+
+    ds = rd.from_items([{"id": i, "v": f"x{i}"} for i in range(100)])
+    path = str(tmp_path / "out.jsonl")
+    n = write_single_text_file(ds, path, sort_key="id")
+    assert n == 100
+    lines = [json.loads(x) for x in open(path)]
+    assert [r["id"] for r in lines] == list(range(100))
+
+
+def test_verify_single_target():
+    import pytest
+    import ray.data as rd
+
+    from kgdata_ray.stages.canonicalize import verify_single_target
+
+    ok = rd.from_items(
+        [{"src_id": "a", "dst_id": "b"}, {"src_id": "b", "dst_id": "c"},
+         {"src_id": "a", "dst_id": "b"}]  # duplicate row is fine
+    )
+    verify_single_target(ok)
+
+    bad = rd.from_items(
+        [{"src_id": "a", "dst_id": "b"}, {"src_id": "a", "dst_id": "c"}]
+    )
+    with pytest.raises(ValueError, match="multiple targets"):
+        verify_single_target(bad)

@@ -9,8 +9,17 @@ import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
+from kgdata_ray.oracle_tables import ensure_oracle_tables
+from kgdata_ray.pipelines.queries import _kg_oracle_sql
 
 SF = "/root/testdata/sf0.001"
+
+
+def _oracles() -> dict[str, str]:
+    # the driver pins KG oracle paths to its sf0.01 run; this replica
+    # runs at sf0.001, so swap in the sf0.001 oracle tables
+    ensure_oracle_tables(0.001)
+    return {**entrymod.oracle_sql(), **_kg_oracle_sql(0.001)}
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -46,14 +55,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
-SQL_CHECKED = sorted(entrymod.oracle_sql())
+SQL_CHECKED = sorted(_oracles())
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_vs_duckdb(con, name):
     qs = entrymod.queries()
     got = _normalize(_as_pdf(qs[name](SF)))
-    want = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    want = _normalize(con.execute(_oracles()[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
