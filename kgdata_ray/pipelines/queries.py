@@ -863,8 +863,64 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
         """,
+        "quality_scores": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       greatest(CAST(length(regexp_extract_all(text, '\\S+'))
+                           AS DOUBLE), 1.0) AS n_tokens,
+                       CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                           AS DOUBLE) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                       0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (1.0 - abs(least(n_punct / n_tokens, 1.0) - 0.2))
+                     + 0.3 * (1.0 - least(abs(((n_chars - n_tokens + 1.0)
+                           / n_tokens) - 5.5) / 5.5, 1.0)),
+                   6) AS quality
+            FROM s
+        """,
+        "lang_id": _lang_id_sql(),
         **_kg_oracle_sql(),
     }
+
+
+def _lang_id_sql() -> str:
+    """Stopword-overlap language ID in SQL, mirroring stages.textstats
+    (same token regex, same stopword lists, same score-desc /
+    lang-asc tie-break, 'und' when no stopword matches)."""
+    from ..stages.textstats import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH stop(lang, word) AS (VALUES {rows}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                       '[a-zäöüéèêàçñ]+')) AS tok
+            FROM documents
+        ),
+        scores AS (
+            SELECT t.doc_id, s.lang, count(*) AS n
+            FROM toks t JOIN stop s ON t.tok = s.word
+            GROUP BY t.doc_id, s.lang
+        ),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY n DESC, lang ASC) AS rn
+            FROM scores
+        )
+        SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+        FROM documents d
+        LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """
 
 
 def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:

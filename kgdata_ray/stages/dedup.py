@@ -17,16 +17,18 @@ this module provides:
                                 (doc_id, cluster_id) with min-id winners
 
 Scale notes: every *pairs* function is a map_batches sketch stage
-(vectorized numpy per batch, state in actor ``__init__``) followed by a
+(vectorized numpy per batch; seed-derived parameters cached once per
+worker process, so the sketch map fuses with the read) followed by a
 ``groupby`` on the bucket key — the shuffle moves (bucket, id) sketches,
-never documents. Verification here broadcasts the id->text dict
-(``ray.put``; fine up to ~1e6 docs); at larger scale swap the verifier
-for two hash joins against the corpus on (id_a), (id_b) — semantics
-identical.
+never documents. Verification defaults to two hash joins of the pair
+table against the corpus on (id_a), (id_b) — nothing broadcast or
+collected; an id->text broadcast dict remains as an explicit
+small-corpus fast path (``verifier="broadcast"``).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
 from typing import Optional, Union
 
 import numpy as np
@@ -146,67 +148,66 @@ def exact_dedup_ids(
 # MinHash + LSH
 
 
-class MinHashSketcher:
-    """num_perm minhashes per doc, folded into LSH bands.
+@lru_cache(maxsize=8)
+def _minhash_tables(num_perm: int, band_size: int, seed: int):
+    """Permutation + band-fold parameters, derived from the seed once
+    per worker PROCESS (module cache). Cheap-to-build state like this
+    belongs in a cached plain task, not an actor pool — the sketch map
+    then fuses with the upstream read instead of adding a pool-spin-up
+    stage boundary."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    fold = np.array(
+        [1099511628211**j % (1 << 61) for j in range(band_size)],
+        dtype=np.uint64,
+    )
+    return a, b, fold
 
-    Permutation parameters are derived once per actor from the seed
-    (stateful setup in ``__init__``, vectorized numpy per batch)."""
 
-    def __init__(self, num_perm: int, band_size: int, shingle_k: int, seed: int,
-                 text_col: str, id_col: str):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64) * 2 + 1
-        self.b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
-        self.num_perm = num_perm
-        self.band_size = band_size
-        self.num_bands = num_perm // band_size
-        self.shingle_k = shingle_k
-        self.text_col = text_col
-        self.id_col = id_col
-        self.fold = np.array(
-            [1099511628211**j % (1 << 61) for j in range(band_size)],
-            dtype=np.uint64,
-        )
+def minhash_sketch_batch(
+    batch: pd.DataFrame, *, num_perm: int, band_size: int, shingle_k: int,
+    seed: int, text_col: str, id_col: str,
+) -> pd.DataFrame:
+    """num_perm minhashes per doc, folded into LSH band keys.
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # gather all shingles of the batch into one array with per-doc
-        # segment offsets; each permutation is then one vectorized
-        # multiply-add + segmented min (np.minimum.reduceat) over the
-        # whole batch — no per-doc x per-perm Python loop
-        shingle_arrays = [
-            char_shingle_hashes(text, self.shingle_k)
-            for text in batch[self.text_col]
-        ]
-        sizes = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
-        all_h = (
-            np.concatenate(shingle_arrays) if shingle_arrays
-            else np.array([], dtype=np.uint64)
-        )
-        offsets = np.zeros(len(sizes), dtype=np.int64)
-        np.cumsum(sizes[:-1], out=offsets[1:])
-        n_docs = len(sizes)
+    All shingles of the batch go into one array with per-doc segment
+    offsets; each permutation is then one vectorized multiply-add +
+    segmented min (``np.minimum.reduceat``) over the whole batch — no
+    per-doc x per-perm Python loop."""
+    a, b, fold = _minhash_tables(num_perm, band_size, seed)
+    num_bands = num_perm // band_size
+    shingle_arrays = [
+        char_shingle_hashes(text, shingle_k) for text in batch[text_col]
+    ]
+    sizes = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+    all_h = (
+        np.concatenate(shingle_arrays) if shingle_arrays
+        else np.array([], dtype=np.uint64)
+    )
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    n_docs = len(sizes)
 
-        mins = np.empty((self.num_perm, n_docs), dtype=np.uint64)
-        for p in range(self.num_perm):
-            hv = self.a[p] * all_h + self.b[p]  # uint64 wraparound hash
-            mins[p] = np.minimum.reduceat(hv, offsets)
-        # fold each band's rows into one 64-bit band key
-        bh = np.zeros((self.num_bands, n_docs), dtype=np.uint64)
-        for band in range(self.num_bands):
-            seg = mins[band * self.band_size : (band + 1) * self.band_size]
-            bh[band] = (seg * self.fold[:, None]).sum(axis=0)
+    mins = np.empty((num_perm, n_docs), dtype=np.uint64)
+    for p in range(num_perm):
+        hv = a[p] * all_h + b[p]  # uint64 wraparound hash
+        mins[p] = np.minimum.reduceat(hv, offsets)
+    # fold each band's rows into one 64-bit band key
+    bh = np.zeros((num_bands, n_docs), dtype=np.uint64)
+    for band in range(num_bands):
+        seg = mins[band * band_size : (band + 1) * band_size]
+        bh[band] = (seg * fold[:, None]).sum(axis=0)
 
-        ids = np.repeat(batch[self.id_col].to_numpy(), self.num_bands)
-        bands = np.tile(
-            np.arange(self.num_bands, dtype=np.int32), n_docs
-        )
-        return pd.DataFrame(
-            {
-                self.id_col: ids,
-                "band": bands,
-                "band_hash": bh.T.reshape(-1).astype(np.int64),
-            }
-        )
+    ids = np.repeat(batch[id_col].to_numpy(), num_bands)
+    bands = np.tile(np.arange(num_bands, dtype=np.int32), n_docs)
+    return pd.DataFrame(
+        {
+            id_col: ids,
+            "band": bands,
+            "band_hash": bh.T.reshape(-1).astype(np.int64),
+        }
+    )
 
 
 def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
@@ -395,11 +396,11 @@ def minhash_pairs(
     corpora that fit a worker heap). Both produce identical pairs
     (tested)."""
     sketches = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashSketcher,
-        fn_constructor_args=(num_perm, band_size, shingle_k, seed, text_col, id_col),
+        partial(
+            minhash_sketch_batch, num_perm=num_perm, band_size=band_size,
+            shingle_k=shingle_k, seed=seed, text_col=text_col, id_col=id_col,
+        ),
         batch_format="pandas",
-        concurrency=(1, 8),
-        num_cpus=0.5,
     )
     from ..functions.agg import grouped_blockwise
 
@@ -434,37 +435,33 @@ def _texts_dict(ds: Dataset, id_col: str, text_col: str) -> dict:
 # SimHash
 
 
-class SimHashSketcher:
-    """64-bit SimHash over word-unigram hashes + 16-bit band keys."""
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word-unigram hashes."""
+    toks = word_ngram_hashes(text, 1)
+    if toks.size == 0:
+        return 0
+    # spread 32-bit token hashes to 64 bits deterministically
+    h64 = (toks * np.uint64(0x9E3779B97F4A7C15)) ^ (toks << np.uint64(17))
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    counts = (2 * bits - 1).sum(axis=0)
+    return int(((counts >= 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
 
-    def __init__(self, text_col: str, id_col: str):
-        self.text_col = text_col
-        self.id_col = id_col
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        toks = word_ngram_hashes(text, 1)
-        if toks.size == 0:
-            return 0
-        # spread 32-bit token hashes to 64 bits deterministically
-        h64 = (toks * np.uint64(0x9E3779B97F4A7C15)) ^ (toks << np.uint64(17))
-        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        counts = (2 * bits - 1).sum(axis=0)
-        return int(((counts >= 0).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)).sum())
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.array(
-            [self.simhash64(t) for t in batch[self.text_col]], dtype=np.uint64
-        )
-        out = pd.DataFrame({self.id_col: batch[self.id_col]})
-        out["simhash"] = sh.astype(np.int64)
-        for band in range(4):
-            out[f"b{band}"] = ((sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(
-                np.int32
-            )
-        return out
+def simhash_sketch_batch(
+    batch: pd.DataFrame, *, text_col: str, id_col: str
+) -> pd.DataFrame:
+    """SimHash + four 16-bit band keys per doc (stateless plain task —
+    fuses with the read)."""
+    sh = np.array([simhash64(t) for t in batch[text_col]], dtype=np.uint64)
+    out = pd.DataFrame({id_col: batch[id_col]})
+    out["simhash"] = sh.astype(np.int64)
+    for band in range(4):
+        out[f"b{band}"] = (
+            (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        ).astype(np.int32)
+    return out
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -490,11 +487,8 @@ def simhash_pairs(
     from ..functions.agg import grouped_blockwise
 
     sk = ds.select_columns([id_col, text_col]).map_batches(
-        SimHashSketcher,
-        fn_constructor_args=(text_col, id_col),
+        partial(simhash_sketch_batch, text_col=text_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=(1, 8),
-        num_cpus=0.5,
     ).materialize()
 
     parts = []
@@ -644,38 +638,36 @@ def embedding_pairs(
     return rd.from_arrow_refs(out_refs)
 
 
-class _HyperplaneSig:
+@lru_cache(maxsize=8)
+def _hyperplanes(num_tables: int, bits: int, dim: int, seed: int):
+    """Seed-derived hyperplanes, built once per worker process."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, dim, bits))
+
+
+def hyperplane_sig_batch(
+    batch: pd.DataFrame, *, num_tables: int, bits: int, dim: int, seed: int,
+    id_col: str, vec_col: str,
+) -> pd.DataFrame:
     """Per-batch hyperplane signatures: ``num_tables`` independent
-    ``bits``-bit sign patterns of the normalized vectors (hyperplanes
-    derived from the seed once per actor)."""
-
-    def __init__(self, num_tables: int, bits: int, dim: int, seed: int,
-                 id_col: str, vec_col: str):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((num_tables, dim, bits))
-        self.weights = (1 << np.arange(bits, dtype=np.int64))
-        self.num_tables = num_tables
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[self.id_col].to_numpy()
-        mat = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col]]
-        )
-        sigs = np.empty((len(ids), self.num_tables), dtype=np.int64)
-        for t in range(self.num_tables):
-            bits = (mat @ self.planes[t]) > 0  # (n, bits)
-            sigs[:, t] = bits @ self.weights
-        return pd.DataFrame(
-            {
-                self.id_col: np.repeat(ids, self.num_tables),
-                "table": np.tile(
-                    np.arange(self.num_tables, dtype=np.int32), len(ids)
-                ),
-                "sig": sigs.reshape(-1),
-            }
-        )
+    ``bits``-bit sign patterns of the vectors."""
+    planes = _hyperplanes(num_tables, bits, dim, seed)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    ids = batch[id_col].to_numpy()
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+    )
+    sigs = np.empty((len(ids), num_tables), dtype=np.int64)
+    for t in range(num_tables):
+        signbits = (mat @ planes[t]) > 0  # (n, bits)
+        sigs[:, t] = signbits @ weights
+    return pd.DataFrame(
+        {
+            id_col: np.repeat(ids, num_tables),
+            "table": np.tile(np.arange(num_tables, dtype=np.int32), len(ids)),
+            "sig": sigs.reshape(-1),
+        }
+    )
 
 
 def embedding_pairs_lsh(
@@ -701,11 +693,11 @@ def embedding_pairs_lsh(
     dim = len(first[0][vec_col])
     vecs = ds.select_columns([id_col, vec_col])
     sk = vecs.map_batches(
-        _HyperplaneSig,
-        fn_constructor_args=(num_tables, bits, dim, seed, id_col, vec_col),
+        partial(
+            hyperplane_sig_batch, num_tables=num_tables, bits=bits, dim=dim,
+            seed=seed, id_col=id_col, vec_col=vec_col,
+        ),
         batch_format="pandas",
-        concurrency=(1, 8),
-        num_cpus=0.5,
     )
     from ..functions.agg import grouped_blockwise
 

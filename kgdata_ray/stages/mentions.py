@@ -89,10 +89,24 @@ def detect_mentions(
 from ..functions.broadcast import as_ref, get_broadcast  # noqa: E402
 
 
+# fold constants combining per-token 64-bit hashes into n-gram keys
+# (uint64 wraparound multiply-add; shared by text and alias sides)
+_GRAM_FOLD = np.array(
+    [pow(0x9E3779B97F4A7C15, j, 1 << 64) for j in range(16)], dtype=np.uint64
+)
+
+
 def _alias_arrays(aliases_ref):
-    """Per-worker cache: (arrow array of normalized aliases, max token
-    count) — built once, then matching is index_in C kernels."""
+    """Per-worker cache: the alias TOKEN VOCABULARY (every distinct
+    token appearing in any normalized alias) plus, per alias token
+    count n, the sorted fold-keys of the alias token-id sequences and
+    the alias string array for exact verification. Matching a batch is
+    then ONE ``index_in`` of its flat tokens against the vocabulary
+    (C hash pass -> numeric token ids; non-alias tokens can never start
+    a match) + numpy id-folds — no n-gram string construction except
+    for candidate hits."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..functions.broadcast import _CACHE
 
@@ -104,7 +118,24 @@ def _alias_arrays(aliases_ref):
         norm = sorted({normalize_mention(a) for a in aliases
                        if normalize_mention(a)})
         max_tokens = max(len(a.split(" ")) for a in norm)
-        got = (pa.array(norm, pa.string()), max_tokens)
+        vocab_list = sorted({t for a in norm for t in a.split(" ")})
+        vocab = pa.array(vocab_list, pa.string())
+        by_n: dict[int, tuple] = {}
+        for n in range(1, max_tokens + 1):
+            subset = [a for a in norm if len(a.split(" ")) == n]
+            if not subset:
+                continue
+            toks = pa.array(
+                [t for a in subset for t in a.split(" ")], pa.string()
+            )
+            ids = pc.index_in(toks, value_set=vocab).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64).reshape(len(subset), n)
+            keys = np.zeros(len(subset), dtype=np.uint64)
+            for k in range(n):
+                keys += (ids[:, k] + 1).astype(np.uint64) * _GRAM_FOLD[k]
+            by_n[n] = (np.sort(keys), pa.array(subset, pa.string()))
+        got = (vocab, by_n, max_tokens)
         _CACHE[key] = got
     return got
 
@@ -118,10 +149,17 @@ def detect_mentions_ngram(
     """Vectorized gazetteer matcher: normalized turn text is
     whitespace-tokenized (normalization strips punctuation, so token
     runs are exactly the regex word-boundary matches); token n-grams
-    for n = 1..max-alias-length are matched against the alias array
-    with ``index_in``. Same output as :func:`detect_mentions` (tested
+    for n = 1..max-alias-length are matched ID-FIRST: one ``index_in``
+    of the batch's flat tokens against the alias token vocabulary
+    (single C hash pass -> numeric ids), numpy sliding-window id-folds
+    per n, sorted-array membership — and only candidate hits get their
+    n-gram string built and exact-compared (``index_in``), so fold
+    collisions can never produce a wrong match. Avoiding string
+    construction for the n-grams that miss keeps the stage
+    compute-bound instead of allocation/DRAM-bound (the single-box
+    32-CPU ceiling). Same output as :func:`detect_mentions` (tested
     equal); no per-alias automaton, so it scales to very large
-    gazetteers and runs as fused Arrow/pandas kernels.
+    gazetteers.
     """
     import numpy as np
     import pyarrow as pa
@@ -132,7 +170,7 @@ def detect_mentions_ngram(
     aliases_ref = as_ref(list(aliases) if not isinstance(aliases, ray.ObjectRef) else aliases)
 
     def fn(t: pa.Table) -> pa.Table:
-        alias_arr, max_n = _alias_arrays(aliases_ref)
+        vocab, by_n, max_n = _alias_arrays(aliases_ref)
         norm = normalize_mention_arrow(t["text"])
         if isinstance(norm, pa.ChunkedArray):
             norm = norm.combine_chunks()
@@ -142,28 +180,54 @@ def detect_mentions_ngram(
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         L = len(flat)
+        if L:
+            tid = pc.index_in(flat, value_set=vocab).to_numpy(
+                zero_copy_only=False
+            )
+            in_vocab = ~np.isnan(tid)
+            # id 0 marks non-vocab tokens; any span containing one is
+            # masked out below, so its fold contribution never matches
+            tid = np.where(in_vocab, tid + 1, 0).astype(np.uint64)
+        else:
+            tid = np.empty(0, dtype=np.uint64)
+            in_vocab = np.empty(0, dtype=bool)
 
         out_rows: list[np.ndarray] = []
         out_chunks: list[pa.Array] = []
         for n in range(1, max_n + 1):
             m = L - (n - 1)
-            if m <= 0:
-                break
+            if m <= 0 or n not in by_n:
+                continue
+            sorted_keys, alias_arr = by_n[n]
+            keys = np.zeros(m, dtype=np.uint64)
+            all_in = np.ones(m, dtype=bool)
+            for k in range(n):
+                keys += tid[k : k + m] * _GRAM_FOLD[k]
+                all_in &= in_vocab[k : k + m]
             if n == 1:
-                gram = flat
-                valid_span = np.ones(L, dtype=bool)
+                valid_span = all_in
             else:
-                # zero-copy shifted views + one C-kernel join per n
+                valid_span = (parent[:m] == parent[n - 1:]) & all_in
+            pos = np.searchsorted(sorted_keys, keys)
+            pos[pos == len(sorted_keys)] = 0
+            cand = (sorted_keys[pos] == keys) & valid_span
+            if not cand.any():
+                continue
+            cand_idx = np.nonzero(cand)[0]
+            # exact verification: build strings only for candidates
+            if n == 1:
+                gram = flat.take(pa.array(cand_idx))
+            else:
                 gram = pc.binary_join_element_wise(
-                    *[flat.slice(k, m) for k in range(n)], " "
+                    *[flat.take(pa.array(cand_idx + k)) for k in range(n)],
+                    " ",
                 )
-                valid_span = parent[: m] == parent[n - 1:]
-            idx = pc.index_in(gram, value_set=alias_arr)
-            hit = pc.is_valid(idx).to_numpy(zero_copy_only=False) & valid_span
-            if hit.any():
-                hit_idx = np.nonzero(hit)[0]
+            ok = pc.is_valid(pc.index_in(gram, value_set=alias_arr))
+            ok_np = ok.to_numpy(zero_copy_only=False)
+            if ok_np.any():
+                hit_idx = cand_idx[ok_np]
                 out_rows.append(parent[hit_idx])
-                out_chunks.append(pc.take(gram, pa.array(hit_idx)))
+                out_chunks.append(gram.filter(ok))
         if not out_rows:
             return pa.table(
                 {
