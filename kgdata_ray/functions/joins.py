@@ -90,31 +90,65 @@ def broadcast_join(
 
 
 def hot_keys(
-    ds: Dataset, on: str, threshold: int, *, sample_fraction: float = 1.0
+    ds: Dataset, on: str, threshold: int, *, sample_fraction: float = 1.0,
+    partial_cap: int = 200_000,
 ) -> dict:
     """Pre-pass frequency count; returns {key: count} for keys with
-    count > threshold (reference threshold: 10 000). Map-side combined:
-    the shuffle moves one partial count per key per block, not rows.
+    count > threshold (reference threshold: 10 000).
 
     ``sample_fraction < 1`` estimates counts from a Bernoulli sample
     (scaled by 1/fraction). Join RESULTS are identical either way —
     salting only changes the physical plan — so sampling is safe
     whenever the threshold is far from the sampling noise floor.
-    """
-    from .agg import partial_group_count
 
+    Physical plan: per-block ``value_counts`` partials (map-side
+    combine). The result is a driver dict by contract, so when the
+    partial table is small (<= ``partial_cap`` rows — always true for
+    sampled pre-passes) the partials are summed driver-side in one
+    pandas groupby, skipping the sort shuffle; bigger partial tables
+    (full-scan pre-pass over a high-cardinality key) take the
+    distributed grouped count and only keys over the threshold reach
+    the driver."""
     if sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=7)
         scale = 1.0 / sample_fraction
     else:
         scale = 1.0
-    counts = partial_group_count(ds, on, count_name="__cnt")
     eff_threshold = max(1, int(threshold / scale))
-    hot = counts.filter(expr=f"__cnt > {eff_threshold}")
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        out = b[on].value_counts().rename_axis(on).reset_index(name="__cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.select_columns([on]).map_batches(
+        pre, batch_format="pandas"
+    ).materialize()
+    if partials.count() <= partial_cap:
+        pdf = partials.to_pandas()
+        sums = pdf.groupby(on, sort=False)["__cnt"].sum()
+        hot = sums[sums > eff_threshold]
+        return {k: int(v * scale) for k, v in hot.items()}
+
+    counts = partials_pre_counted(partials, on)
+    hot_ds = counts.filter(expr=f"__cnt > {eff_threshold}")
     out = {}
-    for row in hot.iter_rows():
+    for row in hot_ds.iter_rows():
         out[row[on]] = int(row["__cnt"] * scale)
     return out
+
+
+def partials_pre_counted(partials: Dataset, on: str) -> Dataset:
+    """Re-expand is unnecessary: partial_group_count over the partial
+    table just needs rows weighted by __cnt; sum the counts instead."""
+    from .agg import grouped_blockwise
+    from .blocks import scrub_empty_blocks
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby(on, sort=False)["__cnt"].sum().reset_index()
+        out["__cnt"] = out["__cnt"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return scrub_empty_blocks(grouped_blockwise(partials, [on], final))
 
 
 def salted_join(

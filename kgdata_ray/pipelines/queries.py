@@ -497,6 +497,15 @@ def q_kg_mentions(sf_dir: str) -> Dataset:
     )
 
 
+def q_kg_mentions_join(sf_dir: str) -> Dataset:
+    """The no-broadcast mention plan (distributed gazetteer side):
+    same oracle as kg_mentions."""
+    from ..stages.mentions import detect_mentions_join
+
+    cfg, gz, _ = _kg_world(sf_dir)
+    return detect_mentions_join(transcripts_dataset(cfg), rd.from_arrow(gz))
+
+
 def q_kg_triples_salted(sf_dir: str) -> Dataset:
     """Join-linking with hot-mention salting enabled (threshold low
     enough that head mentions take the salted path at sf>=0.001)."""
@@ -690,6 +699,7 @@ def queries() -> dict[str, Callable]:
         "kg_triples_join": q_kg_triples_join,
         "kg_conversations": q_kg_conversations,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_join": q_kg_mentions_join,
         "kg_alias_candidates": q_kg_alias_candidates,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_triples_salted": q_kg_triples_salted,
@@ -963,6 +973,10 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM {tr} GROUP BY conv_id
         """,
         "kg_mentions": f"""
+            SELECT conv_id, turn_idx, mention_norm
+            FROM read_parquet('{d}/mentions.parquet')
+        """,
+        "kg_mentions_join": f"""
             SELECT conv_id, turn_idx, mention_norm
             FROM read_parquet('{d}/mentions.parquet')
         """,

@@ -255,3 +255,101 @@ def detect_mentions_ngram(
     return ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def detect_mentions_join(
+    ds: Dataset,
+    gazetteer: Dataset,
+    *,
+    alias_col: str = "alias",
+    num_partitions: int = 8,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Mention detection for gazetteers that exceed worker memory: the
+    all-shuffle join plan. Every token n-gram (n = 1..max alias token
+    count) of the normalized turn text is emitted as a candidate row
+    and inner-joined against the distinct normalized-alias table — no
+    broadcast anywhere, both sides shuffle on the gram key. Output and
+    semantics identical to :func:`detect_mentions_ngram` (tested
+    equal); use when the alias side is itself a distributed table
+    (DESIGN.md "beyond ~10^8 aliases"). The n-gram explosion (~max_n
+    rows per token) is the price of the no-broadcast plan — prefer the
+    id-first matcher whenever the token vocabulary fits a worker."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import distinct_rows
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..functions.text import normalize_mention_arrow, normalize_mention_series
+
+    def norm_aliases(b: pd.DataFrame) -> pd.DataFrame:
+        an = normalize_mention_series(b[alias_col])
+        out = pd.DataFrame({"alias_norm": an[an != ""]})
+        out["ntok"] = out["alias_norm"].str.count(" ") + 1
+        return out
+
+    aliases = distinct_rows(
+        gazetteer.map_batches(norm_aliases, batch_format="pandas"),
+        ["alias_norm", "ntok"],
+    ).materialize()
+    max_n = int(aliases.max("ntok"))
+
+    def grams(t: pa.Table) -> pa.Table:
+        norm = normalize_mention_arrow(t["text"])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        toks = pc.split_pattern(norm, " ")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+        rows, chunks = [], []
+        for n in range(1, max_n + 1):
+            m = L - (n - 1)
+            if m <= 0:
+                break
+            if n == 1:
+                gram = flat
+                span = np.ones(L, dtype=bool)
+            else:
+                gram = pc.binary_join_element_wise(
+                    *[flat.slice(k, m) for k in range(n)], " "
+                )
+                span = parent[:m] == parent[n - 1:]
+            idx = np.nonzero(span)[0]
+            rows.append(parent[idx])
+            chunks.append(gram.take(pa.array(idx)))
+        if not rows:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "gram": pa.array([], pa.string()),
+                }
+            )
+        allrows = np.concatenate(rows)
+        allgrams = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in chunks]
+        )
+        return pa.table(
+            {
+                "conv_id": pc.take(t["conv_id"], pa.array(allrows)),
+                "turn_idx": pc.take(t["turn_idx"], pa.array(allrows)),
+                "gram": allgrams,
+            }
+        )
+
+    cand = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        grams, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    j = cand.join(
+        scrub_empty_blocks(aliases.drop_columns(["ntok"])),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("gram",),
+        right_on=("alias_norm",),
+    )
+    return rename_cols(j, {"gram": "mention_norm"})

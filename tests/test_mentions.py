@@ -60,3 +60,26 @@ def test_regex_matcher_subset(small_cfg):
     }
     assert rx <= ng
     assert len(rx) > 0
+
+
+def test_join_plan_equals_ngram_matcher(small_cfg):
+    import ray.data as rd
+
+    from kgdata_ray.stages.mentions import detect_mentions_join
+    from kgdata_ray.synth import gazetteer_table
+
+    gz = gazetteer_table(small_cfg)
+    aliases = gz.column("alias").to_pylist()
+    ng = sorted(
+        (r["conv_id"], int(r["turn_idx"]), r["mention_norm"])
+        for r in detect_mentions_ngram(
+            transcripts_dataset(small_cfg), aliases
+        ).take_all()
+    )
+    jj = sorted(
+        (r["conv_id"], int(r["turn_idx"]), r["mention_norm"])
+        for r in detect_mentions_join(
+            transcripts_dataset(small_cfg), rd.from_arrow(gz)
+        ).take_all()
+    )
+    assert jj == ng
