@@ -205,22 +205,23 @@ def connected_components(
 # Apply a canonical map to triple columns
 
 
-class ApplyCanonicalMap:
-    """Actor-pool rewrite of id columns through a broadcast canonical
-    map (reference analog: ``fixed_entity``,
-    ``kgdata/wikidata/datasets/entities.py:179-260``)."""
+def _cached_canon_arrays(canon_ref):
+    """(keys, values) Arrow arrays of the canonical map, built once per
+    worker process — the rewrite becomes ``index_in`` + ``take`` +
+    ``if_else`` C kernels (same pattern as the broadcast linker)."""
+    from ..functions.broadcast import _CACHE
 
-    def __init__(self, canon: Union["ray.ObjectRef", dict], cols: tuple):
-        if isinstance(canon, ray.ObjectRef):
-            canon = ray.get(canon)
-        self.canon = canon
-        self.cols = cols
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        for c in self.cols:
-            mapped = batch[c].map(self.canon)
-            batch[c] = mapped.where(mapped.notna(), batch[c])
-        return batch
+    key = ("canon_arrays",
+           canon_ref.hex() if hasattr(canon_ref, "hex") else id(canon_ref))
+    pair = _CACHE.get(key)
+    if pair is None:
+        canon = ray.get(canon_ref) if isinstance(canon_ref, ray.ObjectRef) else canon_ref
+        pair = (
+            pa.array(list(canon.keys()), pa.string()),
+            pa.array(list(canon.values()), pa.string()),
+        )
+        _CACHE[key] = pair
+    return pair
 
 
 def apply_canonical_map(
@@ -228,17 +229,35 @@ def apply_canonical_map(
     canon_ref: Union["ray.ObjectRef", dict],
     cols: tuple = ("subj", "obj"),
     *,
-    concurrency=(1, 8),
     batch_size: int = 16384,
-    num_cpus: float = 0.5,
 ) -> Dataset:
+    """Rewrite id columns through a broadcast canonical map (reference
+    analog: ``fixed_entity``,
+    ``kgdata/wikidata/datasets/entities.py:179-260``). Zero-copy Arrow
+    plain-task map: the map is fetched once per worker process and
+    applied with ``index_in``/``take`` kernels — ids absent from the
+    map pass through unchanged."""
+    import pyarrow.compute as pc
+
+    if not isinstance(canon_ref, ray.ObjectRef):
+        canon_ref = ray.put(dict(canon_ref))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, vals = _cached_canon_arrays(canon_ref)
+        arrays = {}
+        for name in t.schema.names:
+            col = t[name]
+            if name in cols:
+                idx = pc.index_in(col, value_set=keys)
+                col = pc.if_else(
+                    pc.is_valid(idx), pc.take(vals, idx), col
+                )
+            arrays[name] = col
+        return pa.table(arrays)
+
     return ds.map_batches(
-        ApplyCanonicalMap,
-        fn_constructor_args=(canon_ref, cols),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
+        fn, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     )
 
 

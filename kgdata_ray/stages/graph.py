@@ -218,20 +218,37 @@ def pagerank(
         {"src": "od_node"},
     ).materialize()
 
+    # static (node_id, out_degree) joined ONCE; the rank table carries
+    # out_degree forward every round, saving one ranks⋈outdeg join per
+    # iteration (pure sinks get out_degree 0 — they never match the
+    # src-side contribution join, so no division by zero occurs)
+    def fill_deg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node_id": b["node_id"],
+                "out_degree": b["out_degree"].fillna(0).astype("int64"),
+            }
+        )
+
+    ndeg = scrub_empty_blocks(
+        nodes.join(
+            outdeg, join_type="left_outer", num_partitions=num_partitions,
+            on=("node_id",), right_on=("od_node",),
+        ).map_batches(fill_deg, batch_format="pandas"),
+        target_blocks=num_partitions,
+    ).materialize()
+
     def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["rank"] = 1.0 / n_nodes
         return b
 
-    ranks = nodes.map_batches(init_ranks, batch_format="pandas").materialize()
+    ranks = ndeg.map_batches(init_ranks, batch_format="pandas").materialize()
 
     for _ in range(iters):
         # contribution of each edge = rank(src)/outdeg(src)
         contrib_in = pairs.join(
-            ranks.join(
-                outdeg, join_type="inner", num_partitions=num_partitions,
-                on=("node_id",), right_on=("od_node",),
-            ),
+            ranks,
             join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("node_id",),
         )
@@ -258,7 +275,7 @@ def pagerank(
         distributed = sums.sum("c") or 0.0
         dangling = max(0.0, 1.0 - distributed)
 
-        merged = nodes.join(
+        merged = ndeg.join(
             rename_cols(sums, {"dst": "s_node"}),
             join_type="left_outer", num_partitions=num_partitions,
             on=("node_id",), right_on=("s_node",),
@@ -271,6 +288,7 @@ def pagerank(
             return pd.DataFrame(
                 {
                     "node_id": b["node_id"],
+                    "out_degree": b["out_degree"],
                     "rank": base + dshare + damping * c,
                 }
             )
@@ -280,7 +298,7 @@ def pagerank(
             target_blocks=num_partitions,
         ).materialize()
 
-    return ranks
+    return ranks.select_columns(["node_id", "rank"])
 
 
 def rank_moments(ranks: Dataset, *, col: str = "rank") -> dict:
