@@ -151,6 +151,24 @@ def partials_pre_counted(partials: Dataset, on: str) -> Dataset:
     return scrub_empty_blocks(grouped_blockwise(partials, [on], final))
 
 
+def _cached_hot_arrays(hot_ref):
+    """(hot key Arrow array, shard-count numpy array) built once per
+    worker process from the broadcast hot-key dict."""
+    from .broadcast import _CACHE
+
+    key = ("hot_arrays",
+           hot_ref.hex() if hasattr(hot_ref, "hex") else id(hot_ref))
+    pair = _CACHE.get(key)
+    if pair is None:
+        shards = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        pair = (
+            pa.array(list(shards.keys())),
+            np.fromiter(shards.values(), dtype=np.int64, count=len(shards)),
+        )
+        _CACHE[key] = pair
+    return pair
+
+
 def salted_join(
     left: Dataset,
     right: Dataset,
@@ -178,29 +196,43 @@ def salted_join(
         return equi_join(left, right, on, how=how, num_partitions=num_partitions)
     hot_ref = ray.put({k: -(-v // salt_batch) for k, v in hot.items()})
 
-    def probe_salt(b: pd.DataFrame) -> pd.DataFrame:
-        shards = get_broadcast(hot_ref)
-        n = b[on].map(shards).fillna(1).astype("int64")
-        # deterministic spread: row position within batch modulo shards
-        b["__salt"] = (np.arange(len(b)) % n.to_numpy()).astype("int64")
-        return b
+    def _shard_counts(t: pa.Table) -> np.ndarray:
+        """Per-row shard count (1 for cold keys) via one Arrow
+        index_in against the worker-cached hot-key array."""
+        keys, counts = _cached_hot_arrays(hot_ref)
+        import pyarrow.compute as pc
 
-    def build_explode(b: pd.DataFrame) -> pd.DataFrame:
-        shards = get_broadcast(hot_ref)
-        n = b[on].map(shards).fillna(1).astype("int64").to_numpy()
-        idx = np.repeat(np.arange(len(b)), n)
-        out = b.iloc[idx].reset_index(drop=True)
+        idx = pc.index_in(t[on], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        miss = np.isnan(idx)
+        return np.where(
+            miss, 1, counts[np.nan_to_num(idx).astype(np.int64)]
+        ).astype(np.int64)
+
+    def probe_salt(t: pa.Table) -> pa.Table:
+        n = _shard_counts(t)
+        # deterministic spread: row position within batch modulo shards
+        salt = (np.arange(len(t)) % n).astype(np.int64)
+        return t.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def build_explode(t: pa.Table) -> pa.Table:
+        n = _shard_counts(t)
+        rep = np.repeat(np.arange(len(t)), n)
+        out = t.take(pa.array(rep))
         salts = (
             np.concatenate([np.arange(k) for k in n])
-            if len(b) else np.array([], dtype="int64")
+            if len(t) else np.array([], dtype=np.int64)
         )
-        out["__salt"] = salts.astype("int64")
-        # rename in-batch: a Project rename after a pandas-block stage
-        # crashes in Ray 2.49 (see functions.blocks.rename_cols)
-        return out.rename(columns={on: f"{on}__r"})
+        out = out.append_column("__salt", pa.array(salts, pa.int64()))
+        return out.rename_columns(
+            [f"{on}__r" if c == on else c for c in out.schema.names]
+        )
 
-    lp = left.map_batches(probe_salt, batch_format="pandas")
-    rp = right.map_batches(build_explode, batch_format="pandas")
+    lp = left.map_batches(probe_salt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rp = right.map_batches(build_explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
     joined = lp.join(
         rp,
         join_type=how,

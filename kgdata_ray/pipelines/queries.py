@@ -356,7 +356,11 @@ def q_running_total(sf_dir: str) -> Dataset:
 
     def fn(b: pd.DataFrame) -> pa.Table:
         b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        b["running_value"] = b.groupby("user_id", sort=False)["value"].cumsum()
+        # round to cents on both sides: DuckDB's segment-tree window sum
+        # and a sequential cumsum differ in float last bits (~1e-12)
+        b["running_value"] = (
+            b.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        )
         return pa.Table.from_pandas(
             b[["user_id", "event_id", "running_value"]], preserve_index=False
         )
@@ -439,6 +443,10 @@ def q_lang_id(sf_dir: str) -> Dataset:
 
 def q_quality(sf_dir: str) -> Dataset:
     return textstats.quality_scores(_t(sf_dir, "documents"))
+
+
+def q_token_counts(sf_dir: str) -> Dataset:
+    return textstats.token_counts(_t(sf_dir, "documents"))
 
 
 def q_rolling_fp(sf_dir: str) -> Dataset:
@@ -692,6 +700,7 @@ def queries() -> dict[str, Callable]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "quality_scores": q_quality,
+        "token_counts": q_token_counts,
         "rolling_fingerprints": q_rolling_fp,
         "knn_ivf": q_knn_ivf,
         "media_features": q_media_features,
@@ -802,8 +811,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_total": """
             SELECT user_id, event_id,
-                   sum(value) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2)
                        AS running_value
             FROM events
         """,
@@ -893,8 +902,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "lang_id": _lang_id_sql(),
+        "token_counts": _token_counts_sql(),
         **_kg_oracle_sql(),
     }
+
+
+def _token_counts_sql() -> str:
+    """Token counts with the same regexes as stages.textstats (RE2-safe,
+    no lookaheads, identical leftmost-first alternation semantics)."""
+    from ..stages.textstats import BPE_PATTERN
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(length(regexp_extract_all(text, '{bpe}')) AS BIGINT)
+                   AS n_tokens_bpe
+        FROM documents
+    """
 
 
 def _lang_id_sql() -> str:

@@ -452,16 +452,25 @@ def simhash64(text: str) -> int:
 def simhash_sketch_batch(
     batch: pd.DataFrame, *, text_col: str, id_col: str
 ) -> pd.DataFrame:
-    """SimHash + four 16-bit band keys per doc (stateless plain task —
+    """SimHash sketches in LONG form: one row per (doc, band) with the
+    16-bit band key — all four bands go through ONE bucket shuffle on
+    (band, key) instead of four shuffles + union (stateless plain task,
     fuses with the read)."""
     sh = np.array([simhash64(t) for t in batch[text_col]], dtype=np.uint64)
-    out = pd.DataFrame({id_col: batch[id_col]})
-    out["simhash"] = sh.astype(np.int64)
-    for band in range(4):
-        out[f"b{band}"] = (
-            (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        ).astype(np.int32)
-    return out
+    n = len(sh)
+    bands = np.tile(np.arange(4, dtype=np.int32), n)
+    rep = np.repeat(sh, 4)
+    keys = (
+        (rep >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(0xFFFF)
+    ).astype(np.int32)
+    return pd.DataFrame(
+        {
+            id_col: np.repeat(batch[id_col].to_numpy(), 4),
+            "band": bands,
+            "key": keys,
+            "simhash": np.repeat(sh.astype(np.int64), 4),
+        }
+    )
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -489,20 +498,13 @@ def simhash_pairs(
     sk = ds.select_columns([id_col, text_col]).map_batches(
         partial(simhash_sketch_batch, text_col=text_col, id_col=id_col),
         batch_format="pandas",
-    ).materialize()
+    )
 
-    parts = []
-    for band in range(4):
-        parts.append(
-            grouped_blockwise(
-                sk, [f"b{band}"],
-                _bucket_pairs_block([f"b{band}"], id_col, max_bucket,
-                                    carry=["simhash"]),
-            )
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.union(p)
+    cand = grouped_blockwise(
+        sk, ["band", "key"],
+        _bucket_pairs_block(["band", "key"], id_col, max_bucket,
+                            carry=["simhash"]),
+    )
     cand = _distinct_pairs(cand)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:

@@ -147,3 +147,32 @@ def rolling_fingerprints(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         rolling_fingerprint_batch, batch_format="pandas"
     )
+
+
+# Simplified RE2-safe BPE-style pre-tokenizer (GPT-2-ish without the
+# lookahead): contraction suffixes, letter runs, digit runs, punct runs,
+# whitespace runs. Shared verbatim with the DuckDB oracle so counts are
+# value-exact on both engines (both re and RE2 use leftmost-first
+# alternation).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def token_counts_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_tokens_bpe): whitespace tokens + BPE-style
+    pre-tokenizer segments (the token-count estimate a training-data
+    pipeline budgets with)."""
+    text = b["text"]
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"],
+            "n_tokens": text.str.count(_TOKEN_RE).astype("int64"),
+            "n_tokens_bpe": text.str.count(_BPE_RE).astype("int64"),
+        }
+    )
+
+
+def token_counts(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        token_counts_batch, batch_format="pandas"
+    )
