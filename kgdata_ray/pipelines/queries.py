@@ -465,6 +465,18 @@ def q_media_features(sf_dir: str) -> Dataset:
     return decode_features(media, engine="fake")
 
 
+def q_media_headers(sf_dir: str) -> Dataset:
+    """REAL container-metadata decode: synthesize structurally valid
+    PNG payloads (dimensions derived from doc_id), then parse format/
+    width/height back out of the magic bytes. The oracle recomputes the
+    dimensions from doc_id - a round-trip check of synthesis + parser."""
+    from ..stages.multimodal import media_from_documents_png, parse_media_headers
+
+    return parse_media_headers(
+        media_from_documents_png(_t(sf_dir, "documents"))
+    )
+
+
 # --------------------------------------------------------------------------
 # KG pipeline over synthesized transcripts (rows-only; correctness is
 # enforced against the pure-Python oracle in tests/test_kg_pipeline.py)
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable]:
         "rolling_fingerprints": q_rolling_fp,
         "knn_ivf": q_knn_ivf,
         "media_features": q_media_features,
+        "media_headers": q_media_headers,
         "kg_triples": q_kg_triples,
         "kg_triples_join": q_kg_triples_join,
         "kg_conversations": q_kg_conversations,
@@ -903,6 +916,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "token_counts": _token_counts_sql(),
+        "media_headers": """
+            SELECT doc_id AS item_id, 'png' AS format,
+                   CAST(16 + doc_id % 512 AS INTEGER) AS width,
+                   CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height
+            FROM documents
+        """,
         **_kg_oracle_sql(),
     }
 

@@ -173,3 +173,127 @@ def frame_sample(media: Dataset, *, every: int = 4, frame_bytes: int = 64,
         )
 
     return media.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# REAL header parsing (pure byte parsing, stdlib only — no codec libs).
+# Pixel decode stays stubbed, but container metadata (format, width,
+# height) is genuinely parsed from magic bytes, which is what a
+# training-data pipeline needs for size/aspect filtering before any
+# expensive decode.
+
+import struct  # noqa: E402
+import zlib  # noqa: E402
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_bytes(width: int, height: int, *, payload_hint: bytes = b"") -> bytes:
+    """Minimal structurally-valid PNG (signature + IHDR with correct
+    CRC + stub IDAT + IEND) — deterministic synthetic image payloads
+    whose headers a real parser can parse."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    out = [_PNG_SIG]
+    for tag, body in ((b"IHDR", ihdr),
+                      (b"IDAT", payload_hint[:64]),
+                      (b"IEND", b"")):
+        out.append(struct.pack(">I", len(body)))
+        out.append(tag)
+        out.append(body)
+        out.append(struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """SOI + minimal SOF0 frame header + EOI."""
+    body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (b"\xff\xd8"  # SOI
+            + b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+            + b"\xff\xd9")  # EOI
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from container magic bytes; ("unknown",
+    -1, -1) when no known signature matches. Supports PNG (IHDR), GIF
+    (logical screen descriptor) and JPEG (first SOF0/1/2 marker)."""
+    if b[:8] == _PNG_SIG and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xD8, 0xD9):
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", -1, -1
+    return "unknown", -1, -1
+
+
+def media_from_documents_png(docs: Dataset) -> Dataset:
+    """Synthetic media table whose payloads are structurally VALID PNGs
+    with deterministic (doc_id-derived) dimensions — the header parser
+    has something real to parse, the pixel content is the doc text."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [
+            png_bytes(16 + (i % 512), 16 + (i * 7 % 512),
+                      payload_hint=txt.encode("utf-8"))
+            for i, txt in zip(ids, t["text"].to_pylist())
+        ]
+        meta = [
+            json.dumps({"kind": "image", "n_bytes": len(p)}, sort_keys=True)
+            for p in payload
+        ]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["image"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def parse_media_headers(media: Dataset, *, batch_size: int = 256) -> Dataset:
+    """(item_id, format, width, height) parsed from payload magic bytes
+    — a REAL decode-metadata stage (stateless plain task; binary-safe
+    Arrow in/out)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts, ws, hs = [], [], []
+        for p in t["payload"].to_pylist():
+            f, w, h = parse_image_header(p or b"")
+            fmts.append(f)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -58,3 +58,35 @@ def test_frame_sample(media):
     n = src["payload"].map(len)
     want = (((n + 63) // 64).clip(lower=1) + 1) // 2
     assert len(frames) == int(want.sum())
+
+
+def test_parse_image_headers_real():
+    from kgdata_ray.stages.multimodal import (
+        gif_bytes,
+        jpeg_bytes,
+        parse_image_header,
+        png_bytes,
+    )
+
+    assert parse_image_header(png_bytes(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(jpeg_bytes(1024, 768)) == ("jpeg", 1024, 768)
+    assert parse_image_header(b"") == ("unknown", -1, -1)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n trunc") == ("unknown", -1, -1)
+    # truncated JPEG: recognized container, unparseable dimensions
+    assert parse_image_header(b"\xff\xd8\xff\xc0") == ("jpeg", -1, -1)
+
+
+def test_media_headers_roundtrip():
+    import ray.data as rd
+
+    from kgdata_ray.stages.multimodal import (
+        media_from_documents_png,
+        parse_media_headers,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = parse_media_headers(media_from_documents_png(docs)).to_pandas()
+    assert (out["format"] == "png").all()
+    assert (out["width"] == 16 + out["item_id"] % 512).all()
+    assert (out["height"] == 16 + (out["item_id"] * 7) % 512).all()
