@@ -186,3 +186,24 @@ def test_conversations_rollup(world, small_cfg):
     one = conv.set_index("conv_id").loc["conv-00000001"]
     w = src[src["conv_id"] == "conv-00000001"].sort_values("turn_idx")
     assert one["dialogue"] == "\n".join(w["role"] + ": " + w["text"])
+
+
+def test_kg_triples_exact_under_tiny_blocks(world, golden, small_cfg):
+    """Correctness under block splitting: with a pathologically small
+    target block size, Ray's sort WILL split key ranges across blocks —
+    the grouped_blockwise boundary guard must keep every (s,p,o) group
+    whole, so dedup (and the whole pipeline) stays exact."""
+    import ray
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024  # 8 KiB
+    try:
+        df = _run(world, small_cfg, "broadcast")
+    finally:
+        ctx.target_max_block_size = old
+    predicted = set(zip(df["subj"], df["pred"], df["obj"]))
+    p, r = precision_recall(predicted, triple_set(golden))
+    assert p == 1.0 and r == 1.0, (p, r)
+    # dedup still exact: one provenance row per unique triple
+    assert len(df) == len(predicted)
