@@ -453,6 +453,18 @@ def q_rolling_fp(sf_dir: str) -> Dataset:
     return textstats.rolling_fingerprints(_t(sf_dir, "documents"))
 
 
+def q_knn_distributed(sf_dir: str) -> pd.DataFrame:
+    """Block-cross kNN: query side is itself a Dataset (vec_id < 32)."""
+    from ..stages.similarity import knn_block_cross
+
+    emb = _t(sf_dir, "embeddings")
+    queries = emb.map_batches(
+        lambda b: b[b["vec_id"] < 32], batch_format="pandas"
+    )
+    out = knn_block_cross(_t(sf_dir, "embeddings"), queries, k=5).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     emb = _t(sf_dir, "embeddings")
     index = build_ivf(emb, num_centroids=8, seed=13)
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "knn_bruteforce": q_knn,
+        "knn_distributed": q_knn_distributed,
         "embedding_neardup_pairs": q_embedding_pairs,
         # rows-only
         "minhash_pairs": q_minhash_pairs,
@@ -878,6 +891,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "knn_distributed": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
             sims AS (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                        round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cos

@@ -208,3 +208,71 @@ def knn_ivf(
         num_cpus=0.5,
     )
     return _final_topk(partials, k)
+
+
+# --------------------------------------------------------------------------
+# Block-cross kNN: BOTH sides are distributed Datasets
+
+
+def _table_mat(t: pa.Table, id_col: str, vec_col: str):
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = _l2_normalize(
+        np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in t[vec_col].to_numpy(zero_copy_only=False)])
+    )
+    return ids, mat
+
+
+def knn_block_cross(
+    ds: Dataset,
+    queries: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    target_block_rows: int = 8192,
+) -> Dataset:
+    """Exact cosine top-k when the QUERY SET is itself a large Dataset
+    (the round-1 designs broadcast a small collected query matrix):
+    every (query-block, corpus-block) pair is one bounded-memory matmul
+    task emitting per-pair top-k partials; a grouped merge keeps the
+    global top-k per query. Neither side ever collects to the driver.
+    Output schema and tie-breaks identical to :func:`knn_bruteforce`
+    (tested equal)."""
+    import ray.data as rd
+
+    def blocks(d: Dataset):
+        m = d.select_columns([id_col, vec_col]).materialize()
+        n = m.count()
+        want = max(1, -(-n // target_block_rows))
+        if m.num_blocks() != want:
+            m = m.repartition(want).materialize()
+        return m.to_arrow_refs()
+
+    q_refs = blocks(queries)
+    c_refs = blocks(ds)
+
+    @ray.remote
+    def cross(qt: pa.Table, ct: pa.Table) -> pa.Table:
+        q_ids, q_mat = _table_mat(qt, id_col, vec_col)
+        c_ids, c_mat = _table_mat(ct, id_col, vec_col)
+        sims = np.round(q_mat @ c_mat.T, 6)
+        if exclude_self:
+            sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(q_ids)), kk)
+        cols = idx.ravel()
+        vals = sims[rows, cols]
+        fin = np.isfinite(vals)
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids[rows][fin], pa.int64()),
+                "neighbor_id": pa.array(c_ids[cols][fin], pa.int64()),
+                "cosine": pa.array(vals[fin], pa.float64()),
+            }
+        )
+
+    out_refs = [cross.remote(q, c) for q in q_refs for c in c_refs]
+    return _final_topk(rd.from_arrow_refs(out_refs), k)

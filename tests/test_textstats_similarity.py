@@ -110,3 +110,27 @@ def test_knn_ivf_recall():
         hits += len(g & set(want[q]))
         total += len(want[q])
     assert hits / total >= 0.6, hits / total
+
+
+def test_knn_block_cross_equals_bruteforce():
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import knn_block_cross, knn_bruteforce
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(12))
+    a = knn_bruteforce(ds, qids, k=5).to_pandas()
+    queries = ds.map_batches(
+        lambda b: b[b["vec_id"] < 12], batch_format="pandas"
+    )
+    # small target block size so the cross product really spans blocks
+    b = knn_block_cross(
+        rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        queries, k=5, target_block_rows=16,
+    ).to_pandas()
+    cols = ["query_id", "neighbor_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
