@@ -520,6 +520,30 @@ def q_kg_conversations(sf_dir: str) -> Dataset:
     return conversations(transcripts_dataset(cfg))
 
 
+def q_kg_conversations_salted(sf_dir: str) -> Dataset:
+    """Two-level salted conversation rollup (oversized-conversation
+    skew recipe) - same oracle as kg_conversations."""
+    from ..stages.reconstruct import conversations_salted
+
+    cfg, _, _ = _kg_world(sf_dir)
+    return conversations_salted(transcripts_dataset(cfg), turns_per_salt=8)
+
+
+def q_kg_pred_type_dicts(sf_dir: str) -> Dataset:
+    """dict-sum monoid reduceByKey (reference property_domains shape,
+    kgdata/wikidata/datasets/property_domains.py:11-72): per predicate,
+    the {subj_type: count} counter as canonical sorted-key JSON."""
+    from ..functions.agg import dict_merge_aggregate
+
+    triples = q_kg_triples(sf_dir)
+    et = _entity_types_ds(sf_dir)
+    typed = triples.select_columns(["subj", "pred"]).join(
+        et, join_type="inner", num_partitions=8,
+        on=("subj",), right_on=("entity_id",),
+    )
+    return dict_merge_aggregate(typed, "pred", "etype", out_col="counts")
+
+
 def q_kg_mentions(sf_dir: str) -> Dataset:
     from ..stages.mentions import detect_mentions_ngram
 
@@ -590,6 +614,34 @@ def q_kg_canonical_map(sf_dir: str) -> Dataset:
 
     cfg, _, rt = _kg_world(sf_dir)
     return resolve_redirects_distributed(rd.from_arrow(rt), num_partitions=4)
+
+
+def q_kg_canonical_map_driver(sf_dir: str) -> Dataset:
+    """Driver-side pointer-chase chain collapse (the small-map plan;
+    the distributed pointer-doubling variant is kg_canonical_map) -
+    same recursive-CTE oracle certifies both algorithms."""
+    from ..stages.canonicalize import canonical_map_from_table
+
+    cfg, _, rt = _kg_world(sf_dir)
+    canon = canonical_map_from_table(rt)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array(list(canon.keys()), pa.string()),
+                "canonical_id": pa.array(list(canon.values()), pa.string()),
+            }
+        )
+    )
+
+
+def q_propquery_filter(sf_dir: str) -> Dataset:
+    """PropQuery mini-language filters chained over the documents
+    table (reference record-filter grammar, kgdata/misc/query.py:6-45):
+    equality + substring membership."""
+    from ..functions.propquery import prop_filter
+
+    docs = _t(sf_dir, "documents")
+    return prop_filter(prop_filter(docs, "lang = en"), "the in text")
 
 
 def q_kg_entity_degrees(sf_dir: str) -> Dataset:
@@ -733,10 +785,14 @@ def queries() -> dict[str, Callable]:
         "kg_triples": q_kg_triples,
         "kg_triples_join": q_kg_triples_join,
         "kg_conversations": q_kg_conversations,
+        "kg_conversations_salted": q_kg_conversations_salted,
+        "kg_pred_type_dicts": q_kg_pred_type_dicts,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_join": q_kg_mentions_join,
         "kg_alias_candidates": q_kg_alias_candidates,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_canonical_map_driver": q_kg_canonical_map_driver,
+        "propquery_filter": q_propquery_filter,
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -942,6 +998,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "lang_id": _lang_id_sql(),
+        "propquery_filter": """
+            SELECT * FROM documents
+            WHERE lang = 'en' AND text LIKE '%the%'
+        """,
         "token_counts": _token_counts_sql(),
         "media_headers": """
             SELECT doc_id AS item_id, 'png' AS format,
@@ -1044,6 +1104,24 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
                        ORDER BY turn_idx) AS dialogue
             FROM {tr} GROUP BY conv_id
         """,
+        "kg_conversations_salted": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   string_agg(role || ': ' || text, chr(10)
+                       ORDER BY turn_idx) AS dialogue
+            FROM {tr} GROUP BY conv_id
+        """,
+        "kg_pred_type_dicts": f"""
+            WITH typed AS (
+                SELECT t.pred, e.etype, count(*) AS n
+                FROM {golden} t JOIN {et} e ON t.subj = e.entity_id
+                GROUP BY 1, 2
+            )
+            SELECT pred,
+                   '{{' || string_agg('"' || etype || '": ' || n, ', '
+                       ORDER BY etype) || '}}' AS counts
+            FROM typed GROUP BY pred
+        """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_norm
             FROM read_parquet('{d}/mentions.parquet')
@@ -1069,6 +1147,16 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM n QUALIFY rank < 2048
         """,
         "kg_canonical_map": f"""
+            WITH RECURSIVE chain(src_id, canonical_id) AS (
+                SELECT src_id, dst_id FROM {rt}
+                UNION ALL
+                SELECT c.src_id, r.dst_id
+                FROM chain c JOIN {rt} r ON c.canonical_id = r.src_id
+            )
+            SELECT src_id, canonical_id FROM chain
+            WHERE canonical_id NOT IN (SELECT src_id FROM {rt})
+        """,
+        "kg_canonical_map_driver": f"""
             WITH RECURSIVE chain(src_id, canonical_id) AS (
                 SELECT src_id, dst_id FROM {rt}
                 UNION ALL
