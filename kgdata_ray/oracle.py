@@ -137,6 +137,34 @@ def extract_mentions(
     return out
 
 
+def extract_raw_candidates(transcripts: pa.Table) -> list[dict[str, Any]]:
+    """Golden raw triple candidates (pre-linking): every anchored
+    relation-sentence match per turn, whitespace-trimmed exactly like
+    the engine's per-sentence extraction."""
+    import re
+
+    anchored = re.compile(
+        r"^\s*([^.!?]+?)\s+(works at|is located in|uses|was founded in)"
+        r"\s+([^.!?]+?)\s*$"
+    )
+    out: list[dict[str, Any]] = []
+    d = transcripts.to_pydict()
+    for cid, tix, text in zip(d["conv_id"], d["turn_idx"], d["text"]):
+        for part in text.split("."):
+            m = anchored.match(part)
+            if not m:
+                continue
+            out.append(
+                {
+                    "conv_id": cid, "turn_idx": tix,
+                    "subj_raw": m.group(1),
+                    "pred": RELATION_PHRASES[m.group(2)],
+                    "obj_raw": m.group(3),
+                }
+            )
+    return out
+
+
 def extract_unlinkable(
     transcripts: pa.Table, gazetteer: pa.Table
 ) -> list[dict[str, Any]]:

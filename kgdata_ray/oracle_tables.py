@@ -49,7 +49,7 @@ from .synth import (
 ORACLE_BASE = os.environ.get("KGR_ORACLE_DIR", "/tmp/kgr_oracle")
 
 # bump when the set of materialized tables or their schemas change
-ORACLE_TABLES_VERSION = 3
+ORACLE_TABLES_VERSION = 4
 
 
 def oracle_dir(sf: float) -> str:
@@ -126,6 +126,20 @@ def ensure_oracle_tables(sf: float) -> str:
             }
         ),
         out / "mentions.parquet",
+    )
+
+    rawc = oracle.extract_raw_candidates(tt)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r["conv_id"] for r in rawc], pa.string()),
+                "turn_idx": pa.array([r["turn_idx"] for r in rawc], pa.int32()),
+                "subj_raw": pa.array([r["subj_raw"] for r in rawc], pa.string()),
+                "pred": pa.array([r["pred"] for r in rawc], pa.string()),
+                "obj_raw": pa.array([r["obj_raw"] for r in rawc], pa.string()),
+            }
+        ),
+        out / "raw_candidates.parquet",
     )
 
     unlink = oracle.extract_unlinkable(tt, gz)

@@ -728,6 +728,15 @@ def q_kg_prop_connections(sf_dir: str) -> Dataset:
     return property_connections(q_kg_triples(sf_dir), _entity_types_ds(sf_dir))
 
 
+def q_kg_raw_candidates(sf_dir: str) -> Dataset:
+    """The standalone extraction stage (pre-linking), certified against
+    an independent pure-Python anchored-regex extraction."""
+    from ..stages.extract import extract_raw
+
+    cfg, _, _ = _kg_world(sf_dir)
+    return extract_raw(transcripts_dataset(cfg))
+
+
 def q_kg_unlinkable(sf_dir: str) -> Dataset:
     from ..stages.extract import extract_raw
     from ..stages.linking import best_candidate_map, unlinkable_mentions
@@ -800,6 +809,7 @@ def queries() -> dict[str, Callable]:
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_unlinkable": q_kg_unlinkable,
+        "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
         "kg_all_types": q_kg_all_types,
         "kg_property_domains": q_kg_property_domains,
@@ -1129,6 +1139,10 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "kg_mentions_join": f"""
             SELECT conv_id, turn_idx, mention_norm
             FROM read_parquet('{d}/mentions.parquet')
+        """,
+        "kg_raw_candidates": f"""
+            SELECT conv_id, turn_idx, subj_raw, pred, obj_raw
+            FROM read_parquet('{d}/raw_candidates.parquet')
         """,
         "kg_unlinkable": f"""
             SELECT conv_id, turn_idx, subj_raw, pred, obj_raw, error
