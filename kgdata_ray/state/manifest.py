@@ -159,3 +159,75 @@ def run_stage(
         )
     files = [str(Path(out_dir) / f["name"]) for f in manifest["files"]]
     return rd.read_parquet(files), manifest
+
+
+def write_dataset_sharded(
+    ds: Dataset,
+    out_dir: str | Path,
+    *,
+    shard_col: str,
+    num_shards: int,
+    name: str,
+    params: Optional[dict] = None,
+    input_digests: Sequence[str] = (),
+    compression: str = "zstd",
+) -> dict:
+    """Shard-resumable sink (the brief's "one directory per key range"):
+    rows are hash-bucketed on ``shard_col`` into ``num_shards``
+    subdirectories, each written atomically with its OWN manifest — a
+    rerun validates per-shard manifests and rewrites only the shards
+    that are missing or invalid, so a job that died mid-write resumes
+    from the finished shards instead of rewriting everything. (Stage
+    INPUT recompute is the owning stage's concern — `run_stage` memoizes
+    whole stages; this adds partial-OUTPUT resume within the sink.)
+
+    The input is materialized once; each shard write is a cheap
+    re-filter of object-store blocks, not a recompute of the upstream
+    pipeline. Returns a parent manifest listing the shard manifests.
+    """
+    import pandas as pd
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src = ds.materialize()
+
+    shard_params = dict(params or {}, shard_col=shard_col,
+                        num_shards=num_shards)
+    shard_manifests: list[dict] = []
+    written = 0
+    for s in range(num_shards):
+        sdir = out_dir / f"shard={s:05d}"
+        sparams = dict(shard_params, shard=s)
+        if has_complete_data(sdir, params=sparams,
+                             input_digests=input_digests):
+            shard_manifests.append(read_manifest(sdir))
+            continue
+
+        def pick(b: pd.DataFrame, _s=s) -> pd.DataFrame:
+            h = pd.util.hash_array(
+                b[shard_col].to_numpy(), hash_key="0123456789123456"
+            )
+            return b[h % num_shards == _s]
+
+        part = src.map_batches(pick, batch_format="pandas")
+        shard_manifests.append(
+            write_dataset(
+                part, sdir, name=f"{name}/shard={s}", params=sparams,
+                input_digests=input_digests, compression=compression,
+            )
+        )
+        written += 1
+
+    parent = {
+        "name": name,
+        "params": shard_params,
+        "params_hash": _params_hash(shard_params),
+        "inputs": list(input_digests),
+        "shards": [manifest_digest(m) for m in shard_manifests],
+        "files": [],
+        "total_rows": sum(m["total_rows"] for m in shard_manifests),
+        "shards_written": written,
+        "created_at": time.time(),
+    }
+    (out_dir / MANIFEST_NAME).write_text(json.dumps(parent, indent=1))
+    return parent

@@ -99,3 +99,55 @@ def test_checkpointed_pipeline_matches_direct(tmp_path):
         p: p.stat().st_mtime for p in (tmp_path / "wd").rglob("*.parquet")
     }
     assert before == after
+
+
+def test_sharded_sink_resumes_per_shard(tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgdata_ray.state.manifest import MANIFEST_NAME, write_dataset_sharded
+
+    ds = rd.range(1000).map_batches(
+        lambda b: b.rename(columns={"id": "k"}), batch_format="pandas"
+    )
+    out = tmp_path / "sharded"
+    m1 = write_dataset_sharded(
+        ds, out, shard_col="k", num_shards=4, name="t", params={"v": 1}
+    )
+    assert m1["total_rows"] == 1000
+    assert m1["shards_written"] == 4
+    rows = sum(
+        pq.read_metadata(p).num_rows for p in out.glob("shard=*/*.parquet")
+    )
+    assert rows == 1000
+
+    # invalidate ONE shard; a rerun rewrites only that shard
+    bad = out / "shard=00002" / MANIFEST_NAME
+    bad.unlink()
+    m2 = write_dataset_sharded(
+        rd.range(1000).map_batches(
+            lambda b: b.rename(columns={"id": "k"}), batch_format="pandas"
+        ),
+        out, shard_col="k", num_shards=4, name="t", params={"v": 1},
+    )
+    assert m2["shards_written"] == 1
+    assert m2["total_rows"] == 1000
+    # untouched shards keep their original digests (not rewritten)
+    assert [d for i, d in enumerate(m2["shards"]) if i != 2] == [
+        d for i, d in enumerate(m1["shards"]) if i != 2
+    ]
+    rows2 = sum(
+        pq.read_metadata(p).num_rows for p in out.glob("shard=*/*.parquet")
+    )
+    assert rows2 == 1000
+
+    # changed params invalidate everything
+    m3 = write_dataset_sharded(
+        rd.range(1000).map_batches(
+            lambda b: b.rename(columns={"id": "k"}), batch_format="pandas"
+        ),
+        out, shard_col="k", num_shards=4, name="t", params={"v": 2},
+    )
+    assert m3["shards_written"] == 4
