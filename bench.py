@@ -78,13 +78,20 @@ def bench_kg(sf: float) -> dict:
     # consumed with count() so the measurement stays compute+shuffle
     # bound — on this single box the parquet sink's disk bandwidth is
     # shared across every CPU level and would swamp the scaling signal.
-    t0 = time.perf_counter()
-    ds = kg_triples(src, gz, rt, linking="broadcast")
-    ds.write_parquet(str(out_dir))
-    mentions = detect_mentions_ngram(
-        src, gz.column("alias").to_pylist()
-    ).count()
-    sec = time.perf_counter() - t0
+    def one_run() -> tuple[float, int]:
+        if out_dir.exists():
+            shutil.rmtree(out_dir)
+        t0 = time.perf_counter()
+        ds = kg_triples(src, gz, rt, linking="broadcast")
+        ds.write_parquet(str(out_dir))
+        mentions = detect_mentions_ngram(
+            src, gz.column("alias").to_pylist()
+        ).count()
+        return time.perf_counter() - t0, mentions
+
+    # min of 2: the box's run-to-run variance is +-20-30% (virtual disk,
+    # neighbor load); the minimum is the reproducible engine cost
+    sec, mentions = min(one_run(), one_run())
     import pyarrow.parquet as pq
 
     triples = sum(
