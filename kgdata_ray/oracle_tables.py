@@ -66,21 +66,33 @@ def _marker(cfg) -> dict:
     }
 
 
+def _marker_matches(marker: Path, want: dict) -> bool:
+    try:
+        return json.loads(marker.read_text()) == want
+    except (ValueError, OSError):
+        return False
+
+
 def ensure_oracle_tables(sf: float) -> str:
     """Write (once) the oracle parquet tables for scale factor ``sf``;
     returns the directory. Safe to call repeatedly and from multiple
-    queries — it is a no-op when the marker matches."""
+    processes: generation happens in a private temp directory (marker
+    written last, inside it) which is then swapped into place with
+    directory renames — a concurrent reader never sees a torn parquet,
+    and a losing writer discards its build when the winner's marker
+    already matches."""
+    import shutil
+
     cfg = config_for_sf(sf)
-    out = Path(oracle_dir(sf))
-    marker = out / "_ORACLE_MARKER.json"
+    final = Path(oracle_dir(sf))
     want = _marker(cfg)
-    if marker.exists():
-        try:
-            if json.loads(marker.read_text()) == want:
-                return str(out)
-        except (ValueError, OSError):
-            pass
+    if _marker_matches(final / "_ORACLE_MARKER.json", want):
+        return str(final)
+    out = Path(f"{final}.build-{os.getpid()}")
+    if out.exists():
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
+    marker = out / "_ORACLE_MARKER.json"
 
     world = build_world(cfg)
     tt = transcripts_table(cfg)
@@ -158,7 +170,22 @@ def ensure_oracle_tables(sf: float) -> str:
     )
 
     marker.write_text(json.dumps(want))
-    return str(out)
+
+    # Swap the finished build into place. If another process won the
+    # race (its marker already matches), keep theirs and drop ours.
+    if _marker_matches(final / "_ORACLE_MARKER.json", want):
+        shutil.rmtree(out, ignore_errors=True)
+        return str(final)
+    old = Path(f"{final}.old-{os.getpid()}")
+    try:
+        if final.exists():
+            os.replace(final, old)
+        os.replace(out, final)
+    except OSError:
+        # Lost a rename race; the winner's tables are in place.
+        shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return str(final)
 
 
 def type_dag_table(cfg) -> pa.Table:

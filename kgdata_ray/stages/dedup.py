@@ -301,7 +301,17 @@ def _verify_pairs_join(
     )
     ta, tb = f"{text_col}_a", f"{text_col}_b"
 
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
     def verify(b: pd.DataFrame) -> pa.Table:
+        if ta not in b.columns:  # schema-less empty join block
+            return empty
         feats: dict = {}
 
         def feat(t: str) -> np.ndarray:
@@ -623,12 +633,21 @@ def embedding_pairs(
         sims = np.round(ma @ mb.T, 6)
         rows, cols = np.nonzero(sims >= threshold)
         a, b = ia[rows], ib[cols]
-        keep = a < b  # orders pairs and de-dups the symmetric self case
-        a, b = a[keep], b[keep]
+        if same:
+            # Diagonal block: both (i,j) and (j,i) are present; keep the
+            # ordered half (also drops the self-pairs on the diagonal).
+            keep = a < b
+        else:
+            # Off-diagonal block pair: each unordered pair appears exactly
+            # once, but block membership says nothing about id order (ids
+            # need not be monotone across blocks — e.g. after a shuffle),
+            # so canonicalize with min/max instead of dropping a > b.
+            keep = a != b
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
                 "cosine": pa.array(sims[rows[keep], cols[keep]], pa.float64()),
             }
         )

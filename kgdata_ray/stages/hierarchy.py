@@ -295,6 +295,14 @@ def entity_all_types(
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.broadcast import get_broadcast
 
+        if not len(b):  # np.concatenate rejects an empty list of arrays
+            return pd.DataFrame(
+                {
+                    "entity_id": pd.Series([], dtype="object"),
+                    "type": pd.Series([], dtype="object"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
         clo: dict = get_broadcast(closure)
         # per distinct type, the exploded (type-list, dist-list) suffix
         anc_types: dict[str, list] = {}

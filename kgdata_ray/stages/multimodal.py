@@ -228,16 +228,27 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
         return "gif", w, h
     if b[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
+                break
+            # Runs of 0xFF are legal fill bytes before a marker.
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= len(b):
                 break
             marker = b[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):
+                if i + 9 > len(b):
+                    break
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return "jpeg", w, h
-            if marker in (0xD8, 0xD9):
-                i += 2
+            if marker == 0xD9 or marker == 0xDA:
+                break  # EOI / SOS (entropy data follows): no SOF seen
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+                i += 2  # standalone markers carry no length field
                 continue
+            if i + 4 > len(b):
+                break
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return "jpeg", -1, -1

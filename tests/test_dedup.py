@@ -117,6 +117,33 @@ def test_embedding_pairs_vs_bruteforce():
     assert want and got_pairs == want
 
 
+def test_embedding_pairs_multiblock_shuffled_ids():
+    """Regression (round-3 ADVICE): with several cross-product blocks
+    and ids NOT monotone across blocks, off-diagonal block pairs whose
+    first-block id exceeds the second-block id must still be emitted
+    (canonicalized lo/hi), not dropped."""
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    # reverse the ids so block order and id order disagree
+    df = df.iloc[::-1].reset_index(drop=True)
+    got = embedding_pairs(
+        rd.from_pandas(df), threshold=0.4, target_block_rows=16
+    ).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    ids = df["vec_id"].to_numpy()
+    want = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.4
+    }
+    assert want and got_pairs == want
+    assert (got["id_a"] < got["id_b"]).all()
+
+
 def test_token_hashes_vs_scalar_reference():
     """The vectorized token/n-gram hashers equal a naive scalar
     implementation of the same polynomial scheme."""

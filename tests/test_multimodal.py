@@ -76,6 +76,22 @@ def test_parse_image_headers_real():
     # truncated JPEG: recognized container, unparseable dimensions
     assert parse_image_header(b"\xff\xd8\xff\xc0") == ("jpeg", -1, -1)
 
+    # real-world JPEG stream quirks (round-3 ADVICE): 0xFF fill-byte
+    # runs before markers, standalone RST/TEM markers with no length
+    # field, and SOS/EOI terminating the scan
+    import struct
+
+    sof = b"\xff\xc0" + struct.pack(">H", 9) + struct.pack(">BHHB", 8, 768, 1024, 1) + b"\x01\x11\x00"
+    fill = b"\xff\xd8" + b"\xff\xff\xff" + sof[1:] + b"\xff\xd9"
+    assert parse_image_header(fill) == ("jpeg", 1024, 768)
+    rst = b"\xff\xd8" + b"\xff\xd0" + b"\xff\x01" + sof + b"\xff\xd9"
+    assert parse_image_header(rst) == ("jpeg", 1024, 768)
+    # SOS before any SOF: stop (entropy data follows), report unparsed
+    sos = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00" + sof
+    assert parse_image_header(sos) == ("jpeg", -1, -1)
+    # EOI before SOF terminates instead of misreading lengths
+    assert parse_image_header(b"\xff\xd8\xff\xd9" + sof) == ("jpeg", -1, -1)
+
 
 def test_media_headers_roundtrip():
     import ray.data as rd
