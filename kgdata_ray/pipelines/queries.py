@@ -651,13 +651,16 @@ def q_kg_entity_degrees(sf_dir: str) -> Dataset:
 
 
 def q_kg_meta_graph(sf_dir: str) -> Dataset:
-    from ..stages.graph import meta_graph
-    from ..synth import build_world
+    """Schema-level rollup via the JOIN plan (scale path — the
+    entity→type table is entity-sized, so it joins instead of being
+    collected into a broadcast dict; round-2 VERDICT #5). The broadcast
+    variant remains the small-vocabulary fast path, pytest-equal."""
+    from ..stages.graph import meta_graph_join
 
-    cfg, _, _ = _kg_world(sf_dir)
-    w = build_world(cfg)
-    etypes = dict(zip(w.entity_ids, w.etypes))
-    return meta_graph(q_kg_triples(sf_dir), etypes)
+    # 2 partitions: the synthetic type table is small
+    return meta_graph_join(
+        q_kg_triples(sf_dir), _entity_types_ds(sf_dir), num_partitions=2
+    )
 
 
 def q_kg_pagerank(sf_dir: str) -> Dataset:

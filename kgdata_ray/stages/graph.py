@@ -83,6 +83,40 @@ def meta_graph(
     return partial_group_count(typed, ["subj_type", "pred", "obj_type"])
 
 
+def meta_graph_join(
+    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+) -> Dataset:
+    """:func:`meta_graph` without the broadcast dict — the scale plan
+    when the entity→type table is entity-table-sized (reference
+    ``meta_graph.py:20-115`` resolves types via joins too). Two
+    left-outer joins against the ``entity_types`` Dataset resolve
+    subject and object types ('unknown' fill), then the same map-side
+    combined count. The broadcast variant stays as the fast path for
+    vocabulary-sized type maps; pytest asserts both plans equal."""
+    j1 = triples.select_columns(["subj", "pred", "obj"]).join(
+        rename_cols(entity_types, {"etype": "subj_type"}),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("subj",), right_on=("entity_id",),
+    )
+    j2 = j1.join(
+        rename_cols(entity_types, {"entity_id": "o_ent", "etype": "obj_type"}),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("obj",), right_on=("o_ent",),
+    )
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj_type": b["subj_type"].fillna("unknown"),
+                "pred": b["pred"],
+                "obj_type": b["obj_type"].fillna("unknown"),
+            }
+        )
+
+    typed = scrub_empty_blocks(j2.map_batches(fix, batch_format="pandas"))
+    return partial_group_count(typed, ["subj_type", "pred", "obj_type"])
+
+
 def entity_outlinks(triples: Dataset) -> Dataset:
     """(entity_id, outlinks) — sorted unique target list per subject
     (reference ``entity_outlinks``,

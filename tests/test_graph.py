@@ -44,6 +44,26 @@ def test_meta_graph(triples_ds):
     assert got[("org", "p2", "org")] == 1  # b->c
 
 
+def test_meta_graph_join_plan_equals_broadcast(triples_ds):
+    from kgdata_ray.stages.graph import meta_graph_join
+
+    # "d" has no type row -> both plans must roll it up as 'unknown'
+    etypes = {"a": "person", "b": "org", "c": "org"}
+    et_ds = rd.from_items(
+        [{"entity_id": k, "etype": v} for k, v in etypes.items()]
+    )
+    key = lambda r: (r["subj_type"], r["pred"], r["obj_type"])  # noqa: E731
+    broadcast = {
+        key(r): r["n"] for r in meta_graph(triples_ds, etypes).take_all()
+    }
+    joined = {
+        key(r): r["n"]
+        for r in meta_graph_join(triples_ds, et_ds, num_partitions=2).take_all()
+    }
+    assert broadcast == joined
+    assert joined[("unknown", "p2", "person")] == 1  # d->a
+
+
 def _numpy_pagerank(edges, damping=0.85, iters=10):
     nodes = sorted({x for e in edges for x in e})
     idx = {n: i for i, n in enumerate(nodes)}
