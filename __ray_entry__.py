@@ -42,6 +42,8 @@ def _ensure_kg_oracle_tables() -> None:
     /tmp/kgr_oracle (the synthesized world + golden pure-Python-oracle
     outputs). Materialize them for the driver's sf0.01 correctness run;
     idempotent (marker-guarded), driver-side pure Python."""
+    from kgdata_ray.oracle_sketch import ensure_sketch_oracles
     from kgdata_ray.oracle_tables import ensure_oracle_tables
 
     ensure_oracle_tables(0.01)
+    ensure_sketch_oracles("/root/testdata/sf0.01")

@@ -1,0 +1,394 @@
+"""Golden-parquet oracles for the sketch / ANN / media query family.
+
+These queries (MinHash-LSH, SimHash, n-gram-Jaccard and hyperplane-LSH
+pair candidates, rolling fingerprints, IVF kNN, fake media features)
+are not SQL-expressible, so — exactly like the KG family in
+:mod:`kgdata_ray.oracle_tables` — their DuckDB oracle is
+``SELECT * FROM read_parquet(<golden>)`` over outputs materialized here
+by an INDEPENDENT naive implementation of the same published sketch
+specs (single-process numpy/python loops over the parquet inputs; no
+imports from the engine's ``stages/`` modules). The driver then
+certifies Ray-vs-golden equality at sf0.01; pytest does the same at
+sf0.001.
+
+The specs being re-implemented are deterministic by construction
+(seed-derived permutations / hyperplanes, polynomial hash constants),
+so an independent implementation reproduces the exact pair sets — any
+divergence is a real bug in one of the two implementations.
+
+Generation is idempotent and concurrency-safe (build in a temp dir,
+atomically rename; marker written last, inside the build dir).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .oracle_tables import ORACLE_BASE
+
+SKETCH_ORACLE_VERSION = 1
+
+_M32 = np.uint64(0xFFFFFFFF)
+_POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
+_FOLD1M3 = [pow(1000003, j, 1 << 32) for j in range(16)]
+
+
+# --------------------------------------------------------------------------
+# Hash kernels (independent formulations of the engine's published specs)
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Unique 32-bit polynomial hashes of all k-byte shingles (utf-8,
+    right-padded with spaces below k bytes); shifted-slice accumulation
+    rather than the engine's sliding-window matmul."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h += b[j : j + n] * np.uint64(_POW257[j])
+    return np.unique(h & _M32)
+
+
+def token_hash_list(text: str) -> list[int]:
+    """32-bit polynomial hash per ASCII-whitespace token of the
+    lowercased text, in order, duplicates kept (scalar loop — the
+    engine's reduceat kernel is the thing under test)."""
+    out = []
+    for tok in text.lower().encode("utf-8").split():
+        h = 0
+        for i, c in enumerate(tok):
+            h = (h + c * _POW257[i % 4096]) & 0xFFFFFFFF
+        out.append(h)
+    return out
+
+
+def ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Unique 32-bit word n-gram hashes (token hashes folded with the
+    1000003 constants; zero-padded below n tokens)."""
+    th = token_hash_list(text)
+    if len(th) < n:
+        th = th + [0] * (n - len(th))
+    vals = set()
+    for i in range(len(th) - n + 1):
+        h = 0
+        for j in range(n):
+            h += th[i + j] * _FOLD1M3[j]
+        vals.add(h & 0xFFFFFFFF)
+    return np.array(sorted(vals), dtype=np.uint64)
+
+
+def jaccard_sets(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(set(a.tolist()) & set(b.tolist()))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def _bucket_pairs(buckets: dict, max_bucket: int) -> set[tuple[int, int]]:
+    """All (lo, hi) id pairs sharing a bucket of size in [2, max_bucket]
+    (the engine's documented degenerate-collision cap)."""
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if not (2 <= len(ids) <= max_bucket):
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def _pair_table(rows: list[tuple], names: list[str], types: list) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.table(
+        {n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)}
+    )
+
+
+# --------------------------------------------------------------------------
+# Golden computations (one naive function per query)
+
+
+def golden_minhash_pairs(ids, texts, *, num_perm=64, band_size=4,
+                         shingle_k=5, threshold=0.6, seed=7,
+                         max_bucket=200) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    fold = np.array(
+        [1099511628211**j % (1 << 61) for j in range(band_size)],
+        dtype=np.uint64,
+    )
+    num_bands = num_perm // band_size
+    shingles = {i: shingle_hashes(t, shingle_k) for i, t in zip(ids, texts)}
+    buckets: dict = {}
+    for i in ids:
+        h = shingles[i]
+        mins = np.empty(num_perm, dtype=np.uint64)
+        for p in range(num_perm):
+            mins[p] = (a[p] * h + b[p]).min()  # uint64 wraparound
+        for band in range(num_bands):
+            seg = mins[band * band_size : (band + 1) * band_size]
+            key = np.int64((seg * fold).sum().astype(np.int64))
+            buckets.setdefault((band, int(key)), []).append(int(i))
+    rows = []
+    for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        j = round(jaccard_sets(shingles[lo], shingles[hi]), 6)
+        if j >= threshold:
+            rows.append((lo, hi, j))
+    return _pair_table(rows, ["id_a", "id_b", "jaccard"],
+                       [pa.int64(), pa.int64(), pa.float64()])
+
+
+def simhash64(text: str) -> int:
+    toks = ngram_hashes(text, 1)
+    if toks.size == 0:
+        return 0
+    acc = [0] * 64
+    m64 = (1 << 64) - 1
+    for t in toks.tolist():
+        h = ((t * 0x9E3779B97F4A7C15) ^ (t << 17)) & m64
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    return sum(1 << bit for bit in range(64) if acc[bit] >= 0)
+
+
+def golden_simhash_pairs(ids, texts, *, max_hamming=3,
+                         max_bucket=200) -> pa.Table:
+    sh = {int(i): simhash64(t) for i, t in zip(ids, texts)}
+    buckets: dict = {}
+    for i, h in sh.items():
+        for band in range(4):
+            buckets.setdefault((band, (h >> (16 * band)) & 0xFFFF), []).append(i)
+    rows = []
+    for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        d = bin(sh[lo] ^ sh[hi]).count("1")
+        if d <= max_hamming:
+            rows.append((lo, hi, d))
+    return _pair_table(rows, ["id_a", "id_b", "hamming"],
+                       [pa.int64(), pa.int64(), pa.int64()])
+
+
+def golden_ngram_jaccard_pairs(ids, texts, *, ngram_n=3, threshold=0.5,
+                               num_blocks=8, max_bucket=200) -> pa.Table:
+    grams = {int(i): ngram_hashes(t, ngram_n) for i, t in zip(ids, texts)}
+    buckets: dict = {}
+    for i, g in grams.items():
+        for key in g[:num_blocks].tolist():  # smallest (sorted unique)
+            buckets.setdefault(key, []).append(i)
+    rows = []
+    for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        j = round(jaccard_sets(grams[lo], grams[hi]), 6)
+        if j >= threshold:
+            rows.append((lo, hi, j))
+    return _pair_table(rows, ["id_a", "id_b", "jaccard"],
+                       [pa.int64(), pa.int64(), pa.float64()])
+
+
+def golden_embedding_lsh_pairs(vec_ids, vecs, *, threshold=0.4,
+                               num_tables=16, bits=4, seed=23,
+                               max_bucket=2000) -> pa.Table:
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+    dim = mat.shape[1]
+    planes = np.random.default_rng(seed).standard_normal(
+        (num_tables, dim, bits)
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    buckets: dict = {}
+    for r, i in enumerate(vec_ids):
+        for t in range(num_tables):
+            sig = int(((mat[r] @ planes[t]) > 0) @ weights)
+            buckets.setdefault((t, sig), []).append(int(i))
+    by_id = {int(i): r for r, i in enumerate(vec_ids)}
+    rows = []
+    for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        va, vb = mat[by_id[lo]], mat[by_id[hi]]
+        na = np.linalg.norm(va) or 1.0
+        nb = np.linalg.norm(vb) or 1.0
+        cos = round(float(va @ vb) / (na * nb), 6)
+        if cos >= threshold:
+            rows.append((lo, hi))
+    return _pair_table(rows, ["id_a", "id_b"], [pa.int64(), pa.int64()])
+
+
+def golden_rolling_fp(ids, texts, *, window=64) -> pa.Table:
+    fps = []
+    for t in texts:
+        h = shingle_hashes(t, min(window, max(1, len(t))))
+        fps.append(int(h.min()) if h.size else 0)
+    return pa.table(
+        {"doc_id": pa.array([int(i) for i in ids], pa.int64()),
+         "rolling_fp": pa.array(fps, pa.int64())}
+    )
+
+
+def golden_knn_ivf(vec_ids, vecs, *, query_ids=range(8), k=5,
+                   num_centroids=8, sample_size=2048, iters=5, seed=13,
+                   nprobe=4) -> pa.Table:
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    ids = np.asarray([int(i) for i in vec_ids], dtype=np.int64)
+    mat = norm(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
+
+    # centroids: seeded mini-KMeans on the first sample_size rows
+    sample = mat[:sample_size]
+    rng = np.random.default_rng(seed)
+    C = min(num_centroids, len(sample))
+    cent = sample[rng.choice(len(sample), size=C, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(C):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+
+    q_ids = np.asarray(sorted(set(int(q) for q in query_ids) & set(ids.tolist())),
+                       dtype=np.int64)
+    pos = {int(i): r for r, i in enumerate(ids)}
+    q_mat = mat[[pos[int(q)] for q in q_ids]]
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probed = set(probe.ravel().tolist())
+    corpus_assign = (mat @ cent.T).argmax(axis=1)
+    keep = np.isin(corpus_assign, list(probed))
+    c_ids, c_mat = ids[keep], mat[keep]
+
+    sims = np.round(q_mat @ c_mat.T, 6)
+    rows = []
+    for qi, q in enumerate(q_ids):
+        cands = [(float(sims[qi, ci]), int(c)) for ci, c in enumerate(c_ids)
+                 if int(c) != int(q)]
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (_cos, c) in enumerate(cands[:k], start=1):
+            rows.append((int(q), c, rank))
+    return _pair_table(rows, ["query_id", "neighbor_id", "rank"],
+                       [pa.int64(), pa.int64(), pa.int64()])
+
+
+def golden_media_features(ids, texts, *, limit=128, dim=8) -> pa.Table:
+    rows = []
+    for i, t in list(zip(ids, texts))[:limit]:
+        payload = t.encode("utf-8")
+        if not payload:
+            feats = [0.0] * dim
+        else:
+            chunks = np.array_split(np.frombuffer(payload, dtype=np.uint8), dim)
+            feats = [round(float(c.mean()), 4) if len(c) else 0.0
+                     for c in chunks]
+        rows.append((int(i), "image", hashlib.sha1(payload).hexdigest(),
+                     *feats))
+    names = ["item_id", "kind", "digest"] + [f"feat_{j}" for j in range(dim)]
+    types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)
+
+
+def golden_pagerank(edges: list[tuple[str, str]], *, damping=0.85,
+                    iters=5) -> pa.Table:
+    """Dense power iteration over the golden triple edges (multi-edges
+    kept; dangling mass redistributed uniformly so ranks sum to 1 —
+    the engine's documented graph-tool-compatible semantics). Ranks
+    rounded to 6 dp; the engine query rounds identically, so the only
+    tolerated difference is distributed-float summation order (~1e-15,
+    invisible at 6 dp)."""
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _d in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = max(0.0, 1.0 - contrib.sum())
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return pa.table(
+        {"node_id": pa.array(nodes, pa.string()),
+         "rank": pa.array(np.round(r, 6), pa.float64())}
+    )
+
+
+# --------------------------------------------------------------------------
+# Materialization
+
+
+def sketch_oracle_dir(sf_dir: str) -> str:
+    return f"{ORACLE_BASE}/sketch_{Path(sf_dir).name}"
+
+
+def _marker_for(sf_dir: str) -> dict:
+    return {"sketch_oracle_version": SKETCH_ORACLE_VERSION, "sf_dir": sf_dir}
+
+
+def ensure_sketch_oracles(sf_dir: str) -> str:
+    """Materialize (once) the golden sketch-family outputs for the
+    documents/embeddings tables under ``sf_dir``; returns the directory.
+    Idempotent and safe under concurrent callers (temp-dir build +
+    atomic rename, marker written last)."""
+    final = Path(sketch_oracle_dir(sf_dir))
+    want = _marker_for(sf_dir)
+    marker_path = final / "_SKETCH_MARKER.json"
+    if _matches(marker_path, want):
+        return str(final)
+
+    out = Path(f"{final}.build-{os.getpid()}")
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vec_ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+
+    pq.write_table(golden_minhash_pairs(ids, texts),
+                   out / "minhash_pairs.parquet")
+    pq.write_table(golden_simhash_pairs(ids, texts),
+                   out / "simhash_pairs.parquet")
+    pq.write_table(golden_ngram_jaccard_pairs(ids, texts),
+                   out / "ngram_jaccard_pairs.parquet")
+    pq.write_table(golden_embedding_lsh_pairs(vec_ids, vecs),
+                   out / "embedding_lsh_pairs.parquet")
+    pq.write_table(golden_rolling_fp(ids, texts), out / "rolling_fp.parquet")
+    pq.write_table(golden_knn_ivf(vec_ids, vecs), out / "knn_ivf.parquet")
+    pq.write_table(golden_media_features(ids, texts),
+                   out / "media_features.parquet")
+    (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
+
+    if _matches(marker_path, want):  # another process won the race
+        shutil.rmtree(out, ignore_errors=True)
+        return str(final)
+    old = Path(f"{final}.old-{os.getpid()}")
+    try:
+        if final.exists():
+            os.replace(final, old)
+        os.replace(out, final)
+    except OSError:
+        shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return str(final)
+
+
+def _matches(marker: Path, want: dict) -> bool:
+    try:
+        return json.loads(marker.read_text()) == want
+    except (ValueError, OSError):
+        return False

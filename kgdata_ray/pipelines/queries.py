@@ -473,8 +473,30 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_features(sf_dir: str) -> Dataset:
+    """Fake-decode features, flattened to scalar columns
+    (item_id, kind, digest, feat_0..feat_7) so the driver can
+    value-hash them against the golden parquet oracle — list<float32>
+    columns don't hash stably across engines. The round-trip through
+    float32 is undone exactly by re-rounding to 4 dp (byte means are
+    <= 255, well inside float32's 4-dp fidelity)."""
     media = media_from_documents(_t(sf_dir, "documents").limit(128))
-    return decode_features(media, engine="fake")
+    feats = decode_features(media, engine="fake")
+
+    def flatten(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {
+            "item_id": t["item_id"],
+            "kind": t["kind"],
+            "digest": t["digest"],
+        }
+        lists = t["feat"].to_pylist()
+        mat = np.asarray(lists, dtype=np.float64).round(4)
+        for j in range(mat.shape[1] if len(lists) else 8):
+            cols[f"feat_{j}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_media_headers(sf_dir: str) -> Dataset:
@@ -664,9 +686,21 @@ def q_kg_meta_graph(sf_dir: str) -> Dataset:
 
 
 def q_kg_pagerank(sf_dir: str) -> Dataset:
+    """Distributed 5-iteration PageRank over the triples. Ranks are
+    rounded to 6 dp at the certifiable boundary: the golden oracle is
+    an independent dense numpy power iteration with the same dangling
+    semantics; the two runs differ only by float summation order
+    (~1e-15), which 6-dp rounding erases."""
     from ..stages.graph import pagerank
 
-    return pagerank(q_kg_triples(sf_dir), iters=5)
+    ranks = pagerank(q_kg_triples(sf_dir), iters=5)
+
+    def rounded(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node_id": b["node_id"], "rank": b["rank"].round(6)}
+        )
+
+    return ranks.map_batches(rounded, batch_format="pandas")
 
 
 def q_kg_pred_counts(sf_dir: str) -> Dataset:
@@ -1023,6 +1057,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_kg_oracle_sql(),
+        **_sketch_oracle_sql(),
+    }
+
+
+def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Golden-parquet oracles for the sketch/ANN/media family: each
+    query's DuckDB oracle simply reads the output of the independent
+    naive implementation in :mod:`kgdata_ray.oracle_sketch` (the exact
+    pattern the KG family uses for its non-SQL-expressible outputs).
+    The driver runs at sf0.01, so paths pin that scale; tests pin
+    sf0.001 through the same helper."""
+    from ..oracle_sketch import sketch_oracle_dir
+    from ..oracle_tables import oracle_dir
+
+    d = sketch_oracle_dir(sf_dir)
+    feat_cols = ", ".join(f"feat_{j}" for j in range(8))
+    return {
+        "minhash_pairs": f"""
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('{d}/minhash_pairs.parquet')
+        """,
+        "simhash_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{d}/simhash_pairs.parquet')
+        """,
+        "ngram_jaccard_pairs": f"""
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('{d}/ngram_jaccard_pairs.parquet')
+        """,
+        "embedding_neardup_lsh": f"""
+            SELECT id_a, id_b
+            FROM read_parquet('{d}/embedding_lsh_pairs.parquet')
+        """,
+        "rolling_fingerprints": f"""
+            SELECT doc_id, rolling_fp
+            FROM read_parquet('{d}/rolling_fp.parquet')
+        """,
+        "knn_ivf": f"""
+            SELECT query_id, neighbor_id, rank
+            FROM read_parquet('{d}/knn_ivf.parquet')
+        """,
+        "media_features": f"""
+            SELECT item_id, kind, digest, {feat_cols}
+            FROM read_parquet('{d}/media_features.parquet')
+        """,
+        "kg_pagerank": f"""
+            SELECT node_id, rank
+            FROM read_parquet('{oracle_dir(0.01)}/pagerank.parquet')
+        """,
     }
 
 
