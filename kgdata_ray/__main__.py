@@ -154,6 +154,73 @@ def cmd_verify_triples(args) -> None:
     ray.shutdown()
 
 
+def cmd_check_oracles(args) -> None:
+    """Pre-flight mirror of the driver's CORRECTNESS gate: run every
+    registered query at --sf-dir, run its DuckDB oracle SQL, compare
+    row count / schema dtypes / values (column-name-sorted, row-sorted
+    — the driver's hash is equivalent), print one JSON summary line per
+    query plus a final tally. Queries without oracle SQL are reported
+    as rows-only."""
+    import duckdb
+    import pandas as pd
+
+    ray = _ray_session(args.num_cpus)
+    from .oracle_sketch import ensure_sketch_oracles
+    from .oracle_tables import ensure_oracle_tables
+    from .pipelines.queries import oracle_sql, queries
+    from .synth import sf_from_dir
+
+    ensure_oracle_tables(sf_from_dir(args.sf_dir))
+    ensure_sketch_oracles(args.sf_dir)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.sf_dir}/{t}.parquet')")
+    reg, sql = queries(), oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    n_pass = n_fail = n_rows_only = 0
+    for name in sorted(reg):
+        if only and name not in only:
+            continue
+        try:
+            res = reg[name](args.sf_dir)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            if name not in sql:
+                n_rows_only += 1
+                print(json.dumps({"q": name, "rows": len(df),
+                                  "status": "rows_only"}))
+                continue
+            ora = con.execute(sql[name]).df()
+            cols = sorted(df.columns)
+            a = df[cols].sort_values(cols).reset_index(drop=True)
+            b = ora[sorted(ora.columns)][cols].sort_values(cols)
+            b = b.reset_index(drop=True)
+            dtypes_ok = list(a.dtypes.astype(str)) == list(b.dtypes.astype(str))
+            try:
+                pd.testing.assert_frame_equal(a, b)
+                values_ok = True
+            except AssertionError:
+                values_ok = False
+            ok = len(a) == len(b) and dtypes_ok and values_ok
+            n_pass += ok
+            n_fail += not ok
+            print(json.dumps({
+                "q": name, "rows": len(a), "oracle_rows": len(b),
+                "dtypes": dtypes_ok, "values": values_ok,
+                "status": "pass" if ok else "FAIL",
+            }))
+        except Exception as e:  # noqa: BLE001 — per-query isolation
+            n_fail += 1
+            print(json.dumps({"q": name, "status": "ERROR",
+                              "err": repr(e)[:200]}))
+    print(json.dumps({"pass": n_pass, "fail": n_fail,
+                      "rows_only": n_rows_only}))
+    ray.shutdown()
+    if n_fail:
+        sys.exit(1)
+
+
 def cmd_bench(args) -> None:
     import subprocess
     from pathlib import Path
@@ -210,6 +277,13 @@ def main(argv=None) -> None:
     vt.add_argument("path")
     vt.add_argument("--num-cpus", type=int)
     vt.set_defaults(fn=cmd_verify_triples)
+
+    co = sub.add_parser("check-oracles",
+                        help="run every query vs its DuckDB oracle")
+    co.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    co.add_argument("--only", help="comma-separated query names")
+    co.add_argument("--num-cpus", type=int)
+    co.set_defaults(fn=cmd_check_oracles)
 
     be = sub.add_parser("bench", help="run bench.py")
     be.add_argument("--scaling", action="store_true")

@@ -40,6 +40,9 @@ class _DictShard:
     def get_many(self, keys: list) -> list:
         return [self.d.get(k) for k in keys]
 
+    def put_many(self, items: dict) -> None:
+        self.d.update(items)
+
     def size(self) -> int:
         return len(self.d)
 
@@ -52,23 +55,37 @@ class ShardedDict:
     out per-shard ``get_many`` calls.
     """
 
-    def __init__(self, shards: list, num_shards: int):
+    def __init__(self, shards: list, num_shards: int, *, on_miss=None):
         self.shards = shards
         self.num_shards = num_shards
+        self.on_miss = on_miss
 
     @classmethod
-    def from_dict(cls, d: dict, *, num_shards: int = 8) -> "ShardedDict":
+    def from_dict(cls, d: dict, *, num_shards: int = 8,
+                  on_miss=None) -> "ShardedDict":
+        """``on_miss``: optional ``Callable[[list[str]], dict]`` called
+        once per lookup batch with the keys no shard holds; returned
+        values fill the result and are written back to the owning
+        shards (read-through cache — reference ``WDProxyDB`` falls back
+        to the live API on miss and caches the reply,
+        ``kgdata/wikidata/db.py:60-108``). Keys the handler omits stay
+        None."""
         parts: list[dict] = [{} for _ in range(num_shards)]
         ks = list(d.keys())
         assign = _shard_of(ks, num_shards)
         for k, s in zip(ks, assign):
             parts[s][k] = d[k]
         actors = [_DictShard.remote(p) for p in parts]
-        return cls(actors, num_shards)
+        return cls(actors, num_shards, on_miss=on_miss)
 
-    def lookup(self, keys: Sequence[str]) -> list:
+    def lookup(self, keys: Sequence[str], *, on_miss=None,
+               cache_misses: bool = True) -> list:
         """Values aligned with ``keys`` (None for misses); one RPC per
-        touched shard, issued concurrently."""
+        touched shard, issued concurrently. A miss handler (per-call
+        ``on_miss`` or the instance default) is invoked once with the
+        distinct missing keys; with ``cache_misses`` its replies are
+        written back to the owning shards so repeat lookups stay
+        local."""
         keys = list(keys)
         if not keys:
             return []
@@ -84,6 +101,24 @@ class ShardedDict:
             vals = ray.get(fut)
             for i, v in zip(idx, vals):
                 out[i] = v
+
+        handler = on_miss or self.on_miss
+        if handler is not None:
+            missing = sorted({keys[i] for i, v in enumerate(out) if v is None})
+            if missing:
+                fetched = handler(missing) or {}
+                for i, k in enumerate(keys):
+                    if out[i] is None and k in fetched:
+                        out[i] = fetched[k]
+                if cache_misses and fetched:
+                    fk = list(fetched.keys())
+                    fa = _shard_of(fk, self.num_shards)
+                    writes = []
+                    for s in set(fa.tolist()):
+                        part = {k: fetched[k]
+                                for k, ks_ in zip(fk, fa) if ks_ == s}
+                        writes.append(self.shards[s].put_many.remote(part))
+                    ray.get(writes)
         return out
 
     def total_size(self) -> int:

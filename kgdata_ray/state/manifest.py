@@ -82,6 +82,30 @@ def has_complete_data(
     return validate_manifest(out_dir, m)
 
 
+def estimate_row_bytes(
+    ds: Dataset, *, sample_rows: int = 1024, compression: str = "zstd"
+) -> float:
+    """Compressed-parquet bytes per row, estimated from a sampled
+    prefix written to an in-memory buffer with the target codec
+    (reference ``auto_coalesce`` samples serialized record bytes,
+    ``kgdata/spark/extended_rdd.py:192-210``). Rows are a poor proxy
+    for bytes on wide binary/media columns — this measures actual
+    encoded size."""
+    import io
+
+    import pyarrow as pa
+
+    sample = ds.limit(sample_rows).to_pandas()
+    if not len(sample):
+        return 1.0
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pandas(sample, preserve_index=False), buf,
+        compression=compression,
+    )
+    return max(1.0, buf.tell() / len(sample))
+
+
 def write_dataset(
     ds: Dataset,
     out_dir: str | Path,
@@ -90,6 +114,7 @@ def write_dataset(
     params: Optional[dict] = None,
     input_digests: Sequence[str] = (),
     min_rows_per_file: Optional[int] = None,
+    target_file_bytes: Optional[int] = None,
     compression: str = "zstd",
 ) -> dict:
     """``write_parquet`` into a temp dir + manifest + atomic rename.
@@ -99,12 +124,21 @@ def write_dataset(
     stage is all-or-nothing. Default codec zstd, mirroring the
     reference's output compression
     (``kgdata/wikidata/datasets/entities.py:145``).
+
+    ``target_file_bytes`` derives ``min_rows_per_file`` from sampled
+    encoded row bytes (see :func:`estimate_row_bytes`) so output files
+    land near the target size whether rows are narrow text or wide
+    binary payloads. Sampling executes a small prefix of the pipeline
+    once before the write.
     """
     out_dir = Path(out_dir)
     tmp = out_dir.parent / f".{out_dir.name}.tmp-{uuid.uuid4().hex[:8]}"
     tmp.mkdir(parents=True, exist_ok=True)
     try:
         kwargs: dict[str, Any] = {"compression": compression}
+        if min_rows_per_file is None and target_file_bytes is not None:
+            row_bytes = estimate_row_bytes(ds, compression=compression)
+            min_rows_per_file = max(1, int(target_file_bytes / row_bytes))
         if min_rows_per_file is not None:
             kwargs["min_rows_per_file"] = min_rows_per_file
         ds.write_parquet(str(tmp), **kwargs)

@@ -151,3 +151,35 @@ def test_sharded_sink_resumes_per_shard(tmp_path):
         out, shard_col="k", num_shards=4, name="t", params={"v": 2},
     )
     assert m3["shards_written"] == 4
+
+
+def test_byte_targeted_file_sizing(tmp_path):
+    # Wide-row media-like table: ~1 KiB incompressible payload per row,
+    # fragmented into many small blocks. target_file_bytes must coalesce
+    # parts to ~target size (rows-based sizing would not know bytes).
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "item_id": np.arange(2000, dtype=np.int64),
+            "payload": [rng.bytes(1024) for _ in range(2000)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(32)
+    target = 256 * 1024
+
+    out = tmp_path / "sized"
+    m = write_dataset(ds, out, name="sized", target_file_bytes=target)
+    sizes = sorted(f["bytes"] for f in m["files"])
+    assert m["total_rows"] == 2000
+    assert len(sizes) <= 12  # ~2MB/256KB = 8 target files, not 32
+    # all files except a possible remainder land in-band around target
+    for s in sizes[1:]:
+        assert 0.5 * target <= s <= 3 * target, sizes
+
+    # without a byte target the 32 fragments write ~32 small files
+    out2 = tmp_path / "unsized"
+    m2 = write_dataset(ds, out2, name="unsized")
+    assert len(m2["files"]) > len(m["files"])

@@ -33,6 +33,33 @@ def test_sharded_dict_lookup():
     assert list(got["v"]) == [i * 10 for i in range(0, 50, 7)]
 
 
+def test_sharded_dict_miss_handler_read_through():
+    calls = []
+
+    def fallback(missing):
+        calls.append(list(missing))
+        return {k: f"fetched:{k}" for k in missing if k != "gone"}
+
+    sd = ShardedDict.from_dict({"a": 1, "b": 2}, num_shards=2,
+                               on_miss=fallback)
+    got = sd.lookup(["a", "x", "y", "gone", "b", "x"])
+    assert got == [1, "fetched:x", "fetched:y", None, 2, "fetched:x"]
+    # handler called once with the DISTINCT missing keys
+    assert calls == [["gone", "x", "y"]]
+
+    # read-through cache: fetched keys now live in the shards, so the
+    # next lookup never reaches the handler ("gone" misses again)
+    assert sd.lookup(["x", "y", "gone"]) == ["fetched:x", "fetched:y", None]
+    assert calls == [["gone", "x", "y"], ["gone"]]
+    assert sd.total_size() == 4
+
+    # cache_misses=False leaves the shards untouched
+    sd2 = ShardedDict.from_dict({}, num_shards=2)
+    assert sd2.lookup(["q"], on_miss=lambda m: {"q": 7},
+                      cache_misses=False) == [7]
+    assert sd2.total_size() == 0
+
+
 def test_read_ndjson_with_filters(tmp_path):
     p = tmp_path / "part-0.json"
     rows = [{"id": i, "kind": "a" if i % 2 else "b"} for i in range(10)]
@@ -96,7 +123,10 @@ def test_cli_list_queries():
         capture_output=True, text=True, cwd="/root/repo", check=True,
     ).stdout
     assert "pricing_summary" in out and "sql-checked" in out
-    assert "minhash_pairs" in out and "rows-only" in out
+    # round 3: every registry query is oracle-backed (the sketch family
+    # reads golden parquet) — no rows-only entries remain
+    assert "minhash_pairs" in out
+    assert "rows-only" not in out
 
 
 def test_write_single_text_file(tmp_path):
