@@ -13,6 +13,7 @@ Contract rules honored here (see ``__ray_entry__``):
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable
 
 import numpy as np
@@ -666,6 +667,71 @@ def q_propquery_filter(sf_dir: str) -> Dataset:
     return prop_filter(prop_filter(docs, "lang = en"), "the in text")
 
 
+def _ensure_nation_sql_dump(sf_dir: str) -> str:
+    """Deterministic MySQL-dump stand-in for the nation table (the
+    reference ingests page/redirect SQL dumps; this sandbox has none,
+    so the dump is synthesized from the parquet and the oracle
+    recomputes the same content in SQL — a round-trip certification of
+    the parser, the media_headers pattern). The synthetic comment
+    column exercises quotes, backslashes, commas, parens and NULLs."""
+    import os
+    import pyarrow.parquet as pqt
+
+    out_dir = Path(f"/tmp/kgr_sqldump_{Path(sf_dir).name}")
+    path = out_dir / "nation.sql"
+    if path.exists():
+        return str(path)
+    rows = pqt.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    lines = ["-- MySQL dump stand-in (synthesized)",
+             "CREATE TABLE `nation` (noise to skip);"]
+    for i in range(0, len(rows), 7):
+        vals = []
+        for r in rows[i : i + 7]:
+            k = r["n_nationkey"]
+            c = "NULL" if k % 3 == 0 else esc(f"it's #{k} (a\\b),")
+            vals.append(
+                f"({k},{esc(r['n_name'])},{r['n_regionkey']},{c})"
+            )
+        lines.append("INSERT INTO `nation` VALUES " + ",".join(vals) + ";")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp = out_dir / f".nation.sql.tmp-{os.getpid()}"
+    tmp.write_text("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return str(path)
+
+
+def q_sql_values_roundtrip(sf_dir: str) -> Dataset:
+    """SQL-dump ingestion (reference ``parse_sql_values``,
+    ``kgdata/wikidata/datasets/page_ids.py:74-106``): synthesize a
+    MySQL dump of nation, Ray-read it back through the line parser,
+    cast to the table's dtypes. Oracle = the same rows straight from
+    the parquet view."""
+    from ..sources.textline import read_sql_dump
+
+    path = _ensure_nation_sql_dump(sf_dir)
+    ds = read_sql_dump(
+        path, ["n_nationkey", "n_name", "n_regionkey", "n_comment"],
+        table="nation",
+    )
+
+    def cast(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "n_nationkey": b["n_nationkey"].astype("int32"),
+                "n_name": b["n_name"],
+                "n_regionkey": b["n_regionkey"].astype("int32"),
+                "n_comment": b["n_comment"],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(cast, batch_format="pandas")
+
+
 def q_kg_entity_degrees(sf_dir: str) -> Dataset:
     from ..stages.graph import entity_degrees
 
@@ -839,6 +905,7 @@ def queries() -> dict[str, Callable]:
         "kg_canonical_map": q_kg_canonical_map,
         "kg_canonical_map_driver": q_kg_canonical_map_driver,
         "propquery_filter": q_propquery_filter,
+        "sql_values_roundtrip": q_sql_values_roundtrip,
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -1050,6 +1117,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' AND text LIKE '%the%'
         """,
         "token_counts": _token_counts_sql(),
+        "sql_values_roundtrip": r"""
+            SELECT n_nationkey, n_name, n_regionkey,
+                   CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                        ELSE 'it''s #' || n_nationkey || ' (a\b),' END
+                       AS n_comment
+            FROM nation
+        """,
         "media_headers": """
             SELECT doc_id AS item_id, 'png' AS format,
                    CAST(16 + doc_id % 512 AS INTEGER) AS width,

@@ -82,6 +82,106 @@ def read_tsv(
     return read_text_lines(paths, deserialize=deser, prefilter=prefilter)
 
 
+# MySQL-dump backslash escapes (the reference parses page/redirect SQL
+# dumps with a csv reader configured for this dialect,
+# kgdata/wikidata/datasets/page_ids.py:74-106)
+_SQL_UNESCAPE = {"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+                 "Z": "\x1a", "b": "\b"}
+
+
+def parse_sql_values(line: str) -> list[list[Optional[str]]]:
+    """Rows from one MySQL-dump ``INSERT INTO `t` VALUES (...),(...);``
+    line: a list of column lists, values as strings with quotes/escapes
+    resolved. Bare ``NULL`` (and empty bare values) become ``None`` —
+    a typed null, where the reference substitutes ``chr(0)``. A
+    character-level state machine, not the reference's csv-reader
+    recipe: single-quoted strings honor both backslash escapes and
+    doubled quotes, and commas/parens inside strings never split."""
+    i = line.find(" VALUES ")
+    if i < 0:
+        return []
+    s = line[i + 8 :]
+    n = len(s)
+    rows: list[list[Optional[str]]] = []
+    j = 0
+    while j < n:
+        if s[j] != "(":
+            j += 1
+            continue
+        j += 1
+        row: list[Optional[str]] = []
+        buf: list[str] = []
+        was_quoted = False
+        while j < n:
+            c = s[j]
+            if c == "'":
+                was_quoted = True
+                j += 1
+                while j < n:
+                    c = s[j]
+                    if c == "\\" and j + 1 < n:
+                        nxt = s[j + 1]
+                        buf.append(_SQL_UNESCAPE.get(nxt, nxt))
+                        j += 2
+                    elif c == "'":
+                        if j + 1 < n and s[j + 1] == "'":
+                            buf.append("'")  # doubled-quote escape
+                            j += 2
+                        else:
+                            j += 1
+                            break
+                    else:
+                        buf.append(c)
+                        j += 1
+            elif c in ",)":
+                v = "".join(buf)
+                row.append(v if was_quoted
+                           else (None if v in ("", "NULL") else v))
+                buf = []
+                was_quoted = False
+                j += 1
+                if c == ")":
+                    rows.append(row)
+                    break
+            else:
+                buf.append(c)
+                j += 1
+    return rows
+
+
+def read_sql_dump(
+    paths: Union[str, list[str]],
+    columns: list[str],
+    *,
+    table: Optional[str] = None,
+) -> Dataset:
+    """MySQL dump file(s) -> Dataset with named string columns (nulls
+    typed). The reference ingests page-id / redirect dumps this way
+    (``page_dump().flatMap(parse_sql_values)``, page_ids.py:41); here
+    the INSERT prefilter runs before parsing and each line's tuples are
+    emitted batch-at-a-time. Rows whose arity does not match
+    ``columns`` are dropped (the dumps carry other statements)."""
+    needle = f"INSERT INTO `{table}`" if table else "INSERT INTO "
+    ds = rd.read_text(paths)
+
+    def parse(b: pd.DataFrame) -> pa.Table:
+        cols: list[list[Optional[str]]] = [[] for _ in columns]
+        for line in b["text"]:
+            if needle not in line:
+                continue
+            for row in parse_sql_values(line):
+                if len(row) != len(columns):
+                    continue
+                for c, v in zip(cols, row):
+                    c.append(v)
+        return pa.table(
+            {name: pa.array(vals, pa.string())
+             for name, vals in zip(columns, cols)}
+        )
+
+    return ds.map_batches(parse, batch_format="pandas")
+
+
 def write_ndjson(ds: Dataset, out_dir: str) -> None:
     """Dataset -> ndjson part files (interop back to the reference's
     on-disk format)."""

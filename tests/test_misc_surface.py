@@ -73,6 +73,58 @@ def test_read_ndjson_with_filters(tmp_path):
     assert got == [5, 7, 9]
 
 
+def test_parse_sql_values():
+    from kgdata_ray.sources.textline import parse_sql_values
+
+    line = (
+        "INSERT INTO `page` VALUES "
+        "(1,'plain',NULL),"
+        "(2,'it\\'s, a (tricky) one','x\\\\y'),"
+        "(3,'doubled ''quote''','tab\\there'),"
+        "(4,'',12.5);"
+    )
+    assert parse_sql_values(line) == [
+        ["1", "plain", None],
+        ["2", "it's, a (tricky) one", "x\\y"],
+        ["3", "doubled 'quote'", "tab\there"],
+        ["4", "", "12.5"],  # quoted empty string stays a string
+    ]
+    assert parse_sql_values("CREATE TABLE `page` (x int);") == []
+    assert parse_sql_values("-- comment line") == []
+
+
+def test_read_sql_dump_roundtrip(tmp_path):
+    from kgdata_ray.sources.textline import read_sql_dump
+
+    p = tmp_path / "dump.sql"
+    p.write_text(
+        "-- header\n"
+        "CREATE TABLE `t` (noise);\n"
+        "INSERT INTO `t` VALUES (1,'a'),(2,NULL);\n"
+        "INSERT INTO `other` VALUES (9,'skipme');\n"
+        "INSERT INTO `t` VALUES (3,'c,d');\n"
+    )
+    got = (
+        read_sql_dump(str(p), ["k", "v"], table="t")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == ["1", "2", "3"]
+    assert list(got["v"]) == ["a", None, "c,d"]
+
+
+def test_sql_values_roundtrip_query():
+    from kgdata_ray.pipelines.queries import q_sql_values_roundtrip
+
+    df = q_sql_values_roundtrip("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 25
+    assert str(df["n_nationkey"].dtype) == "int32"
+    assert df.loc[df["n_nationkey"] == 1, "n_comment"].iloc[0] == \
+        "it's #1 (a\\b),"
+    assert df.loc[df["n_nationkey"] == 3, "n_comment"].isna().all()
+
+
 def test_read_tsv(tmp_path):
     p = tmp_path / "part-0.tsv"
     p.write_text("a\t1\nb\t2\n")
