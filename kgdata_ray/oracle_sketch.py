@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 1
+SKETCH_ORACLE_VERSION = 2
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -295,6 +295,43 @@ def golden_media_features(ids, texts, *, limit=128, dim=8) -> pa.Table:
     return _pair_table(rows, names, types)
 
 
+def golden_clusters(pairs: pa.Table) -> pa.Table:
+    """Union-find over a (id_a, id_b) pair table -> (node_id,
+    component_id) with component_id = min node id per component — the
+    engine computes the same thing by distributed min-label propagation
+    (FIXTURES F3 determinism)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ids_a = pairs["id_a"].to_pylist()
+    ids_b = pairs["id_b"].to_pylist()
+    for a, b in zip(ids_a, ids_b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    nodes = sorted(parent)
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return pa.table(
+        {
+            "node_id": pa.array(nodes, pa.int64()),
+            "component_id": pa.array([comp_min[find(n)] for n in nodes],
+                                     pa.int64()),
+        }
+    )
+
+
 def golden_pagerank(edges: list[tuple[str, str]], *, damping=0.85,
                     iters=5) -> pa.Table:
     """Dense power iteration over the golden triple edges (multi-edges
@@ -359,8 +396,9 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     vec_ids = emb["vec_id"].to_pylist()
     vecs = emb["embedding"].to_pylist()
 
-    pq.write_table(golden_minhash_pairs(ids, texts),
-                   out / "minhash_pairs.parquet")
+    mh = golden_minhash_pairs(ids, texts)
+    pq.write_table(mh, out / "minhash_pairs.parquet")
+    pq.write_table(golden_clusters(mh), out / "minhash_clusters.parquet")
     pq.write_table(golden_simhash_pairs(ids, texts),
                    out / "simhash_pairs.parquet")
     pq.write_table(golden_ngram_jaccard_pairs(ids, texts),

@@ -438,6 +438,49 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs(_t(sf_dir, "documents"), threshold=0.5)
 
 
+def q_minhash_clusters(sf_dir: str) -> Dataset:
+    """Near-dup pairs -> connected components (min-id representative):
+    certifies the distributed label-propagation CC end-to-end against
+    a naive union-find golden over the same golden pair table."""
+    from ..stages.dedup import dedup_clusters
+
+    return dedup_clusters(q_minhash_pairs(sf_dir))
+
+
+def q_pii_scrub(sf_dir: str) -> Dataset:
+    """PII redaction over documents with deterministically injected
+    emails/phones (the corpus carries none): doc_id%3==0 gains an
+    email, doc_id%4==0 a phone; the oracle recomputes the same
+    augmented text and scrub in SQL with the identical RE2 patterns."""
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        email = np.where(
+            ids % 3 == 0,
+            pd.Series(ids).map(" contact d{}@example.com now".format),
+            "",
+        )
+        phone = np.where(
+            ids % 4 == 0,
+            pd.Series(
+                [f" call +1-{100 + i % 900}-{i % 10000:04d}" for i in ids]
+            ),
+            "",
+        )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "text": b["text"] + email + phone}
+        )
+
+    return textstats.pii_scrub(
+        docs.map_batches(augment, batch_format="pandas")
+    )
+
+
+def q_repetition_stats(sf_dir: str) -> Dataset:
+    return textstats.repetition_stats(_t(sf_dir, "documents"))
+
+
 def q_lang_id(sf_dir: str) -> Dataset:
     return textstats.lang_id(_t(sf_dir, "documents"))
 
@@ -884,6 +927,9 @@ def queries() -> dict[str, Callable]:
         "embedding_neardup_pairs": q_embedding_pairs,
         # rows-only
         "minhash_pairs": q_minhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "embedding_neardup_lsh": q_embedding_pairs_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1180,7 +1226,61 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT node_id, rank
             FROM read_parquet('{oracle_dir(0.01)}/pagerank.parquet')
         """,
+        "minhash_clusters": f"""
+            SELECT node_id, component_id
+            FROM read_parquet('{d}/minhash_clusters.parquet')
+        """,
+        "pii_scrub": _pii_scrub_sql(),
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM w WHERE word <> '' GROUP BY doc_id, word
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct_words,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
+                   round(1.0 - count(*) * 1.0 / sum(c), 6)
+                       AS repetition_ratio
+            FROM wc GROUP BY doc_id
+        """,
     }
+
+
+def _pii_scrub_sql() -> str:
+    """Same injected PII + same RE2 patterns as q_pii_scrub, recomputed
+    entirely in SQL."""
+    from ..stages.textstats import EMAIL_PATTERN, PHONE_PATTERN
+
+    email = EMAIL_PATTERN.replace("'", "''")
+    phone = PHONE_PATTERN.replace("'", "''")
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact d' || doc_id || '@example.com now'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                        THEN ' call +1-' || (100 + doc_id % 900) || '-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+                   '{phone}', '[PHONE]', 'g') AS clean_text,
+               CAST(length(regexp_extract_all(text, '{email}')) AS BIGINT)
+                   AS n_emails,
+               CAST(length(regexp_extract_all(text, '{phone}')) AS BIGINT)
+                   AS n_phones
+        FROM aug
+    """
 
 
 def _token_counts_sql() -> str:

@@ -176,3 +176,78 @@ def token_counts(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         token_counts_batch, batch_format="pandas"
     )
+
+
+# PII patterns shared verbatim with the DuckDB oracle (RE2-safe: no
+# lookarounds/backrefs; both re and RE2 match leftmost-longest enough
+# for these shapes). A training-data pipeline scrubs before training;
+# no reference analog (kgdata carries no PII stage).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = re.compile(EMAIL_PATTERN)
+_PHONE_RE = re.compile(PHONE_PATTERN)
+
+
+def pii_scrub_batch(b: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones): redact email/phone
+    matches with typed placeholders; vectorized pandas str kernels
+    with module-compiled patterns."""
+    text = b[text_col]
+    n_emails = text.str.count(_EMAIL_RE).astype("int64")
+    n_phones = text.str.count(_PHONE_RE).astype("int64")
+    clean = text.str.replace(_EMAIL_RE, "[EMAIL]", regex=True).str.replace(
+        _PHONE_RE, "[PHONE]", regex=True
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"],
+            "clean_text": clean,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+        }
+    )
+
+
+def pii_scrub(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    return ds.select_columns(["doc_id", text_col]).map_batches(
+        pii_scrub_batch, fn_kwargs={"text_col": text_col},
+        batch_format="pandas",
+    )
+
+
+def repetition_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_words, n_distinct_words, top_word_frac,
+    repetition_ratio): word-level repetition quality signals (boilerplate
+    and low-entropy documents score high). One vectorized explode +
+    two grouped reductions per batch — no per-doc Python loop."""
+    words = b["text"].str.lower().str.split()
+    ex = words.explode()
+    ex = ex[ex != ""]
+    counts = ex.groupby([ex.index, ex]).size()
+    n_words = counts.groupby(level=0).sum()
+    distinct = counts.groupby(level=0).size()
+    top = counts.groupby(level=0).max()
+    out = pd.DataFrame(
+        {
+            "doc_id": b["doc_id"],
+            "n_words": n_words.reindex(b.index, fill_value=0).astype("int64"),
+            "n_distinct_words": distinct.reindex(b.index, fill_value=0)
+            .astype("int64"),
+        }
+    )
+    nw = out["n_words"].to_numpy(dtype=np.float64)
+    nw_safe = np.where(nw == 0, 1.0, nw)
+    out["top_word_frac"] = np.round(
+        top.reindex(b.index, fill_value=0).to_numpy(dtype=np.float64)
+        / nw_safe, 6
+    )
+    out["repetition_ratio"] = np.round(
+        1.0 - out["n_distinct_words"].to_numpy(dtype=np.float64) / nw_safe, 6
+    )
+    return out
+
+
+def repetition_stats(ds: Dataset) -> Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pandas"
+    )

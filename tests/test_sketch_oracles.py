@@ -42,6 +42,7 @@ def _assert_equal(res, golden_path):
         (Q.q_rolling_fp, "rolling_fp.parquet"),
         (Q.q_knn_ivf, "knn_ivf.parquet"),
         (Q.q_media_features, "media_features.parquet"),
+        (Q.q_minhash_clusters, "minhash_clusters.parquet"),
     ],
 )
 def test_sketch_query_matches_golden(golden_dir, query, golden):

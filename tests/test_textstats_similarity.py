@@ -134,3 +134,47 @@ def test_knn_block_cross_equals_bruteforce():
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_pii_scrub_batch():
+    import pandas as pd
+
+    from kgdata_ray.stages.textstats import pii_scrub_batch
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail a.b+c@ex-ample.co.uk and x@y.io now",
+                "call +1-555-0142 or +44-555-9999 today",
+                "nothing here",
+            ],
+        }
+    )
+    out = pii_scrub_batch(b)
+    assert out["clean_text"].tolist() == [
+        "mail [EMAIL] and [EMAIL] now",
+        "call [PHONE] or [PHONE] today",
+        "nothing here",
+    ]
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0]
+
+
+def test_repetition_stats_batch():
+    import pandas as pd
+
+    from kgdata_ray.stages.textstats import repetition_stats_batch
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [7, 8],
+            "text": ["a a a b", "x y z"],
+        }
+    )
+    out = repetition_stats_batch(b).set_index("doc_id")
+    assert out.loc[7, "n_words"] == 4
+    assert out.loc[7, "n_distinct_words"] == 2
+    assert out.loc[7, "top_word_frac"] == 0.75
+    assert out.loc[7, "repetition_ratio"] == 0.5
+    assert out.loc[8, "repetition_ratio"] == 0.0
