@@ -384,3 +384,95 @@ def fk_explode_join(
         on=("__fk",),
         right_on=(right_key,),
     ).rename_columns({"__fk": fk_col})
+
+
+def asof_join_backward(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "prior_",
+) -> Dataset:
+    """AS-OF join (backward): each left row gains the right row with the
+    greatest ``right_ts`` <= its ``left_ts`` for the same ``key``
+    (DuckDB ``ASOF LEFT JOIN`` semantics; unmatched rows keep nulls).
+
+    Ray Data has no as-of join, so it is composed from certified
+    primitives (the brief's option (a)): both sides are projected onto
+    one combined Arrow schema with a side tag, unioned, range-shuffled
+    on ``key`` (``grouped_blockwise`` — its boundary guard keeps every
+    key's rows in one block), and each block runs ONE vectorized
+    ``pandas.merge_asof`` over all its keys. The shuffle moves each row
+    once; per-block work is O(n log n) in the block — no per-key pair
+    blowup. Partitioning assumption: a single key's rows fit a block
+    (same contract as every grouped operator here).
+
+    Ties: if several right rows share (key, right_ts), the LAST one in
+    ``right``'s sort order wins (pandas semantics) — pass a
+    deduplicated right side when that matters.
+    """
+    from .agg import grouped_blockwise
+
+    def arrow_types(ds: Dataset) -> tuple[list[str], dict]:
+        # Dataset.schema() yields numpy dtypes for pandas-block inputs;
+        # normalize to Arrow (object dtype -> string by convention)
+        sch = ds.schema()
+        out = {}
+        for name, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                t = (pa.string() if np.dtype(t) == np.dtype("O")
+                     else pa.from_numpy_dtype(np.dtype(t)))
+            out[name] = t
+        return list(sch.names), out
+
+    lnames, ltypes = arrow_types(left)
+    _rnames, rtypes = arrow_types(right)
+
+    pref_fields = [(f"{prefix}{c}", rtypes[c]) for c in right_payload]
+    pref_fields.append((f"{prefix}{right_ts}", rtypes[right_ts]))
+    combined = pa.schema(
+        [(n, ltypes[n]) for n in lnames]
+        + list(pref_fields)
+        + [("__ts", ltypes[left_ts]), ("__side", pa.int8())]
+    )
+    out_schema = pa.schema(
+        [(n, ltypes[n]) for n in lnames] + list(pref_fields)
+    )
+    pref_names = [n for n, _ in pref_fields]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t[c] for c in lnames]
+        cols += [pa.nulls(n, ty) for _, ty in pref_fields]
+        cols += [t[left_ts], pa.array(np.zeros(n, dtype=np.int8))]
+        return pa.Table.from_arrays(cols, schema=combined)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [
+            t[c] if c == key else pa.nulls(n, ltypes[c]) for c in lnames
+        ]
+        cols += [t[c] for c in right_payload] + [t[right_ts]]
+        cols += [t[right_ts], pa.array(np.ones(n, dtype=np.int8))]
+        return pa.Table.from_arrays(cols, schema=combined)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        lf = b[b["__side"] == 0][lnames + ["__ts"]].sort_values(
+            "__ts", kind="mergesort"
+        )
+        rf = b[b["__side"] == 1][[key, "__ts"] + pref_names].sort_values(
+            "__ts", kind="mergesort"
+        )
+        out = pd.merge_asof(lf, rf, on="__ts", by=key, direction="backward")
+        return pa.Table.from_pandas(
+            out[lnames + pref_names], schema=out_schema, preserve_index=False
+        )
+
+    return grouped_blockwise(tagged, [key], block)

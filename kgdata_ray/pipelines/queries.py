@@ -710,6 +710,27 @@ def q_propquery_filter(sf_dir: str) -> Dataset:
     return prop_filter(prop_filter(docs, "lang = en"), "the in text")
 
 
+def q_asof_join(sf_dir: str) -> Dataset:
+    """AS-OF (backward) join: each purchase event matched to the same
+    user's most recent prior non-purchase event — an operator Ray Data
+    lacks, composed from tag-union + grouped block merge_asof
+    (functions/joins.py:asof_join_backward) and certified against
+    DuckDB's native ASOF LEFT JOIN."""
+    from ..functions.joins import asof_join_backward
+
+    ev = _t(sf_dir, "events")
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    right = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "ts", "value", "event_type"]
+    )
+    return asof_join_backward(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["value", "event_type"],
+    )
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -952,6 +973,7 @@ def queries() -> dict[str, Callable]:
         "kg_canonical_map_driver": q_kg_canonical_map_driver,
         "propquery_filter": q_propquery_filter,
         "sql_values_roundtrip": q_sql_values_roundtrip,
+        "asof_join": q_asof_join,
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -1163,6 +1185,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' AND text LIKE '%the%'
         """,
         "token_counts": _token_counts_sql(),
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.value AS prior_value,
+                   r.event_type AS prior_event_type,
+                   r.ts AS prior_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type <> 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "sql_values_roundtrip": r"""
             SELECT n_nationkey, n_name, n_regionkey,
                    CASE WHEN n_nationkey % 3 = 0 THEN NULL
@@ -1181,7 +1213,8 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                       kg_sf: float = 0.01) -> dict[str, str]:
     """Golden-parquet oracles for the sketch/ANN/media family: each
     query's DuckDB oracle simply reads the output of the independent
     naive implementation in :mod:`kgdata_ray.oracle_sketch` (the exact
@@ -1224,7 +1257,7 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "kg_pagerank": f"""
             SELECT node_id, rank
-            FROM read_parquet('{oracle_dir(0.01)}/pagerank.parquet')
+            FROM read_parquet('{oracle_dir(kg_sf)}/pagerank.parquet')
         """,
         "minhash_clusters": f"""
             SELECT node_id, component_id

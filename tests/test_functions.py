@@ -250,3 +250,39 @@ def test_row_hash_deterministic():
     h2 = add_row_hash(_ds("region"), ["r_regionkey", "r_name"]).to_pandas()
     assert sorted(h1["row_hash"]) == sorted(h2["row_hash"])
     assert h1["row_hash"].nunique() == len(h1)
+
+
+def test_asof_join_backward():
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.functions.joins import asof_join_backward
+
+    left = rd.from_pandas(pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "k": ["a", "a", "b", "c"],
+            "t": [10, 25, 7, 5],
+            "x": [1.0, 2.0, 3.0, 4.0],
+        }
+    ))
+    right = rd.from_pandas(pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "z"],
+            "t": [5, 10, 20, 9, 1],
+            "y": [100.0, 200.0, 300.0, 400.0, 500.0],
+        }
+    ))
+    got = (
+        asof_join_backward(left, right, key="k", left_ts="t", right_ts="t",
+                           right_payload=["y"])
+        .to_pandas()
+        .sort_values("id")
+        .set_index("id")
+    )
+    assert got.loc[1, "prior_y"] == 200.0   # exact match t=10 allowed
+    assert got.loc[1, "prior_t"] == 10
+    assert got.loc[2, "prior_y"] == 300.0   # greatest t <= 25 is 20
+    assert pd.isna(got.loc[3, "prior_y"])   # b: right t=9 > left t=7
+    assert pd.isna(got.loc[4, "prior_y"])   # c: no right rows at all
+    assert list(got.columns) == ["k", "t", "x", "prior_y", "prior_t"]

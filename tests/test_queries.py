@@ -9,17 +9,23 @@ import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
+from kgdata_ray.oracle_sketch import ensure_sketch_oracles
 from kgdata_ray.oracle_tables import ensure_oracle_tables
-from kgdata_ray.pipelines.queries import _kg_oracle_sql
+from kgdata_ray.pipelines.queries import _kg_oracle_sql, _sketch_oracle_sql
 
 SF = "/root/testdata/sf0.001"
 
 
 def _oracles() -> dict[str, str]:
-    # the driver pins KG oracle paths to its sf0.01 run; this replica
-    # runs at sf0.001, so swap in the sf0.001 oracle tables
+    # the driver pins KG + sketch oracle paths to its sf0.01 run; this
+    # replica runs at sf0.001, so swap in the sf0.001 oracle tables
     ensure_oracle_tables(0.001)
-    return {**entrymod.oracle_sql(), **_kg_oracle_sql(0.001)}
+    ensure_sketch_oracles(SF)
+    return {
+        **entrymod.oracle_sql(),
+        **_kg_oracle_sql(0.001),
+        **_sketch_oracle_sql(SF, kg_sf=0.001),
+    }
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
