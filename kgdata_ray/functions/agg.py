@@ -369,3 +369,45 @@ def zip_with_index(ds: Dataset, *, sort_key: str, descending: bool = False,
 
     out_refs = [_index.remote(r, o) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def sliding_window_sum(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1h",
+    out_col: str = "w_sum",
+    ndigits: int = 4,
+) -> Dataset:
+    """Per-key sliding time-window sum: each row gains the sum of
+    ``value_col`` over [ts - window, ts] within its key (SQL
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW``, both ends
+    inclusive). One range shuffle on ``key`` (groups whole per block),
+    then a single vectorized time-rolling pass per block — no per-key
+    Python loop. SQL RANGE frames include *all* rows that tie on the
+    timestamp (peers ordered after the current row too), while pandas
+    rolling is positional — so the last peer's rolling value (which has
+    seen the whole tie group) is broadcast across each (key, ts) tie
+    group. Rounding pins float tie-breaks so the DuckDB window oracle
+    agrees value-exactly."""
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        # with on=ts_col the rolling result is (key, ts)-indexed; the
+        # frame is already in (key, ts) order, so align positionally
+        b[out_col] = (
+            b.groupby(key, sort=False)
+            .rolling(window, on=ts_col, closed="both")[value_col]
+            .sum()
+            .to_numpy()
+        )
+        b[out_col] = (
+            b.groupby([key, ts_col], sort=False)[out_col]
+            .transform("last")
+            .round(ndigits)
+        )
+        return b
+
+    return grouped_blockwise(ds, [key], block)

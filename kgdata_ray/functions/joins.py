@@ -476,3 +476,74 @@ def asof_join_backward(
         )
 
     return grouped_blockwise(tagged, [key], block)
+
+
+def interval_join(
+    left: Dataset,
+    intervals: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1D",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Range join: left rows matched to every interval of the same key
+    with ``start <= ts <= end`` (inclusive). Ray Data has no range
+    join; this is the bucketed-equi-join composition: intervals explode
+    to each time bucket they cover, left rows land in exactly ONE
+    bucket, the (key, bucket) hash join co-locates candidates, and a
+    residual range filter finishes. Each (row, interval) pair meets in
+    exactly one bucket, so no post-join dedup is needed. The shuffle
+    moves each left row once and each interval ceil(len/bucket)+1
+    times — size ``bucket`` near the typical interval length.
+    Inner-join semantics: unmatched left rows drop. Payload column
+    names must be disjoint between the two sides (apart from ``key``,
+    which appears once in the output under the left name)."""
+    import pandas as pd
+
+    width_us = int(pd.Timedelta(bucket).value // 1000)
+    left_cols = list(left.schema().names)
+    out_cols = left_cols + [
+        c for c in intervals.schema().names
+        if c != key and c not in left_cols
+    ]
+
+    def tag_left(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["__bkt"] = b[ts_col].astype("datetime64[us]").astype("int64") // width_us
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def explode_intervals(b: pd.DataFrame) -> pa.Table:
+        lo = b[start_col].astype("datetime64[us]").astype("int64") // width_us
+        hi = b[end_col].astype("datetime64[us]").astype("int64") // width_us
+        reps = (hi - lo + 1).to_numpy()
+        out = b.loc[b.index.repeat(reps)].reset_index(drop=True)
+        bkt = np.concatenate(
+            [np.arange(a, z + 1) for a, z in zip(lo, hi)]
+        ) if len(b) else np.array([], dtype=np.int64)
+        out["__bkt"] = bkt
+        return pa.Table.from_pandas(
+            out.rename(columns={key: "__rk"}), preserve_index=False
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = intervals.map_batches(explode_intervals, batch_format="pandas")
+    j = lt.join(
+        rt, join_type="inner", num_partitions=num_partitions,
+        on=(key, "__bkt"), right_on=("__rk", "__bkt"),
+    )
+
+    def residual(b: pd.DataFrame) -> pa.Table:
+        if start_col not in b.columns:  # schema-less empty join block
+            b = pd.DataFrame({c: [] for c in out_cols})
+        keep = (b[ts_col] >= b[start_col]) & (b[ts_col] <= b[end_col])
+        out = b.loc[keep, out_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from .blocks import scrub_empty_blocks
+
+    return scrub_empty_blocks(
+        j.map_batches(residual, batch_format="pandas")
+    )

@@ -731,6 +731,72 @@ def q_asof_join(sf_dir: str) -> Dataset:
     )
 
 
+def q_sliding_window(sf_dir: str) -> Dataset:
+    """Per-user sliding 1h time-window sum (SQL ``RANGE BETWEEN 1 HOUR
+    PRECEDING AND CURRENT ROW``) — an operator Ray Data lacks, composed
+    as one range shuffle + a vectorized pandas time-rolling pass per
+    block (functions/agg.py:sliding_window_sum). The summed value is
+    floor(value*100) as int64 so the rolling sum is exact in both
+    engines (integer-valued float64 — no float-rounding hash risk)."""
+    from ..functions.agg import sliding_window_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(v_cents=np.floor(b["value"].to_numpy() * 100.0)
+                     .astype("int64"))
+        return b.drop(columns=["value"])
+
+    w = sliding_window_sum(
+        ev.map_batches(cents, batch_format="pandas"),
+        key="user_id", ts_col="ts", value_col="v_cents",
+        window="1h", out_col="w_sum",
+    )
+
+    def out(b: pd.DataFrame) -> pa.Table:
+        b = b[["user_id", "event_id", "ts", "w_sum"]].copy()
+        b["w_sum"] = b["w_sum"].astype("int64")
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return w.map_batches(out, batch_format="pandas")
+
+
+def q_interval_join(sf_dir: str) -> Dataset:
+    """Range join: every non-purchase event matched to each same-user
+    purchase whose [ts, ts+2h] interval covers it — Ray Data has no
+    range join; this is the bucketed-equi-join composition
+    (functions/joins.py:interval_join): intervals explode to the time
+    buckets they cover, one (key, bucket) hash join co-locates
+    candidates, a residual filter finishes."""
+    from ..functions.joins import interval_join
+
+    ev = _t(sf_dir, "events")
+    left = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "event_id", "ts"]
+    )
+
+    def to_iv(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "user_id": b["user_id"],
+            "iv_id": b["event_id"],
+            "start_ts": b["ts"],
+            "end_ts": (b["ts"] + pd.Timedelta(hours=2))
+            .astype("datetime64[us]"),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    iv = (
+        ev.filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id", "event_id", "ts"])
+        .map_batches(to_iv, batch_format="pandas")
+    )
+    return interval_join(
+        left, iv, key="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket="2h",
+    )
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -974,6 +1040,8 @@ def queries() -> dict[str, Callable]:
         "propquery_filter": q_propquery_filter,
         "sql_values_roundtrip": q_sql_values_roundtrip,
         "asof_join": q_asof_join,
+        "sliding_window": q_sliding_window,
+        "interval_join": q_interval_join,
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -1194,6 +1262,25 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type <> 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sliding_window": """
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS w_sum
+            FROM events
+        """,
+        "interval_join": """
+            SELECT e.user_id, e.event_id, e.ts,
+                   p.iv_id, p.start_ts, p.end_ts
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type <> 'purchase') e
+            JOIN (SELECT user_id, event_id AS iv_id, ts AS start_ts,
+                         ts + INTERVAL 2 HOUR AS end_ts
+                  FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id
+             AND e.ts >= p.start_ts AND e.ts <= p.end_ts
         """,
         "sql_values_roundtrip": r"""
             SELECT n_nationkey, n_name, n_regionkey,
