@@ -1,0 +1,211 @@
+"""Distributed statistics operators: exact quantiles (global and
+per-group), pivot/crosstab counts, and exact paired moments
+(covariance / Pearson correlation).
+
+Reference parity: the reference computes dataset statistics driver-side
+with pandas/numpy after collecting small aggregates (e.g.
+``kgdata/wikidata/datasets/meta_graph_stats.py``'s count rollups); here
+each statistic is a distributed Ray Data plan whose driver state is
+O(groups) or O(blocks), never O(rows):
+
+- ``global_quantiles`` — distributed selection: one range-partition
+  sort of the value column, per-block row counts from tiny count tasks
+  (ints to the driver, never rows), then each block emits only the
+  order statistics that fall inside it. Semantics match DuckDB's
+  ``quantile_disc``: element at index ``ceil(q*n) - 1``.
+- ``grouped_quantiles`` — one range shuffle on the key, vectorized
+  per-block selection of each group's order statistics.
+- ``pivot_counts`` — map-side partial crosstab per block (one row per
+  key per block), then a grouped sum: the shuffle moves partials, not
+  rows. Category discovery is either an explicit list (the scale path
+  — no driver collect) or a distinct scan capped by assumption of a
+  small category domain.
+- ``paired_moments`` — map-side partial sums (n, Σx, Σy, Σx², Σy²,
+  Σxy) as int64 per block, grouped sum, then the closed-form corr /
+  cov from the exact integer sums. Integer inputs keep every engine
+  bit-identical (IEEE ops on exact operands); the int64 contract is
+  |x|,|y| ≲ 1e6 and n·x² < 2^63 — beyond that, pre-scale the inputs
+  down (the statistic is scale-invariant for corr).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from .agg import grouped_blockwise
+
+
+def _disc_index(q: float, n: int) -> int:
+    """DuckDB ``quantile_disc`` order-statistic index (0-based)."""
+    return max(int(math.ceil(q * n)) - 1, 0)
+
+
+def global_quantiles(
+    ds: Dataset, value_col: str, qs: Sequence[float],
+    *, q_col: str = "q", out_col: str | None = None,
+) -> Dataset:
+    """Exact discrete quantiles of ``value_col`` over the whole
+    dataset, returned as a tiny (q, value) Dataset. Distributed
+    selection: rows never reach the driver — only one int per sorted
+    block does."""
+    out_col = out_col or value_col
+    sorted_ds = ds.select_columns([value_col]).sort(value_col)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    n = sum(counts)
+    if n == 0:
+        raise ValueError("global_quantiles on an empty dataset")
+    targets = sorted((float(q), _disc_index(q, n)) for q in qs)
+
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    @ray.remote
+    def _pick(t: pa.Table, local: list[tuple[float, int]]) -> pa.Table:
+        col = t.column(value_col)
+        return pa.table({
+            q_col: pa.array([q for q, _ in local], pa.float64()),
+            out_col: pa.array([col[i].as_py() for _, i in local],
+                              t.schema.field(value_col).type),
+        })
+
+    out_refs = []
+    for ref, off, cnt in zip(refs, offsets, counts):
+        local = [(q, i - off) for q, i in targets if off <= i < off + cnt]
+        if local:
+            out_refs.append(_pick.remote(ref, local))
+    return rd.from_arrow_refs(out_refs)
+
+
+def grouped_quantiles(
+    ds: Dataset, key: str, value_col: str, qs: Sequence[float],
+    *, q_col: str = "q", out_col: str | None = None,
+) -> Dataset:
+    """Exact per-group discrete quantiles (long format: one row per
+    (key, q)), matching DuckDB ``quantile_disc`` grouped semantics.
+    One range shuffle on ``key``; selection is a vectorized
+    sorted-position gather per block, no per-group Python loop."""
+    out_col = out_col or value_col
+    qlist = sorted(float(q) for q in qs)
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        if not len(b):  # np.concatenate rejects an empty list of arrays
+            return pa.table({
+                key: pa.Array.from_pandas(b[key]),
+                q_col: pa.array([], pa.float64()),
+                out_col: pa.Array.from_pandas(b[value_col]),
+            })
+        b = b.sort_values([key, value_col], kind="mergesort")
+        keys_arr = b[key].to_numpy()
+        vals = b[value_col].to_numpy()
+        # group start offsets + sizes from one run-length pass
+        change = np.flatnonzero(keys_arr[1:] != keys_arr[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(b)])))
+        out_k, out_q, out_v = [], [], []
+        for q in qlist:
+            idx = starts + np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+            out_k.append(keys_arr[starts])
+            out_q.append(np.full(len(starts), q))
+            out_v.append(vals[idx])
+        return pa.table({
+            key: pa.array(np.concatenate(out_k)),
+            q_col: pa.array(np.concatenate(out_q), pa.float64()),
+            out_col: pa.array(np.concatenate(out_v)),
+        })
+
+    return grouped_blockwise(ds, [key], block)
+
+
+def pivot_counts(
+    ds: Dataset, index: str, column: str,
+    *, categories: Sequence[str] | None = None,
+) -> Dataset:
+    """Crosstab: one row per ``index`` value, one int64 count column
+    per category of ``column``. Pass ``categories`` explicitly at scale
+    (fixes the schema with no discovery pass); otherwise a distinct
+    scan collects the category domain (assumed small) to the driver."""
+    if categories is None:
+        from .agg import distinct_rows
+
+        cats = sorted(
+            r[column]
+            for r in distinct_rows(ds.select_columns([column]), [column])
+            .take_all()
+        )
+    else:
+        cats = list(categories)
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        ct = pd.crosstab(b[index], b[column])
+        ct = ct.reindex(columns=cats, fill_value=0).astype("int64")
+        ct = ct.rename_axis(None, axis=1).reset_index()
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby(index, sort=False)[cats].sum().reset_index()
+        out[cats] = out[cats].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(pre, batch_format="pandas")
+    return grouped_blockwise(partial, [index], final)
+
+
+def paired_moments(
+    ds: Dataset, key: str, x_col: str, y_col: str,
+    *, ndigits: int = 6,
+) -> Dataset:
+    """Per-group exact paired moments → Pearson correlation and sample
+    covariance. ``x_col``/``y_col`` must be integer-valued (pre-scale
+    floats with floor upstream): all six partial sums stay exact int64,
+    so the final double-precision formula is bit-identical across
+    engines. Output: key, n_rows, corr, covar (both rounded)."""
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        x = b[x_col].to_numpy().astype("int64")
+        y = b[y_col].to_numpy().astype("int64")
+        d = pd.DataFrame({
+            key: b[key], "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        out = d.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sums = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        t = b.groupby(key, sort=False)[sums].sum().reset_index()
+        n = t["n"].to_numpy().astype("float64")
+        sx = t["sx"].to_numpy().astype("float64")
+        sy = t["sy"].to_numpy().astype("float64")
+        sxx = t["sxx"].to_numpy().astype("float64")
+        syy = t["syy"].to_numpy().astype("float64")
+        sxy = t["sxy"].to_numpy().astype("float64")
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        covar = (sxy - sx * sy / n) / (n - 1.0)
+        out = pd.DataFrame({
+            key: t[key],
+            "n_rows": t["n"].astype("int64"),
+            "corr": np.round(corr, ndigits),
+            "covar": np.round(covar, ndigits),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(pre, batch_format="pandas")
+    return grouped_blockwise(partial, [key], final)

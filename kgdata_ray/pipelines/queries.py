@@ -797,6 +797,70 @@ def q_interval_join(sf_dir: str) -> Dataset:
     )
 
 
+_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_GROUP_QUANTILES = [0.25, 0.5, 0.9]
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_quantiles_global(sf_dir: str) -> Dataset:
+    """Exact global discrete quantiles of events.value — distributed
+    selection (functions/stats.py:global_quantiles): only per-block row
+    counts reach the driver, each sorted block emits just the order
+    statistics that fall inside it. Matches DuckDB quantile_disc."""
+    from ..functions.stats import global_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return global_quantiles(ev, "value", _QUANTILES)
+
+
+def q_quantiles_by_type(sf_dir: str) -> Dataset:
+    """Exact per-event-type discrete quantiles of value (long format),
+    one range shuffle + vectorized order-statistic gather per block."""
+    from ..functions.stats import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", _GROUP_QUANTILES)
+
+
+def q_pivot_event_counts(sf_dir: str) -> Dataset:
+    """Crosstab users × event types with map-side partial pivots — the
+    shuffle moves one partial row per (user, block), never events. The
+    category list is pinned (the scale path: fixed output schema, no
+    discovery pass)."""
+    from ..functions.stats import pivot_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        categories=_EVENT_TYPES)
+
+
+def q_corr_qty_price(sf_dir: str) -> Dataset:
+    """Per-returnflag Pearson correlation + sample covariance of
+    (floor(extendedprice), quantity) from exact int64 partial sums
+    (functions/stats.py:paired_moments) — the closed-form double
+    formula over exact integer sums is bit-identical to the SQL
+    oracle's."""
+    from ..functions.stats import paired_moments
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "x": np.floor(b["l_extendedprice"].to_numpy()).astype("int64"),
+            "y": b["l_quantity"].to_numpy().astype("int64"),
+        })
+
+    return paired_moments(
+        li.map_batches(ints, batch_format="pandas"), "l_returnflag", "x", "y"
+    )
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1042,6 +1106,10 @@ def queries() -> dict[str, Callable]:
         "asof_join": q_asof_join,
         "sliding_window": q_sliding_window,
         "interval_join": q_interval_join,
+        "quantiles_global": q_quantiles_global,
+        "quantiles_by_type": q_quantiles_by_type,
+        "pivot_event_counts": q_pivot_event_counts,
+        "corr_qty_price": q_corr_qty_price,
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -1281,6 +1349,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id
              AND e.ts >= p.start_ts AND e.ts <= p.end_ts
+        """,
+        "quantiles_global": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(value, {q}) AS value FROM events"
+            for q in _QUANTILES
+        ),
+        "quantiles_by_type": " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(value, {q}) AS value "
+            f"FROM events GROUP BY event_type"
+            for q in _GROUP_QUANTILES
+        ),
+        "pivot_event_counts": "SELECT user_id, " + ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {c}"
+            for c in _EVENT_TYPES
+        ) + " FROM events GROUP BY user_id",
+        "corr_qty_price": """
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   ROUND((n*sxy - sx*sy) /
+                         (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)),
+                         6) AS corr,
+                   ROUND((sxy - sx*sy/n) / (n - 1), 6) AS covar
+            FROM (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                       CAST(SUM(y*y) AS DOUBLE) AS syy,
+                       CAST(SUM(x*y) AS DOUBLE) AS sxy
+                FROM (SELECT l_returnflag,
+                             CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+                             CAST(l_quantity AS BIGINT) AS y
+                      FROM lineitem)
+                GROUP BY l_returnflag)
         """,
         "sql_values_roundtrip": r"""
             SELECT n_nationkey, n_name, n_regionkey,

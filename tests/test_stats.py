@@ -1,0 +1,115 @@
+"""Unit tests for the distributed statistics operators
+(functions/stats.py): exact global / grouped discrete quantiles, pivot
+counts with map-side partials, and exact paired moments.
+
+All run multi-block with shuffled row order; quantiles are checked
+against DuckDB's quantile_disc (the semantics the operators pin:
+element at index ceil(q*n)-1), moments against numpy from exact sums.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _frame(n: int = 3000, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.choice(list("abcde"), n),
+        # duplicate-heavy values: order statistics land inside tie runs,
+        # which also straddle sorted-block boundaries
+        "v": rng.integers(0, 40, n).astype("float64"),
+        "x": rng.integers(-50, 500, n),
+        "y": rng.integers(0, 60, n),
+    })
+
+
+QS = [0.0, 0.1, 0.37, 0.5, 0.75, 0.9, 1.0]
+
+
+def test_global_quantiles_match_duckdb():
+    from kgdata_ray.functions.stats import global_quantiles
+
+    df = _frame()
+    got = (
+        global_quantiles(rd.from_pandas(df).repartition(9), "v", QS)
+        .to_pandas().sort_values("q").reset_index(drop=True)
+    )
+    ref = pd.DataFrame({
+        "q": QS,
+        "v": [duckdb.sql(f"SELECT quantile_disc(v, {q}) FROM df").fetchone()[0]
+              for q in QS],
+    })
+    assert len(got) == len(QS)
+    np.testing.assert_array_equal(got["q"].to_numpy(), ref["q"].to_numpy())
+    np.testing.assert_array_equal(got["v"].to_numpy(), ref["v"].to_numpy())
+
+
+def test_grouped_quantiles_match_duckdb():
+    from kgdata_ray.functions.stats import grouped_quantiles
+
+    df = _frame()
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(7), "g", "v",
+                          [0.25, 0.5, 0.9])
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    ref = duckdb.sql(" UNION ALL ".join(
+        f"SELECT g, CAST({q} AS DOUBLE) AS q, quantile_disc(v, {q}) AS v "
+        f"FROM df GROUP BY g"
+        for q in [0.25, 0.5, 0.9]
+    ) + " ORDER BY g, q").df()
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_pivot_counts_explicit_and_discovered_categories():
+    from kgdata_ray.functions.stats import pivot_counts
+
+    df = _frame()
+    ds = rd.from_pandas(df).repartition(6)
+    explicit = (
+        pivot_counts(ds, "x", "g", categories=list("abcde"))
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    discovered = (
+        pivot_counts(ds, "x", "g")
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    ref = (
+        pd.crosstab(df["x"], df["g"]).reindex(columns=list("abcde"),
+                                              fill_value=0)
+        .astype("int64").rename_axis(None, axis=1).reset_index()
+        .sort_values("x").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(explicit, ref)
+    pd.testing.assert_frame_equal(discovered, ref)
+    # zero cells really are zero-filled, not dropped
+    assert (explicit[list("abcde")].to_numpy() == 0).any()
+
+
+def test_paired_moments_match_numpy_exact_sums():
+    from kgdata_ray.functions.stats import paired_moments
+
+    df = _frame()
+    got = (
+        paired_moments(rd.from_pandas(df).repartition(8), "g", "x", "y")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    rows = []
+    for g, sub in df.groupby("g"):
+        x = sub["x"].to_numpy().astype("int64")
+        y = sub["y"].to_numpy().astype("int64")
+        n = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, syy = float((x * x).sum()), float((y * y).sum())
+        sxy = float((x * y).sum())
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        covar = (sxy - sx * sy / n) / (n - 1.0)
+        rows.append((g, len(x), round(corr, 6), round(covar, 6)))
+    ref = pd.DataFrame(rows, columns=["g", "n_rows", "corr", "covar"])
+    ref["n_rows"] = ref["n_rows"].astype("int64")
+    pd.testing.assert_frame_equal(got, ref)
