@@ -37,3 +37,19 @@ def rename_cols(ds: Dataset, mapping: dict[str, str]) -> Dataset:
         return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def melt(ds: Dataset, *, id_vars: list[str], value_vars: list[str],
+         var_name: str = "variable", value_name: str = "value") -> Dataset:
+    """Wide→long unpivot: one output row per (input row, value var).
+    Embarrassingly parallel — a stateless per-batch ``pandas.melt``,
+    no shuffle; value columns must share one dtype (Arrow long format
+    has a single value column)."""
+    import pandas as pd
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        out = pd.melt(b, id_vars=id_vars, value_vars=value_vars,
+                      var_name=var_name, value_name=value_name)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(fn, batch_format="pandas")

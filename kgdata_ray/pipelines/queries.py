@@ -861,6 +861,46 @@ def q_corr_qty_price(sf_dir: str) -> Dataset:
     )
 
 
+def q_word_counts(sf_dir: str) -> Dataset:
+    """Corpus top-200 words (count desc, term asc) — the classic
+    distributed wordcount with map-side combining
+    (stages/textstats.py:word_counts); tokenization shared with the
+    DuckDB oracle (WORD_SPLIT_PATTERN)."""
+    from ..stages.textstats import word_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return word_counts(docs, top_n=200)
+
+
+def q_doc_top_terms(sf_dir: str) -> Dataset:
+    """Per-document top-3 terms by (tf desc, term asc) with corpus
+    document frequency — the integer core of TF-IDF
+    (stages/textstats.py:doc_top_terms)."""
+    from ..stages.textstats import doc_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return doc_top_terms(docs, k=3)
+
+
+def q_melt_lineitem(sf_dir: str) -> Dataset:
+    """Wide→long unpivot of three lineitem rate columns
+    (functions/blocks.py:melt) — stateless per-batch reshape, values
+    copied bit-exactly (no arithmetic, hash-safe)."""
+    from ..functions.blocks import melt
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_discount", "l_tax"],
+    )
+    return melt(
+        li, id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_discount", "l_tax"],
+        var_name="measure", value_name="value",
+    )
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1106,6 +1146,9 @@ def queries() -> dict[str, Callable]:
         "asof_join": q_asof_join,
         "sliding_window": q_sliding_window,
         "interval_join": q_interval_join,
+        "word_counts": q_word_counts,
+        "doc_top_terms": q_doc_top_terms,
+        "melt_lineitem": q_melt_lineitem,
         "quantiles_global": q_quantiles_global,
         "quantiles_by_type": q_quantiles_by_type,
         "pivot_event_counts": q_pivot_event_counts,
@@ -1349,6 +1392,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id
              AND e.ts >= p.start_ts AND e.ts <= p.end_ts
+        """,
+        "word_counts": """
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 200
+        """,
+        "doc_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^a-z0-9]+')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM toks GROUP BY term
+            ), ranked AS (
+                SELECT doc_id, term, tf,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, term) AS rk
+                FROM toks
+            )
+            SELECT r.doc_id, r.term, r.tf, d.df
+            FROM ranked r JOIN dfreq d USING (term)
+            WHERE r.rk <= 3
+        """,
+        "melt_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
         """,
         "quantiles_global": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "

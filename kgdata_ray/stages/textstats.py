@@ -251,3 +251,98 @@ def repetition_stats(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         repetition_stats_batch, batch_format="pandas"
     )
+
+
+# word-level tokenization shared with the DuckDB oracles: lowercase,
+# split on runs of non-alphanumerics (RE2-safe; identical semantics in
+# Python re and DuckDB regexp_split_to_array)
+WORD_SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+def _explode_terms(b: pd.DataFrame, id_col: str,
+                   text_col: str) -> pd.DataFrame:
+    """One (id, term) row per token occurrence, empties dropped."""
+    toks = b[text_col].str.lower().str.split(WORD_SPLIT_PATTERN, regex=True)
+    d = b[[id_col]].join(toks.rename("term")).explode("term")
+    return d[d["term"].notna() & (d["term"] != "")]
+
+
+def word_counts(ds: Dataset, *, text_col: str = "text",
+                top_n: int = 200) -> Dataset:
+    """Distributed word count → top-N terms by (count desc, term asc).
+    Map-side combining: each block emits one (term, n) partial per
+    distinct term, the shuffle moves vocabulary-sized partials (never
+    token streams), then a grouped sum and a deterministic global
+    sort + limit. The classic wordcount, shaped for a 100-TB corpus."""
+    from ..functions.agg import grouped_blockwise
+
+    def partial(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        toks = (
+            b[text_col].str.lower()
+            .str.split(WORD_SPLIT_PATTERN, regex=True)
+            .explode()
+        )
+        toks = toks[toks.notna() & (toks != "")]
+        out = toks.value_counts().rename_axis("term").reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = b.groupby("term", sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = grouped_blockwise(
+        ds.map_batches(partial, batch_format="pandas"), ["term"], final
+    )
+    return counts.sort(["n", "term"], descending=[True, False]).limit(top_n)
+
+
+def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  num_partitions: int = 8) -> Dataset:
+    """Per-document top-k terms by (tf desc, term asc), each with its
+    corpus document frequency — the integer core of TF-IDF (rank and
+    weight derive from tf/df without any float in the certified
+    output). Per-batch tf (a document lives in one row, so its counts
+    never shuffle), distributed df via map-side-combined group count,
+    top-k through the grouped shuffle, then one hash join on term."""
+    from ..functions.agg import group_top_k, partial_group_count
+    from ..functions.blocks import scrub_empty_blocks
+
+    def tf_block(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = _explode_terms(b.reset_index(drop=True), id_col, text_col)
+        tf = (
+            d.groupby([id_col, "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype("int64")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_block, batch_format="pandas"
+    ).materialize()  # consumed twice: df count + top-k
+    df = partial_group_count(tf.select_columns(["term"]), "term",
+                             count_name="df")
+    top = group_top_k(tf, id_col, sort_cols=["tf", "term"],
+                      ascending=[False, True], k=k)
+    joined = scrub_empty_blocks(top).join(
+        df, join_type="inner", num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def order_cols(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        b["df"] = b["df"].astype("int64")
+        return pa.Table.from_pandas(
+            b[[id_col, "term", "tf", "df"]], preserve_index=False
+        )
+
+    return joined.map_batches(order_cols, batch_format="pandas")

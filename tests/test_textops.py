@@ -1,0 +1,80 @@
+"""Unit tests for the wordcount family (stages/textstats.py:
+word_counts, doc_top_terms) and the melt unpivot
+(functions/blocks.py:melt) on adversarial inputs: mixed case,
+punctuation runs, digits, empty docs, tf ties at the top-k cut."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4],
+    "text": [
+        "The cat... the CAT, the hat! 42 42",
+        "dog dog dog cat",
+        "",                      # empty doc: contributes nothing
+        "zeta alpha beta alpha zeta beta",   # 3-way tf tie → term order
+    ],
+})
+
+
+def test_word_counts_matches_naive():
+    from kgdata_ray.stages.textstats import word_counts
+
+    got = word_counts(rd.from_pandas(DOCS).repartition(3),
+                      top_n=5).to_pandas()
+    import re
+    toks = []
+    for t in DOCS["text"]:
+        toks += [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+    ref = (
+        pd.Series(toks).value_counts().rename_axis("term")
+        .reset_index(name="n")
+    )
+    ref = ref.sort_values(["n", "term"], ascending=[False, True]) \
+        .head(5).reset_index(drop=True)
+    ref["n"] = ref["n"].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+    assert got.iloc[0]["term"] in {"the", "cat", "dog"}
+
+
+def test_doc_top_terms_ties_and_df():
+    from kgdata_ray.stages.textstats import doc_top_terms
+
+    got = (
+        doc_top_terms(rd.from_pandas(DOCS).repartition(2), k=2)
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    # doc 4: alpha/beta/zeta all tf=2 → term-asc pins alpha, beta
+    d4 = got[got.doc_id == 4]
+    assert list(d4["term"]) == ["alpha", "beta"]
+    assert list(d4["tf"]) == [2, 2]
+    # df: 'cat' appears in docs 1 and 2
+    cat = got[(got.doc_id == 2) & (got.term == "cat")]
+    if len(cat):
+        assert int(cat["df"].iloc[0]) == 2
+    # empty doc emits no rows
+    assert not (got.doc_id == 3).any()
+    # every doc with text has ≤ k rows
+    assert got.groupby("doc_id").size().max() <= 2
+
+
+def test_melt_roundtrip():
+    from kgdata_ray.functions.blocks import melt
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "a": [0.5, np.nan, 2.5],
+        "b": [1.0, 2.0, 3.0],
+    })
+    got = (
+        melt(rd.from_pandas(df).repartition(2), id_vars=["id"],
+             value_vars=["a", "b"], var_name="m", value_name="v")
+        .to_pandas().sort_values(["id", "m"]).reset_index(drop=True)
+    )
+    ref = pd.melt(df, id_vars=["id"], value_vars=["a", "b"],
+                  var_name="m", value_name="v") \
+        .sort_values(["id", "m"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
