@@ -1,0 +1,50 @@
+"""Deterministic sampling.
+
+Reference analog: the reference samples RDDs for size estimation and
+debugging (``kgdata/spark/extended_rdd.py`` auto-coalesce sampling);
+here sampling is a *reproducible, engine-independent* row filter so a
+sample drawn by this engine, by DuckDB, or by any future engine is the
+same set of rows — the property a 100-TB pipeline needs when a sample
+feeds a downstream job that must be re-runnable.
+
+``hash_sample`` keeps a row iff the first 8 hex chars of
+``md5(salt || str(key))`` fall below ``fraction`` of the hex space.
+MD5 of the decimal string rendering is bit-identical across engines
+(verified vs DuckDB ``md5()``), stateless, and embarrassingly parallel
+— no RNG state, no shuffle, restart-safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def hash_threshold(fraction: float) -> str:
+    """The 8-hex-char cut: rows with md5-prefix < this are kept."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return format(int(fraction * 16**8), "08x")
+
+
+def hash_sample(ds: Dataset, key_col: str, fraction: float,
+                *, salt: str = "") -> Dataset:
+    """Deterministic ``fraction``-sample keyed on ``key_col``: the same
+    key is always in or always out (stratified-consistent across tables
+    sharing the key). Per-row md5 of short strings is a C-speed loop —
+    fine for a filter stage; the batch stays Arrow end-to-end."""
+    cut = hash_threshold(fraction)
+
+    def filt(b: pd.DataFrame) -> pa.Table:
+        keys = b[key_col].astype(str)
+        keep = [
+            hashlib.md5((salt + k).encode()).hexdigest()[:8] < cut
+            for k in keys
+        ]
+        return pa.Table.from_pandas(b[pd.Series(keep, index=b.index)],
+                                    preserve_index=False)
+
+    return ds.map_batches(filt, batch_format="pandas")

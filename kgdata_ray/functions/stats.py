@@ -209,3 +209,38 @@ def paired_moments(
 
     partial = ds.map_batches(pre, batch_format="pandas")
     return grouped_blockwise(partial, [key], final)
+
+
+def histogram(
+    ds: Dataset, value_col: str, *, lo: float, hi: float, nbins: int,
+) -> Dataset:
+    """Fixed-width histogram of ``value_col`` over [lo, hi): per-batch
+    bin assignment (one vectorized expression — the same IEEE ops the
+    SQL oracle runs, so bin edges agree bit-exactly), then a map-side-
+    combined group count. Out-of-range rows clamp into the edge bins;
+    only non-empty bins are emitted (matching SQL GROUP BY)."""
+    width = (hi - lo) / nbins
+
+    def binned(b: pd.DataFrame) -> pa.Table:
+        v = b[value_col].to_numpy().astype("float64")
+        bins = np.floor((v - lo) / width)
+        bins = np.minimum(np.maximum(bins, 0.0), float(nbins - 1))
+        return pa.table({"bin": pa.array(bins.astype("int64"), pa.int64())})
+
+    from .agg import partial_group_count
+
+    return partial_group_count(
+        ds.map_batches(binned, batch_format="pandas"), "bin"
+    )
+
+
+def ndistinct_by(ds: Dataset, key: str, col: str) -> Dataset:
+    """Exact per-key distinct count of ``col`` (SQL
+    ``COUNT(DISTINCT col) GROUP BY key``) in two map-side-combined
+    shuffles: per-block dedup of (key, col) pairs shrinks the first
+    shuffle to unique pairs, then a grouped pair count."""
+    from .agg import distinct_rows, partial_group_count
+
+    pairs = distinct_rows(ds.select_columns([key, col]), [key, col])
+    return partial_group_count(pairs.select_columns([key]), key,
+                               count_name="n_distinct")

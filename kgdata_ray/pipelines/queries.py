@@ -901,6 +901,47 @@ def q_melt_lineitem(sf_dir: str) -> Dataset:
     )
 
 
+from ..functions.sampling import hash_threshold as _hash_threshold
+
+_SAMPLE_FRACTION = 0.25
+_SAMPLE_SALT = "s1"
+_SAMPLE_CUT = _hash_threshold(_SAMPLE_FRACTION)
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 25
+
+
+def q_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic md5-keyed 25% sample of orders
+    (functions/sampling.py:hash_sample) — the engine-independent,
+    restart-safe sample a re-runnable 100-TB pipeline needs. The DuckDB
+    oracle applies the identical md5-prefix cut and selects the exact
+    same rows."""
+    from ..functions.sampling import hash_sample
+
+    orders = _t(sf_dir, "orders")
+    return hash_sample(orders, "o_orderkey", _SAMPLE_FRACTION,
+                       salt=_SAMPLE_SALT)
+
+
+def q_value_histogram(sf_dir: str) -> Dataset:
+    """Fixed-width 25-bin histogram of events.value over [0, 500) with
+    map-side-combined bin counts (functions/stats.py:histogram)."""
+    from ..functions.stats import histogram
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram(ev, "value", lo=_HIST_LO, hi=_HIST_HI,
+                     nbins=_HIST_BINS)
+
+
+def q_ndistinct_users(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT user_id) per event type in two map-side-
+    combined shuffles (functions/stats.py:ndistinct_by)."""
+    from ..functions.stats import ndistinct_by
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return ndistinct_by(ev, "event_type", "user_id")
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1146,6 +1187,9 @@ def queries() -> dict[str, Callable]:
         "asof_join": q_asof_join,
         "sliding_window": q_sliding_window,
         "interval_join": q_interval_join,
+        "hash_sample": q_hash_sample,
+        "value_histogram": q_value_histogram,
+        "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
         "doc_top_terms": q_doc_top_terms,
         "melt_lineitem": q_melt_lineitem,
@@ -1392,6 +1436,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id
              AND e.ts >= p.start_ts AND e.ts <= p.end_ts
+        """,
+        "hash_sample": f"""
+            SELECT * FROM orders
+            WHERE substr(md5('{_SAMPLE_SALT}' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8) < '{_SAMPLE_CUT}'
+        """,
+        "value_histogram": f"""
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT CAST(LEAST(GREATEST(FLOOR(
+                      (value - {_HIST_LO}) /
+                      {(_HIST_HI - _HIST_LO) / _HIST_BINS}), 0),
+                      {_HIST_BINS - 1}) AS BIGINT) AS bin
+                  FROM events)
+            GROUP BY bin
+        """,
+        "ndistinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "word_counts": """
             SELECT term, CAST(COUNT(*) AS BIGINT) AS n

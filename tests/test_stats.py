@@ -113,3 +113,61 @@ def test_paired_moments_match_numpy_exact_sums():
     ref = pd.DataFrame(rows, columns=["g", "n_rows", "corr", "covar"])
     ref["n_rows"] = ref["n_rows"].astype("int64")
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_histogram_clamps_and_counts():
+    from kgdata_ray.functions.stats import histogram
+
+    df = pd.DataFrame({"v": [-5.0, 0.0, 0.49, 0.5, 0.99, 1.0, 7.0]})
+    got = (
+        histogram(rd.from_pandas(df).repartition(3), "v",
+                  lo=0.0, hi=1.0, nbins=2)
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    )
+    # -5 clamps to bin 0; 1.0 and 7.0 clamp to bin 1
+    ref = pd.DataFrame({"bin": [0, 1], "n": [3, 4]}).astype("int64")
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_ndistinct_by_matches_pandas():
+    from kgdata_ray.functions.stats import ndistinct_by
+
+    df = _frame()
+    got = (
+        ndistinct_by(rd.from_pandas(df).repartition(6), "g", "x")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("g")["x"].nunique().rename("n_distinct").reset_index()
+    )
+    ref["n_distinct"] = ref["n_distinct"].astype("int64")
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_hash_sample_deterministic_and_keyed():
+    import duckdb as ddb
+
+    from kgdata_ray.functions.sampling import hash_sample, hash_threshold
+
+    df = _frame(n=4000)
+    ds = rd.from_pandas(df).repartition(5)
+    a = hash_sample(ds, "x", 0.3, salt="z").to_pandas()
+    b = hash_sample(ds, "x", 0.3, salt="z").to_pandas()
+    # deterministic: two runs give the identical row set
+    key = lambda d: sorted(map(tuple, d[["x", "y"]].to_numpy()))
+    assert key(a) == key(b)
+    # keyed: every occurrence of a key is in or out together
+    in_keys = set(a["x"])
+    assert all((x in in_keys) == (x in in_keys) for x in df["x"])
+    n_expected = df[df["x"].isin(in_keys)].shape[0]
+    assert len(a) == n_expected
+    # matches the SQL predicate exactly
+    cut = hash_threshold(0.3)
+    ref = ddb.sql(
+        "SELECT * FROM df WHERE substr(md5('z' || CAST(x AS VARCHAR)), 1, 8)"
+        f" < '{cut}'"
+    ).df()
+    assert key(a) == key(ref)
+    # fraction lands near 0.3 of the key space
+    frac = len(set(a["x"])) / df["x"].nunique()
+    assert 0.2 < frac < 0.4
