@@ -488,27 +488,52 @@ def interval_join(
     end_col: str,
     bucket: str = "1D",
     num_partitions: int = 8,
+    plan: str = "shuffle",
 ) -> Dataset:
     """Range join: left rows matched to every interval of the same key
     with ``start <= ts <= end`` (inclusive). Ray Data has no range
-    join; this is the bucketed-equi-join composition: intervals explode
-    to each time bucket they cover, left rows land in exactly ONE
-    bucket, the (key, bucket) hash join co-locates candidates, and a
-    residual range filter finishes. Each (row, interval) pair meets in
-    exactly one bucket, so no post-join dedup is needed. The shuffle
-    moves each left row once and each interval ceil(len/bucket)+1
-    times — size ``bucket`` near the typical interval length.
+    join; plan="shuffle" (default, the scale path) is the
+    bucketed-equi-join composition: intervals explode to each time
+    bucket they cover, left rows land in exactly ONE bucket, the
+    (key, bucket) hash join co-locates candidates, and a residual
+    range filter finishes. Each (row, interval) pair meets in exactly
+    one bucket, so no post-join dedup is needed. The shuffle moves
+    each left row once and each interval ceil(len/bucket)+1 times —
+    size ``bucket`` near the typical interval length.
+
+    plan="broadcast" is the small-interval-side fast path: the whole
+    interval table is ``ray.put`` once and each left batch does a
+    local merge + range filter — no shuffle at all (the left side
+    streams). Both plans produce identical rows (tested).
+
     Inner-join semantics: unmatched left rows drop. Payload column
     names must be disjoint between the two sides (apart from ``key``,
     which appears once in the output under the left name)."""
     import pandas as pd
 
-    width_us = int(pd.Timedelta(bucket).value // 1000)
     left_cols = list(left.schema().names)
     out_cols = left_cols + [
         c for c in intervals.schema().names
         if c != key and c not in left_cols
     ]
+
+    if plan == "broadcast":
+        from .broadcast import as_ref, get_broadcast
+
+        iv_ref = as_ref(intervals.to_pandas())
+
+        def bcast_join(b: pd.DataFrame) -> pa.Table:
+            iv = get_broadcast(iv_ref)
+            m = b.merge(iv, on=key)
+            keep = (m[ts_col] >= m[start_col]) & (m[ts_col] <= m[end_col])
+            return pa.Table.from_pandas(m.loc[keep, out_cols],
+                                        preserve_index=False)
+
+        return left.map_batches(bcast_join, batch_format="pandas")
+    if plan != "shuffle":
+        raise ValueError(f"unknown interval join plan: {plan}")
+
+    width_us = int(pd.Timedelta(bucket).value // 1000)
 
     def tag_left(b: pd.DataFrame) -> pa.Table:
         b = b.copy()

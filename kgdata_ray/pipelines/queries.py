@@ -942,6 +942,38 @@ def q_ndistinct_users(sf_dir: str) -> Dataset:
     return ndistinct_by(ev, "event_type", "user_id")
 
 
+_CURATION_QUALITY = 0.7
+_CURATION_FRACTION = 0.5
+_CURATION_SALT = "cur"
+_CURATION_CUT = _hash_threshold(_CURATION_FRACTION)
+
+
+def q_corpus_curation(sf_dir: str) -> Dataset:
+    """Flagship training-data curation composition: quality scoring →
+    threshold filter → exact content dedup (min-id representative) →
+    deterministic 50% hash sample. Every stage streams; the only
+    shuffle is the dedup's content groupby. The DuckDB oracle replays
+    the identical four stages in SQL."""
+    from ..functions.sampling import hash_sample
+    from ..stages.dedup import exact_dedup_ids
+    from ..stages.textstats import quality_score_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def with_quality(b: pd.DataFrame) -> pd.DataFrame:
+        out = quality_score_batch(b)
+        out["text"] = b["text"]
+        return out
+
+    kept = docs.map_batches(with_quality, batch_format="pandas").filter(
+        expr=f"quality >= {_CURATION_QUALITY}"
+    )
+    reps = exact_dedup_ids(kept)
+    return hash_sample(reps, "doc_id", _CURATION_FRACTION,
+                       salt=_CURATION_SALT)
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1188,6 +1220,7 @@ def queries() -> dict[str, Callable]:
         "sliding_window": q_sliding_window,
         "interval_join": q_interval_join,
         "hash_sample": q_hash_sample,
+        "corpus_curation": q_corpus_curation,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1441,6 +1474,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders
             WHERE substr(md5('{_SAMPLE_SALT}' ||
                     CAST(o_orderkey AS VARCHAR)), 1, 8) < '{_SAMPLE_CUT}'
+        """,
+        "corpus_curation": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       greatest(CAST(length(regexp_extract_all(text, '\\S+'))
+                           AS DOUBLE), 1.0) AS n_tokens,
+                       CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                           AS DOUBLE) AS n_punct
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text,
+                       round(
+                           0.4 * least(n_chars / 500.0, 1.0)
+                         + 0.3 * (1.0 - abs(least(n_punct / n_tokens, 1.0)
+                               - 0.2))
+                         + 0.3 * (1.0 - least(abs(((n_chars - n_tokens + 1.0)
+                               / n_tokens) - 5.5) / 5.5, 1.0)),
+                       6) AS quality
+                FROM s
+            ), kept AS (
+                SELECT doc_id, text FROM scored
+                WHERE quality >= {_CURATION_QUALITY}
+            ), reps AS (
+                SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                FROM kept GROUP BY text
+            )
+            SELECT doc_id FROM reps
+            WHERE substr(md5('{_CURATION_SALT}' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) < '{_CURATION_CUT}'
         """,
         "value_histogram": f"""
             SELECT bin, CAST(COUNT(*) AS BIGINT) AS n

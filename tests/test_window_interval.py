@@ -107,3 +107,28 @@ def test_interval_join_no_matches_is_empty():
         start_col="start_ts", end_col="end_ts", bucket="1D",
     )
     assert got.count() == 0
+
+
+def test_interval_join_broadcast_plan_equals_shuffle():
+    from kgdata_ray.functions.joins import interval_join
+
+    ev = _events()
+    rng = np.random.default_rng(23)
+    iv = pd.DataFrame({
+        "user_id": rng.integers(0, 35, 50),
+        "iv_id": np.arange(50),
+    })
+    iv["start_ts"] = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 3600 * 40, 50), unit="s")
+    iv["end_ts"] = iv["start_ts"] + pd.to_timedelta(
+        rng.integers(600, 3600 * 20, 50), unit="s")
+    kw = dict(key="user_id", ts_col="ts",
+              start_col="start_ts", end_col="end_ts", bucket="6h")
+    l = rd.from_pandas(ev).repartition(5)
+    r = rd.from_pandas(iv).repartition(2)
+    a = interval_join(l, r, **kw).to_pandas()
+    b = interval_join(l, r, plan="broadcast", **kw).to_pandas()
+    key = lambda d: sorted(zip(d.event_id, d.iv_id))
+    assert key(a) == key(b)
+    assert len(a) > 0
+    assert sorted(a.columns) == sorted(b.columns)
