@@ -123,6 +123,11 @@ def bench_queries(sf_dir: str) -> dict:
         "minhash_pairs": q.q_minhash_pairs,
         "knn_bruteforce": q.q_knn,
         "exact_dedup_docs": q.q_exact_dedup_docs,
+        # round-3 additions
+        "sliding_window": q.q_sliding_window,
+        "interval_join": q.q_interval_join,
+        "word_counts": q.q_word_counts,
+        "corpus_curation": q.q_corpus_curation,
     }
     out = {}
     for name, fn in picks.items():

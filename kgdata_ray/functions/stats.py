@@ -244,3 +244,60 @@ def ndistinct_by(ds: Dataset, key: str, col: str) -> Dataset:
     pairs = distinct_rows(ds.select_columns([key, col]), [key, col])
     return partial_group_count(pairs.select_columns([key]), key,
                                count_name="n_distinct")
+
+
+def rollup_counts(ds: Dataset, keys: Sequence[str],
+                  *, count_name: str = "n") -> Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)`` row counts: one row per prefix
+    level, rolled-up columns NULL. The full-resolution counts are
+    map-side combined once (the only shuffle over data); every coarser
+    level re-aggregates the fine counts (tiny tables), and the grand
+    total is a scalar sum of the fine partials."""
+    from .agg import grouped_blockwise, partial_group_count
+
+    keys = list(keys)
+    fine = partial_group_count(ds, keys, count_name=count_name).materialize()
+    fine_schema = fine.schema().base_schema
+    schema = pa.schema(
+        [fine_schema.field(k) for k in keys]
+        + [pa.field(count_name, pa.int64())]
+    )
+
+    def to_schema(out: pd.DataFrame) -> pa.Table:
+        # rolled-up key columns are all-None; cast pins them to the
+        # fine level's types so union sees one schema
+        out[count_name] = out[count_name].astype("int64")
+        t = pa.Table.from_pandas(out[keys + [count_name]],
+                                 preserve_index=False)
+        return t.cast(schema)
+
+    def level_fn(prefix: list[str]):
+        def final(b: pd.DataFrame) -> pa.Table:
+            out = (
+                b.groupby(prefix, sort=False)[count_name]
+                .sum().reset_index()
+            )
+            for k in keys[len(prefix):]:
+                out[k] = pd.Series([None] * len(out), dtype="object")
+            return to_schema(out)
+        return final
+
+    levels = [fine.map_batches(
+        lambda b: to_schema(b.copy()), batch_format="pandas",
+    )]
+    for k in range(len(keys) - 1, 0, -1):
+        levels.append(
+            grouped_blockwise(fine, keys[:k], level_fn(keys[:k]))
+        )
+    total = int(fine.sum(count_name))
+    grand = pd.DataFrame({k: pd.Series([None], dtype="object")
+                          for k in keys})
+    grand[count_name] = np.int64(total)
+    levels.append(rd.from_arrow(to_schema(grand)))
+
+    from .blocks import scrub_empty_blocks
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(scrub_empty_blocks(lv, target_blocks=1))
+    return out

@@ -974,6 +974,17 @@ def q_corpus_curation(sf_dir: str) -> Dataset:
                        salt=_CURATION_SALT)
 
 
+def q_rollup_doc_counts(sf_dir: str) -> Dataset:
+    """SQL GROUP BY ROLLUP(lang, source) counts over documents
+    (functions/stats.py:rollup_counts) — one map-side-combined shuffle
+    over the data, coarser levels re-aggregate the fine counts."""
+    from ..functions.stats import rollup_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    return rollup_counts(docs, ["lang", "source"])
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1221,6 +1232,7 @@ def queries() -> dict[str, Callable]:
         "interval_join": q_interval_join,
         "hash_sample": q_hash_sample,
         "corpus_curation": q_corpus_curation,
+        "rollup_doc_counts": q_rollup_doc_counts,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1474,6 +1486,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders
             WHERE substr(md5('{_SAMPLE_SALT}' ||
                     CAST(o_orderkey AS VARCHAR)), 1, 8) < '{_SAMPLE_CUT}'
+        """,
+        "rollup_doc_counts": """
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "corpus_curation": f"""
             WITH s AS (

@@ -171,3 +171,25 @@ def test_hash_sample_deterministic_and_keyed():
     # fraction lands near 0.3 of the key space
     frac = len(set(a["x"])) / df["x"].nunique()
     assert 0.2 < frac < 0.4
+
+
+def test_rollup_counts_matches_duckdb():
+    import duckdb as ddb
+
+    from kgdata_ray.functions.stats import rollup_counts
+
+    df = _frame(n=2500)
+    df["h"] = (df["x"] % 3).map({0: "p", 1: "q", 2: "r"})
+    got = (
+        rollup_counts(rd.from_pandas(df).repartition(5), ["g", "h"])
+        .to_pandas()
+        .sort_values(["g", "h"], na_position="first")
+        .reset_index(drop=True)
+    )
+    ref = ddb.sql("""
+        SELECT g, h, CAST(COUNT(*) AS BIGINT) AS n
+        FROM df GROUP BY ROLLUP(g, h)
+        ORDER BY g NULLS FIRST, h NULLS FIRST
+    """).df()
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(got, ref)
