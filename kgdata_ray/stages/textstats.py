@@ -272,8 +272,10 @@ def word_counts(ds: Dataset, *, text_col: str = "text",
     """Distributed word count → top-N terms by (count desc, term asc).
     Map-side combining: each block emits one (term, n) partial per
     distinct term, the shuffle moves vocabulary-sized partials (never
-    token streams), then a grouped sum and a deterministic global
-    sort + limit. The classic wordcount, shaped for a 100-TB corpus."""
+    token streams), then a grouped sum. The top-N cut is local top-N
+    per block + one single-block merge — no second all-to-all (a
+    global sort of the whole vocabulary just to keep 200 rows). The
+    classic wordcount, shaped for a 100-TB corpus."""
     from ..functions.agg import grouped_blockwise
 
     def partial(b: pd.DataFrame) -> "pa.Table":
@@ -298,7 +300,19 @@ def word_counts(ds: Dataset, *, text_col: str = "text",
     counts = grouped_blockwise(
         ds.map_batches(partial, batch_format="pandas"), ["term"], final
     )
-    return counts.sort(["n", "term"], descending=[True, False]).limit(top_n)
+
+    def local_top(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = b.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        counts.map_batches(local_top, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_top, batch_format="pandas")
+    )
 
 
 def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
