@@ -51,11 +51,20 @@ def _disc_index(q: float, n: int) -> int:
 def global_quantiles(
     ds: Dataset, value_col: str, qs: Sequence[float],
     *, q_col: str = "q", out_col: str | None = None,
+    interpolated: bool = False, ndigits: int = 6,
 ) -> Dataset:
-    """Exact discrete quantiles of ``value_col`` over the whole
-    dataset, returned as a tiny (q, value) Dataset. Distributed
-    selection: rows never reach the driver — only one int per sorted
-    block does."""
+    """Exact quantiles of ``value_col`` over the whole dataset,
+    returned as a tiny (q, value) Dataset. Distributed selection: rows
+    never reach the driver — only one int per sorted block does.
+
+    ``interpolated=False`` → discrete order statistics (DuckDB
+    ``quantile_disc``: element at index ceil(q*n)-1, bit-exact, no
+    rounding). ``interpolated=True`` → linear interpolation at virtual
+    index q*(n-1) (DuckDB ``quantile_cont`` / numpy 'linear'; the lerp
+    ``lo + (hi-lo)*frac`` is the same IEEE expression both engines run
+    — verified bit-equal — with ``ndigits`` rounding as a 1-ulp belt)."""
+    import math as _math
+
     out_col = out_col or value_col
     sorted_ds = ds.select_columns([value_col]).sort(value_col)
     refs = sorted_ds.to_arrow_refs()
@@ -68,27 +77,73 @@ def global_quantiles(
     n = sum(counts)
     if n == 0:
         raise ValueError("global_quantiles on an empty dataset")
-    targets = sorted((float(q), _disc_index(q, n)) for q in qs)
 
     offsets = [0]
     for c in counts[:-1]:
         offsets.append(offsets[-1] + c)
 
+    if not interpolated:
+        targets = sorted((float(q), _disc_index(q, n)) for q in qs)
+
+        @ray.remote
+        def _pick(t: pa.Table, local: list[tuple[float, int]]) -> pa.Table:
+            col = t.column(value_col)
+            return pa.table({
+                q_col: pa.array([q for q, _ in local], pa.float64()),
+                out_col: pa.array([col[i].as_py() for _, i in local],
+                                  t.schema.field(value_col).type),
+            })
+
+        out_refs = []
+        for ref, off, cnt in zip(refs, offsets, counts):
+            local = [(q, i - off) for q, i in targets if off <= i < off + cnt]
+            if local:
+                out_refs.append(_pick.remote(ref, local))
+        return rd.from_arrow_refs(out_refs)
+
+    # interpolated: gather the lo/hi order statistics (which may live
+    # in different blocks), then lerp on the tiny gathered table
+    need: list[tuple[float, int, float, int]] = []  # (q, idx, frac, role)
+    for q in qs:
+        v = float(q) * (n - 1)
+        lo, hi = int(_math.floor(v)), int(_math.ceil(v))
+        need.append((float(q), lo, v - lo, 0))
+        if hi != lo:
+            need.append((float(q), hi, v - lo, 1))
+
     @ray.remote
-    def _pick(t: pa.Table, local: list[tuple[float, int]]) -> pa.Table:
+    def _gather(t: pa.Table, local) -> pa.Table:
         col = t.column(value_col)
         return pa.table({
-            q_col: pa.array([q for q, _ in local], pa.float64()),
-            out_col: pa.array([col[i].as_py() for _, i in local],
-                              t.schema.field(value_col).type),
+            q_col: pa.array([q for q, _, _, _ in local], pa.float64()),
+            "__frac": pa.array([f for _, _, f, _ in local], pa.float64()),
+            "__role": pa.array([r for _, _, _, r in local], pa.int8()),
+            "__v": pa.array(
+                [float(col[i].as_py()) for _, i, _, _ in local],
+                pa.float64()),
         })
 
     out_refs = []
     for ref, off, cnt in zip(refs, offsets, counts):
-        local = [(q, i - off) for q, i in targets if off <= i < off + cnt]
+        local = [(q, i - off, f, r) for q, i, f, r in need
+                 if off <= i < off + cnt]
         if local:
-            out_refs.append(_pick.remote(ref, local))
-    return rd.from_arrow_refs(out_refs)
+            out_refs.append(_gather.remote(ref, local))
+
+    def combine(b: pd.DataFrame) -> pa.Table:
+        lo = b[b["__role"] == 0].set_index(q_col)
+        hi = b[b["__role"] == 1].set_index(q_col)["__v"]
+        vlo = lo["__v"]
+        vhi = hi.reindex(vlo.index).fillna(vlo)
+        val = (vlo + (vhi - vlo) * lo["__frac"]).round(ndigits)
+        out = val.rename(out_col).reset_index().sort_values(q_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        rd.from_arrow_refs(out_refs)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )
 
 
 def grouped_quantiles(

@@ -813,6 +813,16 @@ def q_quantiles_global(sf_dir: str) -> Dataset:
     return global_quantiles(ev, "value", _QUANTILES)
 
 
+def q_quantiles_cont(sf_dir: str) -> Dataset:
+    """Interpolated (continuous) global quantiles of events.value —
+    same distributed selection as quantiles_global, lerp at virtual
+    index q*(n-1) matching DuckDB quantile_cont bit-for-bit."""
+    from ..functions.stats import global_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return global_quantiles(ev, "value", _QUANTILES, interpolated=True)
+
+
 def q_quantiles_by_type(sf_dir: str) -> Dataset:
     """Exact per-event-type discrete quantiles of value (long format),
     one range shuffle + vectorized order-statistic gather per block."""
@@ -1239,6 +1249,7 @@ def queries() -> dict[str, Callable]:
         "doc_top_terms": q_doc_top_terms,
         "melt_lineitem": q_melt_lineitem,
         "quantiles_global": q_quantiles_global,
+        "quantiles_cont": q_quantiles_cont,
         "quantiles_by_type": q_quantiles_by_type,
         "pivot_event_counts": q_pivot_event_counts,
         "corr_qty_price": q_corr_qty_price,
@@ -1580,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_global": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(value, {q}) AS value FROM events"
+            for q in _QUANTILES
+        ),
+        "quantiles_cont": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"ROUND(quantile_cont(value, {q}), 6) AS value FROM events"
             for q in _QUANTILES
         ),
         "quantiles_by_type": " UNION ALL ".join(

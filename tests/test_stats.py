@@ -193,3 +193,27 @@ def test_rollup_counts_matches_duckdb():
     """).df()
     assert len(got) == len(ref)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_global_quantiles_interpolated_matches_duckdb():
+    import duckdb as ddb
+
+    from kgdata_ray.functions.stats import global_quantiles
+
+    df = _frame()
+    got = (
+        global_quantiles(rd.from_pandas(df).repartition(9), "v", QS,
+                         interpolated=True)
+        .to_pandas().sort_values("q").reset_index(drop=True)
+    )
+    ref = pd.DataFrame({
+        "q": QS,
+        "v": [round(ddb.sql(
+            f"SELECT quantile_cont(v, {q}) FROM df").fetchone()[0], 6)
+            for q in QS],
+    })
+    np.testing.assert_array_equal(got["q"].to_numpy(), ref["q"].to_numpy())
+    np.testing.assert_array_equal(got["v"].to_numpy(), ref["v"].to_numpy())
+    # also equals numpy's 'linear' interpolation (rounded)
+    np_ref = np.round(np.quantile(df["v"].to_numpy(), QS), 6)
+    np.testing.assert_array_equal(got["v"].to_numpy(), np_ref)
