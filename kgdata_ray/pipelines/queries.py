@@ -995,6 +995,31 @@ def q_rollup_doc_counts(sf_dir: str) -> Dataset:
     return rollup_counts(docs, ["lang", "source"])
 
 
+_CONTAM_N = 4
+_CONTAM_MOD = 20
+
+
+def q_contamination(sf_dir: str) -> Dataset:
+    """Benchmark-decontamination pass: corpus doc ids sharing any word
+    4-gram with the probe set (docs with id % 20 == 3, standing in for
+    an eval benchmark). Broadcast gram-set semi join — the corpus gram
+    stream never shuffles (stages/textstats.py:ngram_contamination)."""
+    from ..stages.textstats import ngram_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def split(want_probe: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["doc_id"] % _CONTAM_MOD) == 3
+            return b[m] if want_probe else b[~m]
+        return f
+
+    probe = docs.map_batches(split(True), batch_format="pandas")
+    rest = docs.map_batches(split(False), batch_format="pandas")
+    return ngram_contamination(rest, probe, n=_CONTAM_N)
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -1242,6 +1267,7 @@ def queries() -> dict[str, Callable]:
         "interval_join": q_interval_join,
         "hash_sample": q_hash_sample,
         "corpus_curation": q_corpus_curation,
+        "contamination": q_contamination,
         "rollup_doc_counts": q_rollup_doc_counts,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
@@ -1497,6 +1523,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders
             WHERE substr(md5('{_SAMPLE_SALT}' ||
                     CAST(o_orderkey AS VARCHAR)), 1, 8) < '{_SAMPLE_CUT}'
+        """,
+        "contamination": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       array_to_string(w[i:i+{_CONTAM_N - 1}], ' ') AS g
+                FROM words, LATERAL (SELECT unnest(generate_series(1,
+                    greatest(len(w)-{_CONTAM_N}+1, 0))) AS i) t
+            ), probe AS (
+                SELECT DISTINCT g FROM grams
+                WHERE doc_id % {_CONTAM_MOD} = 3
+            )
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % {_CONTAM_MOD} <> 3
+              AND g IN (SELECT g FROM probe)
         """,
         "rollup_doc_counts": """
             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

@@ -360,3 +360,57 @@ def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
         )
 
     return joined.map_batches(order_cols, batch_format="pandas")
+
+
+def _word_ngrams(b: pd.DataFrame, id_col: str, text_col: str,
+                 n: int) -> pd.DataFrame:
+    """One (id, gram) row per word n-gram (space-joined), matching the
+    SQL array-slice construction exactly."""
+    import re
+
+    pat = re.compile(WORD_SPLIT_PATTERN)
+    ids, grams = [], []
+    for i, t in zip(b[id_col].to_numpy(), b[text_col].to_numpy()):
+        toks = [w for w in pat.split(t.lower()) if w]
+        for j in range(len(toks) - n + 1):
+            ids.append(i)
+            grams.append(" ".join(toks[j:j + n]))
+    return pd.DataFrame({id_col: ids, "g": grams})
+
+
+def ngram_contamination(
+    docs: Dataset, probe: Dataset, *, n: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> Dataset:
+    """Benchmark-contamination check: ids of ``docs`` sharing any word
+    ``n``-gram with any ``probe`` document — the decontamination pass a
+    training corpus runs against evaluation sets. The probe gram set is
+    benchmark-sized by contract, so the overlap test is a broadcast
+    key-set semi join: the (huge) corpus gram stream never shuffles;
+    only matched ids do, through one distinct. Per-batch pre-dedup of
+    (id, gram) keeps the explode bounded."""
+    from ..functions.agg import distinct_rows
+    from ..functions.joins import semi_join
+
+    def doc_grams(b: pd.DataFrame) -> pa.Table:
+        import pyarrow as pa
+
+        out = _word_ngrams(b, id_col, text_col, n).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def probe_grams(b: pd.DataFrame) -> pa.Table:
+        import pyarrow as pa
+
+        out = _word_ngrams(b, id_col, text_col, n)[["g"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    probe_set = distinct_rows(
+        probe.select_columns([id_col, text_col]).map_batches(
+            probe_grams, batch_format="pandas"), ["g"],
+    )
+    hits = semi_join(
+        docs.select_columns([id_col, text_col]).map_batches(
+            doc_grams, batch_format="pandas"),
+        probe_set, "g", plan="broadcast",
+    )
+    return distinct_rows(hits.select_columns([id_col]), [id_col])

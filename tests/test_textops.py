@@ -78,3 +78,39 @@ def test_melt_roundtrip():
                   var_name="m", value_name="v") \
         .sort_values(["id", "m"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_ngram_contamination_matches_naive():
+    from kgdata_ray.stages.textstats import ngram_contamination
+
+    import re
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "alpha beta gamma delta epsilon",     # shares 4-gram w/ probe
+            "alpha beta gamma DELTA zeta",        # case-folded share
+            "one two three four five",            # no overlap
+            "beta gamma delta epsilon omega",     # shares shifted 4-gram
+            "short text",                         # too short for 4-grams
+        ],
+    })
+    probe = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta epsilon"],
+    })
+    got = (
+        ngram_contamination(rd.from_pandas(corpus).repartition(3),
+                            rd.from_pandas(probe), n=4)
+        .to_pandas()["doc_id"].sort_values().tolist()
+    )
+
+    def grams(t, n=4):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    pg = set().union(*(grams(t) for t in probe["text"]))
+    ref = sorted(
+        d for d, t in zip(corpus["doc_id"], corpus["text"])
+        if grams(t) & pg
+    )
+    assert got == ref == [1, 2, 4]
