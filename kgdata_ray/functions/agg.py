@@ -411,3 +411,45 @@ def sliding_window_sum(
         return b
 
     return grouped_blockwise(ds, [key], block)
+
+
+def group_row_number(
+    ds: Dataset, key: str, order_cols: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    *, out_col: str = "rn",
+) -> Dataset:
+    """SQL ``row_number() OVER (PARTITION BY key ORDER BY ...)`` —
+    ``order_cols`` must pin a total order within each key for
+    determinism. One range shuffle on ``key``, then a vectorized
+    cumcount per block."""
+    oc = list(order_cols)
+    asc = list(ascending) if ascending is not None else [True] * len(oc)
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([key] + oc, ascending=[True] + asc,
+                          kind="mergesort")
+        b[out_col] = (
+            b.groupby(key, sort=False).cumcount() + 1
+        ).astype("int64")
+        return b
+
+    return grouped_blockwise(ds, [key], block)
+
+
+def group_lag_lead(
+    ds: Dataset, key: str, order_cols: Sequence[str], value_col: str,
+    *, lag_col: str = "lag", lead_col: str = "lead",
+) -> Dataset:
+    """SQL ``LAG(value) / LEAD(value) OVER (PARTITION BY key ORDER BY
+    ...)`` (offset 1, NULL at the edges). Same shuffle shape as
+    :func:`group_row_number`; the shift is one vectorized pass."""
+    oc = list(order_cols)
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([key] + oc, kind="mergesort")
+        g = b.groupby(key, sort=False)[value_col]
+        b[lag_col] = g.shift(1)
+        b[lead_col] = g.shift(-1)
+        return b
+
+    return grouped_blockwise(ds, [key], block)

@@ -356,3 +356,61 @@ def rollup_counts(ds: Dataset, keys: Sequence[str],
     for lv in levels[1:]:
         out = out.union(scrub_empty_blocks(lv, target_blocks=1))
     return out
+
+
+def cube_counts(ds: Dataset, keys: Sequence[str],
+                *, count_name: str = "n") -> Dataset:
+    """SQL ``GROUP BY CUBE(keys...)`` row counts: one row per grouping
+    subset, rolled-up columns NULL. Same single-shuffle shape as
+    :func:`rollup_counts` — every subset re-aggregates the fine-level
+    counts (tiny), so adding subsets costs no extra pass over data."""
+    from itertools import combinations
+
+    from .agg import grouped_blockwise, partial_group_count
+    from .blocks import scrub_empty_blocks
+
+    keys = list(keys)
+    fine = partial_group_count(ds, keys, count_name=count_name).materialize()
+    fine_schema = fine.schema().base_schema
+    schema = pa.schema(
+        [fine_schema.field(k) for k in keys]
+        + [pa.field(count_name, pa.int64())]
+    )
+
+    def to_schema(out: pd.DataFrame) -> pa.Table:
+        out[count_name] = out[count_name].astype("int64")
+        t = pa.Table.from_pandas(out[keys + [count_name]],
+                                 preserve_index=False)
+        return t.cast(schema)
+
+    def level_fn(subset: list[str]):
+        def final(b: pd.DataFrame) -> pa.Table:
+            out = (
+                b.groupby(subset, sort=False)[count_name]
+                .sum().reset_index()
+            )
+            for k in keys:
+                if k not in subset:
+                    out[k] = pd.Series([None] * len(out), dtype="object")
+            return to_schema(out)
+        return final
+
+    levels = [fine.map_batches(
+        lambda b: to_schema(b.copy()), batch_format="pandas",
+    )]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, r):
+            levels.append(
+                grouped_blockwise(fine, list(subset),
+                                  level_fn(list(subset)))
+            )
+    total = int(fine.sum(count_name))
+    grand = pd.DataFrame({k: pd.Series([None], dtype="object")
+                          for k in keys})
+    grand[count_name] = np.int64(total)
+    levels.append(rd.from_arrow(to_schema(grand)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(scrub_empty_blocks(lv, target_blocks=1))
+    return out

@@ -995,6 +995,51 @@ def q_rollup_doc_counts(sf_dir: str) -> Dataset:
     return rollup_counts(docs, ["lang", "source"])
 
 
+def q_cube_doc_counts(sf_dir: str) -> Dataset:
+    """SQL GROUP BY CUBE(lang, source) counts over documents
+    (functions/stats.py:cube_counts) — one map-side-combined shuffle;
+    all 2^k grouping subsets re-aggregate the tiny fine-level counts."""
+    from ..functions.stats import cube_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    return cube_counts(docs, ["lang", "source"])
+
+
+def q_row_number_events(sf_dir: str) -> Dataset:
+    """row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    (functions/agg.py:group_row_number) — one range shuffle on the
+    partition key, vectorized cumcount per block."""
+    from ..functions.agg import group_row_number
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    out = group_row_number(ev, "user_id", ["ts", "event_id"])
+    return out.select_columns(["user_id", "event_id", "rn"])
+
+
+def q_lag_lead_events(sf_dir: str) -> Dataset:
+    """LAG/LEAD(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id) (functions/agg.py:group_lag_lead); edge NULLs filled
+    with -1.0 so the NaN-vs-NULL hash question never arises (event
+    values are strictly positive)."""
+    from ..functions.agg import group_lag_lead
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])
+    out = group_lag_lead(ev, "user_id", ["ts", "event_id"], "value",
+                         lag_col="lag_value", lead_col="lead_value")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["user_id", "event_id", "lag_value", "lead_value"]].copy()
+        b["lag_value"] = b["lag_value"].fillna(-1.0)
+        b["lead_value"] = b["lead_value"].fillna(-1.0)
+        return b
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
 _CONTAM_N = 4
 _CONTAM_MOD = 20
 
@@ -1269,6 +1314,9 @@ def queries() -> dict[str, Callable]:
         "corpus_curation": q_corpus_curation,
         "contamination": q_contamination,
         "rollup_doc_counts": q_rollup_doc_counts,
+        "cube_doc_counts": q_cube_doc_counts,
+        "row_number_events": q_row_number_events,
+        "lag_lead_events": q_lag_lead_events,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1546,6 +1594,24 @@ def oracle_sql() -> dict[str, str]:
         "rollup_doc_counts": """
             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "cube_doc_counts": """
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "row_number_events": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        """,
+        "lag_lead_events": """
+            SELECT user_id, event_id,
+                   COALESCE(lag(value) OVER w, -1.0) AS lag_value,
+                   COALESCE(lead(value) OVER w, -1.0) AS lead_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "corpus_curation": f"""
             WITH s AS (
