@@ -453,3 +453,40 @@ def group_lag_lead(
         return b
 
     return grouped_blockwise(ds, [key], block)
+
+
+def group_rank(
+    ds: Dataset, key: str, value_col: str, tiebreak: str,
+    *, ascending: bool = False, tiles: int = 4,
+) -> Dataset:
+    """SQL ``rank()`` / ``dense_rank()`` over ``value_col`` and
+    ``ntile(tiles)`` over the total order (``value_col``,
+    ``tiebreak``), all PARTITION BY ``key`` — one range shuffle, then
+    vectorized pandas rank kernels per block. NTILE follows SQL
+    semantics: the first ``n % tiles`` tiles get one extra row."""
+    import numpy as np
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([key, value_col, tiebreak],
+                          ascending=[True, ascending, True],
+                          kind="mergesort")
+        g = b.groupby(key, sort=False)
+        b["rnk"] = g[value_col].rank(
+            method="min", ascending=ascending).astype("int64")
+        b["dense_rnk"] = g[value_col].rank(
+            method="dense", ascending=ascending).astype("int64")
+        rn0 = g.cumcount().to_numpy()
+        n = g[key].transform("size").to_numpy()
+        base = n // tiles
+        big = n % tiles
+        cutoff = big * (base + 1)
+        in_big = rn0 < cutoff
+        tile = np.where(
+            in_big,
+            rn0 // (base + 1),
+            big + (rn0 - cutoff) // np.maximum(base, 1),
+        )
+        b["tile"] = (tile + 1).astype("int64")
+        return b
+
+    return grouped_blockwise(ds, [key], block)

@@ -17,6 +17,7 @@ MD5 of the decimal string rendering is bit-identical across engines
 from __future__ import annotations
 
 import hashlib
+from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
@@ -48,3 +49,30 @@ def hash_sample(ds: Dataset, key_col: str, fraction: float,
                                     preserve_index=False)
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def cap_per_group(
+    ds: Dataset, keys: Sequence[str], id_col: str, cap: int,
+    *, salt: str = "",
+) -> Dataset:
+    """Keep at most ``cap`` rows per key group, chosen by
+    ``md5(salt + id)`` order (ties by id) — the per-domain / per-source
+    document cap of corpus curation. Hash-ordered selection is
+    deterministic across runs, cluster sizes and input order, and uses
+    the same keyed md5 as :func:`hash_sample`, so capped and sampled
+    views of a corpus stay consistent. One grouped shuffle on
+    ``keys``; the cut is a vectorized cumcount per block."""
+    from .agg import grouped_blockwise
+
+    keys = list(keys)
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        h = [hashlib.md5((salt + k).encode()).hexdigest()[:8]
+             for k in b[id_col].astype(str)]
+        b = b.assign(_h=h).sort_values(keys + ["_h", id_col],
+                                       kind="mergesort")
+        keep = b.groupby(keys, sort=False).cumcount() < cap
+        return pa.Table.from_pandas(
+            b[keep.to_numpy()].drop(columns="_h"), preserve_index=False)
+
+    return grouped_blockwise(ds, keys, block)

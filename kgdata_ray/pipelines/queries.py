@@ -1040,6 +1040,44 @@ def q_lag_lead_events(sf_dir: str) -> Dataset:
     return out.map_batches(fill, batch_format="pandas")
 
 
+def q_ranked_events(sf_dir: str) -> Dataset:
+    """rank()/dense_rank() on value (desc) and ntile(4) per user
+    (functions/agg.py:group_rank) — one range shuffle on the partition
+    key, vectorized pandas rank kernels per block."""
+    from ..functions.agg import group_rank
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    out = group_rank(ev, "user_id", "value", "event_id", tiles=4)
+    return out.select_columns(
+        ["user_id", "event_id", "rnk", "dense_rnk", "tile"])
+
+
+_CAP_PER_SOURCE = 5
+
+
+def q_source_cap_docs(sf_dir: str) -> Dataset:
+    """Per-(lang, source) document cap — keep at most 5 docs per
+    group by keyed-md5 order (functions/sampling.py:cap_per_group),
+    the per-domain cap step of corpus curation."""
+    from ..functions.sampling import cap_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    return cap_per_group(docs, ["lang", "source"], "doc_id",
+                         _CAP_PER_SOURCE)
+
+
+def q_kg_triangles(sf_dir: str) -> Dataset:
+    """Triangle enumeration over the entity co-mention graph
+    (entities sharing a conversation): degree-ordered orientation +
+    wedge self-join + closing hash join
+    (stages/graph.py:co_mention_edges, :triangles)."""
+    from ..stages.graph import co_mention_edges, triangles
+
+    return triangles(co_mention_edges(q_kg_triples(sf_dir)))
+
+
 _CONTAM_N = 4
 _CONTAM_MOD = 20
 
@@ -1317,6 +1355,9 @@ def queries() -> dict[str, Callable]:
         "cube_doc_counts": q_cube_doc_counts,
         "row_number_events": q_row_number_events,
         "lag_lead_events": q_lag_lead_events,
+        "ranked_events": q_ranked_events,
+        "source_cap_docs": q_source_cap_docs,
+        "kg_triangles": q_kg_triangles,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1612,6 +1653,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(lead(value) OVER w, -1.0) AS lead_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "ranked_events": """
+            SELECT user_id, event_id,
+                   CAST(rank() OVER v AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
+                   CAST(ntile(4) OVER t AS BIGINT) AS tile
+            FROM events
+            WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
+                   t AS (PARTITION BY user_id
+                         ORDER BY value DESC, event_id)
+        """,
+        "source_cap_docs": f"""
+            SELECT doc_id, lang, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang, source
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                         doc_id
+            ) <= {_CAP_PER_SOURCE}
         """,
         "corpus_curation": f"""
             WITH s AS (
@@ -2088,6 +2147,18 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             JOIN {et} s ON t.subj = s.entity_id
             LEFT JOIN {et} o ON t.obj = o.entity_id
             GROUP BY 1, 2, 3
+        """,
+        "kg_triangles": f"""
+            WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),
+            e0 AS (
+                SELECT DISTINCT s1.subj AS u, s2.subj AS v
+                FROM s s1 JOIN s s2
+                  ON s1.conv_id = s2.conv_id AND s1.subj < s2.subj
+            )
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e0 e1
+            JOIN e0 e2 ON e1.v = e2.u
+            JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
     }
     return sql

@@ -350,3 +350,122 @@ def rank_moments(ranks: Dataset, *, col: str = "rank") -> dict:
         "std": ranks.std(col),
         "log_mean": ranks.map_batches(logs, batch_format="pandas").mean("log_rank"),
     }
+
+
+
+def co_mention_edges(triples: Dataset) -> Dataset:
+    """Undirected distinct edges (u < v) between entities appearing as
+    subjects in the same conversation — the co-mention projection of
+    the triple table. Pair generation happens inside per-conversation
+    groups (conversation-bounded, so per-group combinations stay
+    tiny); the wide ops are the conv_id grouped shuffle and the final
+    distinct."""
+    import numpy as np
+
+    from ..functions.agg import distinct_rows
+
+    s = distinct_rows(triples.select_columns(["conv_id", "subj"]),
+                      ["conv_id", "subj"])
+
+    def pairs(b: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        for _, g in b.groupby("conv_id", sort=False):
+            ents = np.sort(g["subj"].to_numpy())
+            if len(ents) < 2:
+                continue
+            i, j = np.triu_indices(len(ents), k=1)
+            us.append(ents[i])
+            vs.append(ents[j])
+        if not us:
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        out = pd.DataFrame({"u": np.concatenate(us),
+                            "v": np.concatenate(vs)}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    edged = grouped_blockwise(s, ["conv_id"], pairs)
+    return distinct_rows(edged, ["u", "v"])
+
+
+def triangles(edges: Dataset, *, num_partitions: int = 8) -> Dataset:
+    """All triangles (a < b < c) of an undirected edge Dataset with
+    columns ``u < v`` — one output row per triangle, found exactly
+    once.
+
+    The standard distributed plan: orient every edge from its
+    lower-(degree, id) endpoint to the higher one — out-degrees are
+    then O(sqrt(m)) even on skewed graphs, which bounds wedge
+    generation — enumerate wedges with a self-join on the apex, and
+    close them with one two-column hash join back against the oriented
+    edge list. Nothing collects on the driver; the degree count and
+    the three hash joins are the only wide ops."""
+    import numpy as np
+
+    from ..functions.blocks import scrub_empty_blocks
+
+    edges = edges.materialize()  # consumed twice (degrees + orientation)
+
+    def endpoints(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {"node": pd.concat([b["u"], b["v"]], ignore_index=True)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    deg = partial_group_count(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        "node", count_name="deg").materialize()  # node-count-sized; feeds 2 joins
+
+    j = edges.join(rename_cols(deg, {"node": "un", "deg": "deg_u"}),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("u",), right_on=("un",))
+    j = j.join(rename_cols(deg, {"node": "vn", "deg": "deg_v"}),
+               join_type="inner", num_partitions=num_partitions,
+               on=("v",), right_on=("vn",))
+
+    def orient(b: pd.DataFrame) -> pa.Table:
+        u_first = (b["deg_u"] < b["deg_v"]) | (
+            (b["deg_u"] == b["deg_v"]) & (b["u"] < b["v"]))
+        out = pd.DataFrame({
+            "src": np.where(u_first, b["u"], b["v"]),
+            "dst": np.where(u_first, b["v"], b["u"]),
+            "deg_dst": np.where(u_first, b["deg_v"], b["deg_u"]),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    oriented = scrub_empty_blocks(
+        j.map_batches(orient, batch_format="pandas")).materialize()
+
+    left = oriented.map_batches(
+        lambda t: t.rename_columns(["apex", "w1", "deg1"]),
+        batch_format="pyarrow")
+    right = oriented.map_batches(
+        lambda t: t.select(["src", "dst", "deg_dst"])
+        .rename_columns(["apex2", "w2", "deg2"]),
+        batch_format="pyarrow")
+    wedges = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("apex",), right_on=("apex2",))
+
+    def order_wedge(b: pd.DataFrame) -> pa.Table:
+        keep = (b["deg1"] < b["deg2"]) | (
+            (b["deg1"] == b["deg2"]) & (b["w1"] < b["w2"]))
+        out = b.loc[keep, ["apex", "w1", "w2"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = scrub_empty_blocks(
+        wedges.map_batches(order_wedge, batch_format="pandas"))
+
+    closing = oriented.map_batches(
+        lambda t: t.select(["src", "dst"]).rename_columns(["c1", "c2"]),
+        batch_format="pyarrow")
+    tri = cand.join(closing, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("w1", "w2"), right_on=("c1", "c2"))
+
+    def canon(b: pd.DataFrame) -> pa.Table:
+        arr = np.sort(
+            b[["apex", "w1", "w2"]].to_numpy(dtype=object), axis=1)
+        out = pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1],
+                            "c": arr[:, 2]})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return scrub_empty_blocks(tri.map_batches(canon, batch_format="pandas"))

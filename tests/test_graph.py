@@ -100,3 +100,56 @@ def test_rank_moments(triples_ds):
     assert m["sum"] == pytest.approx(1.0, rel=1e-9)
     assert m["mean"] == pytest.approx(0.25, rel=1e-9)  # 4 nodes
     assert m["std"] > 0 and m["log_mean"] < 0
+
+
+def test_triangles_matches_bruteforce():
+    import itertools
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import triangles
+
+    rng = random.Random(7)
+    nodes = [f"N{i:02d}" for i in range(24)]
+    edge_set = set()
+    for u, v in itertools.combinations(nodes, 2):
+        if rng.random() < 0.25:
+            edge_set.add((u, v))
+    adj = set(edge_set)
+    want = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    assert len(want) > 10  # the fixture must actually exercise closure
+
+    rows = list(edge_set)
+    rng.shuffle(rows)
+    edges = rd.from_pandas(
+        pd.DataFrame(rows, columns=["u", "v"])).repartition(5)
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in triangles(edges, num_partitions=3).take_all()
+    )
+    assert got == want
+
+
+def test_co_mention_edges():
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import co_mention_edges
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3"],
+        "subj": ["E2", "E1", "E3", "E1", "E2", "E9"],
+        "pred": ["p"] * 6,
+        "obj": ["x"] * 6,
+    })
+    got = sorted(
+        (r["u"], r["v"])
+        for r in co_mention_edges(rd.from_pandas(df)).take_all()
+    )
+    assert got == [("E1", "E2"), ("E1", "E3"), ("E2", "E3")]
