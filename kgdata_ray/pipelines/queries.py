@@ -1078,6 +1078,34 @@ def q_kg_triangles(sf_dir: str) -> Dataset:
     return triangles(co_mention_edges(q_kg_triples(sf_dir)))
 
 
+def q_doc_corpus_freq(sf_dir: str) -> Dataset:
+    """Per-document corpus-frequency score: Σ global frequency of each
+    token occurrence + token count, integer-exact
+    (stages/textstats.py:doc_corpus_freq) — two-pass corpus stats
+    (vocab counts, then a term join back)."""
+    from ..stages.textstats import doc_corpus_freq
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return doc_corpus_freq(docs)
+
+
+_CENTROID_SCALE = 1_000_000
+
+
+def q_label_centroids(sf_dir: str) -> Dataset:
+    """Per-label embedding centroid in exact fixed-point: (label, pos,
+    sum_fx, n) with sum_fx = Σ floor(v[pos]*1e6) as int64
+    (stages/similarity.py:grouped_vector_sums) — integer sums make the
+    distributed reduction order-independent, unlike a float mean."""
+    from ..stages.similarity import grouped_vector_sums
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    return grouped_vector_sums(emb, "label", "embedding",
+                               scale=_CENTROID_SCALE)
+
+
 _CONTAM_N = 4
 _CONTAM_MOD = 20
 
@@ -1358,6 +1386,8 @@ def queries() -> dict[str, Callable]:
         "ranked_events": q_ranked_events,
         "source_cap_docs": q_source_cap_docs,
         "kg_triangles": q_kg_triangles,
+        "doc_corpus_freq": q_doc_corpus_freq,
+        "label_centroids": q_label_centroids,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1671,6 +1701,35 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
                          doc_id
             ) <= {_CAP_PER_SOURCE}
+        """,
+        "doc_corpus_freq": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+')) AS term
+                FROM documents
+            ), w AS (
+                SELECT doc_id, term FROM words WHERE term <> ''
+            ), cnt AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM w GROUP BY term
+            )
+            SELECT w.doc_id,
+                   CAST(SUM(c) AS BIGINT) AS freq_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM w JOIN cnt USING (term)
+            GROUP BY w.doc_id
+        """,
+        "label_centroids": f"""
+            SELECT label, CAST(i AS BIGINT) AS pos,
+                   CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                        * {_CENTROID_SCALE}) AS BIGINT)) AS BIGINT)
+                       AS sum_fx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1,
+                     len(embedding))) AS i) t
+            GROUP BY label, i
         """,
         "corpus_curation": f"""
             WITH s AS (

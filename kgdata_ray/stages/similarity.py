@@ -276,3 +276,57 @@ def knn_block_cross(
 
     out_refs = [cross.remote(q, c) for q in q_refs for c in c_refs]
     return _final_topk(rd.from_arrow_refs(out_refs), k)
+
+
+def grouped_vector_sums(
+    ds: Dataset, group_col: str, vec_col: str = "embedding",
+    *, scale: int = 1_000_000,
+) -> Dataset:
+    """Per-group vector centroids in exact fixed-point arithmetic:
+    (group, pos, sum_fx, n) where ``sum_fx = Σ floor(v[pos] * scale)``
+    as int64 — integer sums are order-independent, so the distributed
+    result is bit-identical regardless of batch boundaries or task
+    scheduling (a float mean would depend on reduction order). The
+    centroid is ``sum_fx / (scale * n)`` to 1/scale precision.
+
+    Map-side combine: each batch emits one partial row per (group,
+    pos), so the shuffle moves O(groups × dim) partials, never
+    vectors. ``pos`` is 1-based (SQL array convention)."""
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        mat = _vec_matrix(b, vec_col)
+        fx = np.floor(mat * scale).astype(np.int64)
+        d = fx.shape[1]
+        df = pd.DataFrame({group_col: b[group_col].to_numpy()})
+        g = df.groupby(group_col, sort=False)
+        labels = []
+        sums = []
+        counts = []
+        for lbl, idx in g.indices.items():
+            labels.append(lbl)
+            sums.append(fx[idx].sum(axis=0))
+            counts.append(len(idx))
+        out = pd.DataFrame({
+            group_col: np.repeat(labels, d),
+            "pos": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           len(labels)),
+            "sum_fx": np.concatenate(sums),
+            "n": np.repeat(np.asarray(counts, dtype=np.int64), d),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..functions.agg import grouped_blockwise
+
+    parts = ds.select_columns([group_col, vec_col]).map_batches(
+        partial, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby([group_col, "pos"], sort=False)[["sum_fx", "n"]]
+            .sum().reset_index()
+        )
+        out["sum_fx"] = out["sum_fx"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(parts, [group_col, "pos"], final)

@@ -414,3 +414,72 @@ def ngram_contamination(
         probe_set, "g", plan="broadcast",
     )
     return distinct_rows(hits.select_columns([id_col]), [id_col])
+
+
+def doc_corpus_freq(ds: Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_partitions: int = 8) -> Dataset:
+    """Two-pass corpus-statistics scoring: (doc, Σ corpus-frequency of
+    each token occurrence, token count) — the integer-exact core of
+    frequency-based quality scoring (rare-token documents score low,
+    boilerplate scores high; divide driver-side for the mean). Pass 1
+    builds global term counts (vocabulary-sized partials shuffle, never
+    token streams); pass 2 joins per-doc tf against them on term and
+    re-aggregates per doc. All counts int64, so results are
+    batch-boundary- and order-independent."""
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+
+    def tf_block(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        d = _explode_terms(b.reset_index(drop=True), id_col, text_col)
+        tf = (
+            d.groupby([id_col, "term"], sort=False)
+            .size().reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype("int64")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_block, batch_format="pandas"
+    ).materialize()  # consumed twice: global counts + the join
+
+    def csum(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = b.groupby("term", sort=False)["tf"].sum().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cnt = grouped_blockwise(tf.select_columns(["term", "tf"]), ["term"], csum)
+
+    j = scrub_empty_blocks(tf).join(
+        cnt, join_type="inner", num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def per_doc_partial(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        b = b.assign(freq_sum=b["tf"] * b["c"], n_tokens=b["tf"])
+        out = (
+            b.groupby(id_col, sort=False)[["freq_sum", "n_tokens"]]
+            .sum().reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = j.map_batches(per_doc_partial, batch_format="pandas")
+
+    def per_doc_final(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        out = (
+            b.groupby(id_col, sort=False)[["freq_sum", "n_tokens"]]
+            .sum().reset_index()
+        )
+        out["freq_sum"] = out["freq_sum"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(parts, [id_col], per_doc_final)
