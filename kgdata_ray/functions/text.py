@@ -61,3 +61,31 @@ def normalize_mention_arrow(arr):
     a = pc.replace_substring_regex(a, r"[^\w\- ]", "")
     a = pc.replace_substring_regex(a, r"\s+", " ")
     return pc.utf8_trim_whitespace(a)
+
+
+def json_extract_fields(ds, json_col: str, fields: dict,
+                        *, drop: bool = True):
+    """Parse a JSON-string column and project named scalar fields into
+    typed columns: ``fields`` maps output column name → (json key,
+    pandas dtype). The reference parses JSON per record everywhere
+    (orjson in every loader, e.g. ``kgdata/wikidata/datasets/entities.py``
+    deser fns); the per-row ``loads`` is inherent to JSON-typed
+    payloads — it's a C loop per batch, with column assembly and
+    casting vectorized. Missing keys / null JSON become NaN/None."""
+    try:
+        import orjson as _json
+    except ImportError:  # orjson isn't baked into every env
+        import json as _json
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        parsed = [
+            _json.loads(s) if isinstance(s, str) and s else {}
+            for s in b[json_col]
+        ]
+        out = b.drop(columns=[json_col]) if drop else b.copy()
+        for name, (key, dtype) in fields.items():
+            vals = [p.get(key) for p in parsed]
+            out[name] = pd.Series(vals, index=b.index).astype(dtype)
+        return out
+
+    return ds.map_batches(parse, batch_format="pandas")

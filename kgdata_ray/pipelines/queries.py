@@ -1106,6 +1106,40 @@ def q_label_centroids(sf_dir: str) -> Dataset:
                                scale=_CENTROID_SCALE)
 
 
+def q_props_by_type(sf_dir: str) -> Dataset:
+    """JSON payload extraction + aggregate: parse the events ``props``
+    JSON column (functions/text.py:json_extract_fields — the
+    reference's per-record orjson parsing pattern), then a map-side
+    combined sum/count of the extracted field per event_type."""
+    from ..functions.agg import grouped_blockwise
+    from ..functions.text import json_extract_fields
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    ex = json_extract_fields(ev, "props", {"k": ("k", "int64")})
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby("event_type", sort=False)["k"]
+            .agg(sum_k="sum", n="size").reset_index()
+        )
+        out["sum_k"] = out["sum_k"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby("event_type", sort=False)[["sum_k", "n"]]
+            .sum().reset_index()
+        )
+        out["sum_k"] = out["sum_k"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ex.map_batches(partial, batch_format="pandas")
+    return grouped_blockwise(parts, ["event_type"], final)
+
+
 _CONTAM_N = 4
 _CONTAM_MOD = 20
 
@@ -1388,6 +1422,7 @@ def queries() -> dict[str, Callable]:
         "kg_triangles": q_kg_triangles,
         "doc_corpus_freq": q_doc_corpus_freq,
         "label_centroids": q_label_centroids,
+        "props_by_type": q_props_by_type,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1719,6 +1754,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens
             FROM w JOIN cnt USING (term)
             GROUP BY w.doc_id
+        """,
+        "props_by_type": """
+            SELECT event_type,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "label_centroids": f"""
             SELECT label, CAST(i AS BIGINT) AS pos,
