@@ -149,11 +149,16 @@ def global_quantiles(
 def grouped_quantiles(
     ds: Dataset, key: str, value_col: str, qs: Sequence[float],
     *, q_col: str = "q", out_col: str | None = None,
+    interpolated: bool = False, ndigits: int = 6,
 ) -> Dataset:
-    """Exact per-group discrete quantiles (long format: one row per
-    (key, q)), matching DuckDB ``quantile_disc`` grouped semantics.
-    One range shuffle on ``key``; selection is a vectorized
-    sorted-position gather per block, no per-group Python loop."""
+    """Exact per-group quantiles (long format: one row per (key, q)).
+    ``interpolated=False`` matches DuckDB ``quantile_disc`` grouped
+    semantics (order statistic at ceil(q*n)-1, bit-exact);
+    ``interpolated=True`` matches ``quantile_cont`` / percentile_cont —
+    lerp at virtual index q*(n-1), the same IEEE expression DuckDB
+    evaluates, with ``ndigits`` rounding as a 1-ulp belt. One range
+    shuffle on ``key``; selection is a vectorized sorted-position
+    gather per block, no per-group Python loop."""
     out_col = out_col or value_col
     qlist = sorted(float(q) for q in qs)
 
@@ -173,10 +178,20 @@ def grouped_quantiles(
         sizes = np.diff(np.concatenate((starts, [len(b)])))
         out_k, out_q, out_v = [], [], []
         for q in qlist:
-            idx = starts + np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
             out_k.append(keys_arr[starts])
             out_q.append(np.full(len(starts), q))
-            out_v.append(vals[idx])
+            if interpolated:
+                v = q * (sizes - 1)
+                lo = np.floor(v).astype(np.int64)
+                hi = np.ceil(v).astype(np.int64)
+                frac = v - lo
+                vlo = vals[starts + lo].astype(np.float64)
+                vhi = vals[starts + hi].astype(np.float64)
+                out_v.append(np.round(vlo + (vhi - vlo) * frac, ndigits))
+            else:
+                idx = starts + np.maximum(
+                    np.ceil(q * sizes).astype(np.int64) - 1, 0)
+                out_v.append(vals[idx])
         return pa.table({
             key: pa.array(np.concatenate(out_k)),
             q_col: pa.array(np.concatenate(out_q), pa.float64()),

@@ -833,6 +833,18 @@ def q_quantiles_by_type(sf_dir: str) -> Dataset:
     return grouped_quantiles(ev, "event_type", "value", _GROUP_QUANTILES)
 
 
+def q_quantiles_cont_by_type(sf_dir: str) -> Dataset:
+    """Per-event-type interpolated (percentile_cont) quantiles —
+    grouped_quantiles(interpolated=True): same lerp expression DuckDB
+    evaluates, rounded to 6 digits on both sides."""
+    from ..functions.stats import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value",
+                             _GROUP_QUANTILES, interpolated=True)
+
+
 def q_pivot_event_counts(sf_dir: str) -> Dataset:
     """Crosstab users × event types with map-side partial pivots — the
     shuffle moves one partial row per (user, block), never events. The
@@ -1431,6 +1443,7 @@ def queries() -> dict[str, Callable]:
         "quantiles_global": q_quantiles_global,
         "quantiles_cont": q_quantiles_cont,
         "quantiles_by_type": q_quantiles_by_type,
+        "quantiles_cont_by_type": q_quantiles_cont_by_type,
         "pivot_event_counts": q_pivot_event_counts,
         "corr_qty_price": q_corr_qty_price,
         "kg_triples_salted": q_kg_triples_salted,
@@ -1872,6 +1885,12 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_type": " UNION ALL ".join(
             f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(value, {q}) AS value "
+            f"FROM events GROUP BY event_type"
+            for q in _GROUP_QUANTILES
+        ),
+        "quantiles_cont_by_type": " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+            f"ROUND(quantile_cont(value, {q}), 6) AS value "
             f"FROM events GROUP BY event_type"
             for q in _GROUP_QUANTILES
         ),
