@@ -266,12 +266,38 @@ def _join_pair_sides(
     joins: (id_a, id_b) ⋈ corpus on id_a -> ``<col>_a``, then on id_b
     -> ``<col>_b``. The scale path for pair verification: the shuffle
     moves the pair table and the (pruned) feature columns — nothing is
-    broadcast or collected (round-1 ``_texts_dict`` fix)."""
+    broadcast or collected (round-1 ``_texts_dict`` fix).
+
+    When the candidate pair table is small enough to broadcast its id
+    set (the usual case — pairs are a vanishing fraction of the
+    corpus), the corpus is first semi-filtered on it, so the two hash
+    joins shuffle only the few corpus rows that actually appear in a
+    pair instead of every feature column. The id set is gathered
+    driver-side under a hard cap (the repo's bounded-collect pattern,
+    same as the hot-key pre-pass) — above the cap the prune is
+    skipped, and the direct join is already the scale path."""
+    from ..functions.broadcast import get_broadcast
     from ..functions.blocks import rename_cols
+    from ..functions.joins import BROADCAST_KEYS_MAX
+
+    pairs = pairs.materialize()  # consumed twice (id set + the joins)
+    src = corpus.select_columns([id_col] + cols)
+    if pairs.count() <= BROADCAST_KEYS_MAX // 2:
+        idset: set = set()
+        for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_format="pandas"):
+            idset.update(b["id_a"])
+            idset.update(b["id_b"])
+        ids_ref = ray.put(idset)
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[id_col].isin(get_broadcast(ids_ref))]
+
+        src = src.map_batches(prune, batch_format="pandas")
 
     def side(tag: str) -> Dataset:
         return rename_cols(
-            corpus.select_columns([id_col] + cols),
+            src,
             {id_col: f"__j{tag}", **{c: f"{c}_{tag}" for c in cols}},
         )
 
