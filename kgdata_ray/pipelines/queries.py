@@ -1152,6 +1152,22 @@ def q_props_by_type(sf_dir: str) -> Dataset:
     return grouped_blockwise(parts, ["event_type"], final)
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(sf_dir: str) -> Dataset:
+    """Token-window passage chunking with overlap
+    (stages/textstats.py:chunk_documents) — windows every 24 tokens of
+    32 tokens each, shuffle-free flatMap."""
+    from ..stages.textstats import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS,
+                           stride=_CHUNK_STRIDE)
+
+
 _CONTAM_N = 4
 _CONTAM_MOD = 20
 
@@ -1435,6 +1451,7 @@ def queries() -> dict[str, Callable]:
         "doc_corpus_freq": q_doc_corpus_freq,
         "label_centroids": q_label_centroids,
         "props_by_type": q_props_by_type,
+        "chunk_documents": q_chunk_documents,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1767,6 +1784,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens
             FROM w JOIN cnt USING (term)
             GROUP BY w.doc_id
+        """,
+        "chunk_documents": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                       w[i * {_CHUNK_STRIDE} + 1 :
+                         i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+                       ' ') AS chunk_text,
+                   CAST(least({_CHUNK_TOKENS},
+                              len(w) - i * {_CHUNK_STRIDE}) AS BIGINT)
+                       AS n_tokens
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(ceil(CAST(len(w) AS DOUBLE)
+                               / {_CHUNK_STRIDE}) AS BIGINT) - 1))
+                     AS i) t
+            WHERE len(w) > 0
         """,
         "props_by_type": """
             SELECT event_type,

@@ -483,3 +483,42 @@ def doc_corpus_freq(ds: Dataset, *, id_col: str = "doc_id",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_blockwise(parts, [id_col], per_doc_final)
+
+
+def chunk_documents(ds: Dataset, *, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 32,
+                    stride: int = 24) -> Dataset:
+    """Fixed-size token-window passage chunking with overlap — the
+    chunking stage of a RAG / training-data pipeline. One output row
+    per (doc, window): windows start every ``stride`` tokens while the
+    start is inside the document, each covering ``chunk_tokens`` tokens
+    (the last may be shorter); empty documents produce no chunks.
+    Embarrassingly parallel: a document lives in one row, so chunking
+    is a pure per-batch flatMap — no shuffle anywhere."""
+    import numpy as np
+
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def block(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        ids, idxs, texts, lens = [], [], [], []
+        for doc, t in zip(b[id_col].to_numpy(), b[text_col]):
+            toks = t.split() if isinstance(t, str) else []
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                w = toks[s:s + chunk_tokens]
+                ids.append(doc)
+                idxs.append(ci)
+                texts.append(" ".join(w))
+                lens.append(len(w))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pandas")
