@@ -572,3 +572,51 @@ def interval_join(
     return scrub_empty_blocks(
         j.map_batches(residual, batch_format="pandas")
     )
+
+
+def bucketed_join(
+    left_dir, right_dir, *, on: str, right_on: Optional[str] = None,
+    join_type: str = "inner", num_partitions: int = 2,
+) -> "Dataset":
+    """Co-partitioned join over two bucketed sinks
+    (``state.manifest.write_dataset_sharded`` outputs whose
+    ``shard_col`` is the join key): shard *i* of the left can only
+    match shard *i* of the right, so the join decomposes into
+    ``num_shards`` independent small joins and NO global all-to-all
+    shuffle ever runs — the scale pattern of picking ONE partitioning
+    key, paying its shuffle once at write time, and reusing it across
+    every downstream join. Each per-shard join is a tiny hash join;
+    shards stream independently (the union is lazy).
+
+    Raises if the two sinks disagree on shard count (their bucket
+    functions would not be aligned)."""
+    import ray.data as rd
+
+    from ..state.manifest import MANIFEST_NAME, read_manifest
+    from pathlib import Path
+    import json as _json
+
+    lm, rm = read_manifest(left_dir), read_manifest(right_dir)
+    if lm is None or rm is None:
+        raise FileNotFoundError("both sides need a parent manifest")
+    ln, rn = lm["params"]["num_shards"], rm["params"]["num_shards"]
+    if ln != rn:
+        raise ValueError(f"shard counts differ: {ln} != {rn}")
+
+    def shard_files(base, s: int) -> list[str]:
+        sdir = Path(base) / f"shard={s:05d}"
+        m = _json.loads((sdir / MANIFEST_NAME).read_text())
+        return [str(sdir / f["name"]) for f in m["files"]]
+
+    out = None
+    for s in range(ln):
+        lf, rf = shard_files(left_dir, s), shard_files(right_dir, s)
+        # partitioning=None: the shard=NNNNN path segment must not be
+        # hive-inferred into a column (it would collide across sides)
+        l = rd.read_parquet(lf, partitioning=None)
+        r = rd.read_parquet(rf, partitioning=None)
+        j = l.join(r, join_type=join_type,
+                   num_partitions=num_partitions,
+                   on=(on,), right_on=((right_on or on),))
+        out = j if out is None else out.union(j)
+    return out

@@ -1152,6 +1152,39 @@ def q_props_by_type(sf_dir: str) -> Dataset:
     return grouped_blockwise(parts, ["event_type"], final)
 
 
+_BUCKETS = 4
+
+
+def q_bucketed_join(sf_dir: str) -> Dataset:
+    """Co-partitioned (bucketed) join: both sides are written once
+    into key-hashed bucket directories (state/manifest.py:
+    write_dataset_sharded — resumable, manifest-validated), then
+    joined shard-by-shard with NO global shuffle
+    (functions/joins.py:bucketed_join). The pattern that amortizes one
+    partitioning across every downstream join of a 100-TB table; the
+    bucketed sinks are cached across calls via their manifests."""
+    import os
+
+    from ..functions.joins import bucketed_join
+    from ..state.manifest import write_dataset_sharded
+
+    base = ("/tmp/kgr_bucketed/"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    for ds_in, sub, col in ((orders, "orders", "o_custkey"),
+                            (cust, "customer", "c_custkey")):
+        out = f"{base}/{sub}"
+        write_dataset_sharded(ds_in, out, shard_col=col,
+                              num_shards=_BUCKETS, name=f"{sub}_bucketed",
+                              params={"sf_dir": sf_dir})
+    j = bucketed_join(f"{base}/orders", f"{base}/customer",
+                      on="o_custkey", right_on="c_custkey")
+    return j.select_columns(["o_orderkey", "c_name"])
+
+
 _CHUNK_TOKENS = 32
 _CHUNK_STRIDE = 24
 
@@ -1452,6 +1485,7 @@ def queries() -> dict[str, Callable]:
         "label_centroids": q_label_centroids,
         "props_by_type": q_props_by_type,
         "chunk_documents": q_chunk_documents,
+        "bucketed_join": q_bucketed_join,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1784,6 +1818,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens
             FROM w JOIN cnt USING (term)
             GROUP BY w.doc_id
+        """,
+        "bucketed_join": """
+            SELECT o_orderkey, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "chunk_documents": f"""
             WITH words AS (
