@@ -430,3 +430,36 @@ def _matches(marker: Path, want: dict) -> bool:
         return json.loads(marker.read_text()) == want
     except (ValueError, OSError):
         return False
+
+
+def golden_comention_edges(triples_rows) -> list[tuple[str, str]]:
+    """Distinct undirected co-mention edges (u < v) from golden triple
+    rows [(subj, conv_id), ...] — naive set construction."""
+    by_conv: dict = {}
+    for subj, conv in triples_rows:
+        by_conv.setdefault(conv, set()).add(subj)
+    edges = set()
+    for ents in by_conv.values():
+        es = sorted(ents)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                edges.add((es[i], es[j]))
+    return sorted(edges)
+
+
+def golden_kcore(edges: list[tuple[str, str]], k: int) -> pa.Table:
+    """k-core node set by naive peeling (recompute neighbor counts
+    against the surviving set every sweep until stable)."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(nodes):
+            if n in nodes and len(adj[n] & nodes) < k:
+                nodes.discard(n)
+                changed = True
+    return pa.table({"node": pa.array(sorted(nodes), pa.string())})

@@ -49,7 +49,7 @@ from .synth import (
 ORACLE_BASE = os.environ.get("KGR_ORACLE_DIR", "/tmp/kgr_oracle")
 
 # bump when the set of materialized tables or their schemas change
-ORACLE_TABLES_VERSION = 5
+ORACLE_TABLES_VERSION = 6
 
 
 def oracle_dir(sf: float) -> str:
@@ -154,11 +154,24 @@ def ensure_oracle_tables(sf: float) -> str:
         out / "raw_candidates.parquet",
     )
 
-    from .oracle_sketch import golden_pagerank
+    from .oracle_sketch import (
+        golden_comention_edges,
+        golden_kcore,
+        golden_pagerank,
+    )
 
     pq.write_table(
         golden_pagerank([(t["subj"], t["obj"]) for t in golden]),
         out / "pagerank.parquet",
+    )
+
+    pq.write_table(
+        golden_kcore(
+            golden_comention_edges(
+                [(t["subj"], t["conv_id"]) for t in golden]),
+            k=3,
+        ),
+        out / "kcore3.parquet",
     )
 
     unlink = oracle.extract_unlinkable(tt, gz)

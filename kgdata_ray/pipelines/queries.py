@@ -1090,6 +1090,16 @@ def q_kg_triangles(sf_dir: str) -> Dataset:
     return triangles(co_mention_edges(q_kg_triples(sf_dir)))
 
 
+def q_kg_kcore(sf_dir: str) -> Dataset:
+    """3-core of the entity co-mention graph by distributed iterative
+    peeling (stages/graph.py:k_core) — per round one map-side-combined
+    degree count plus two broadcast anti joins; certified against an
+    independent naive-peeling golden."""
+    from ..stages.graph import co_mention_edges, k_core
+
+    return k_core(co_mention_edges(q_kg_triples(sf_dir)), k=3)
+
+
 def q_doc_corpus_freq(sf_dir: str) -> Dataset:
     """Per-document corpus-frequency score: Σ global frequency of each
     token occurrence + token count, integer-exact
@@ -1481,6 +1491,7 @@ def queries() -> dict[str, Callable]:
         "ranked_events": q_ranked_events,
         "source_cap_docs": q_source_cap_docs,
         "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
         "doc_corpus_freq": q_doc_corpus_freq,
         "label_centroids": q_label_centroids,
         "props_by_type": q_props_by_type,
@@ -2357,6 +2368,9 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM e0 e1
             JOIN e0 e2 ON e1.v = e2.u
             JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "kg_kcore": f"""
+            SELECT node FROM read_parquet('{d}/kcore3.parquet')
         """,
     }
     return sql

@@ -469,3 +469,48 @@ def triangles(edges: Dataset, *, num_partitions: int = 8) -> Dataset:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return scrub_empty_blocks(tri.map_batches(canon, batch_format="pandas"))
+
+
+def k_core(edges: Dataset, k: int, *, max_rounds: int = 200) -> Dataset:
+    """Nodes of the k-core of an undirected edge Dataset (columns
+    ``u``/``v``): iterative peeling — drop every node with current
+    degree < k (and its edges) until none remains, the standard
+    distributed decomposition loop. Each round is one map-side-combined
+    degree count plus two anti joins (the removed-node set is tiny per
+    round, so the anti joins take the broadcast plan); the surviving
+    edge set is checkpointed per round like the PageRank iteration.
+    Raises if the loop hasn't converged within ``max_rounds``."""
+    import numpy as np
+
+    from ..functions.joins import anti_join
+
+    def endpoints(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {"node": pd.concat([b["u"], b["v"]], ignore_index=True)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cur = edges.materialize()
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+        deg = partial_group_count(
+            cur.map_batches(endpoints, batch_format="pandas"),
+            "node", count_name="deg")
+
+        def low(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["deg"] < k, ["node"]]
+
+        bad = deg.map_batches(low, batch_format="pandas").materialize()
+        if bad.count() == 0:
+            break
+        cur = anti_join(
+            anti_join(cur, bad, "u", right_on="node", plan="broadcast"),
+            bad, "v", right_on="node", plan="broadcast",
+        ).materialize()
+    else:
+        raise RuntimeError(f"k_core: no convergence in {max_rounds} rounds")
+
+    from ..functions.agg import distinct_rows
+
+    nodes = cur.map_batches(endpoints, batch_format="pandas")
+    return distinct_rows(nodes, ["node"])

@@ -153,3 +153,43 @@ def test_co_mention_edges():
         for r in co_mention_edges(rd.from_pandas(df)).take_all()
     )
     assert got == [("E1", "E2"), ("E1", "E3"), ("E2", "E3")]
+
+
+def test_kcore_matches_bruteforce():
+    import itertools
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import k_core
+
+    rng = random.Random(11)
+    nodes = [f"K{i:02d}" for i in range(30)]
+    edge_set = {
+        (u, v) for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.12
+    }
+
+    def brute(k):
+        adj = {}
+        for u, v in edge_set:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        keep = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(keep):
+                if n in keep and len(adj[n] & keep) < k:
+                    keep.discard(n)
+                    changed = True
+        return sorted(keep)
+
+    edges = rd.from_pandas(
+        pd.DataFrame(sorted(edge_set), columns=["u", "v"])).repartition(4)
+    for k in (2, 3):
+        want = brute(k)
+        got = sorted(r["node"] for r in k_core(edges, k).take_all())
+        assert got == want, k
+    assert brute(2), "fixture must have a non-trivial 2-core"
