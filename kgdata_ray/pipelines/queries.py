@@ -1093,7 +1093,7 @@ def q_kg_triangles(sf_dir: str) -> Dataset:
 def q_kg_kcore(sf_dir: str) -> Dataset:
     """3-core of the entity co-mention graph by distributed iterative
     peeling (stages/graph.py:k_core) — per round one map-side-combined
-    degree count plus two broadcast anti joins; certified against an
+    degree count plus two size-guarded anti joins; certified against an
     independent naive-peeling golden."""
     from ..stages.graph import co_mention_edges, k_core
 

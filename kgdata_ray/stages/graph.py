@@ -353,13 +353,16 @@ def rank_moments(ranks: Dataset, *, col: str = "rank") -> dict:
 
 
 
-def co_mention_edges(triples: Dataset) -> Dataset:
+def co_mention_edges(triples: Dataset, *, max_group: int = 5000) -> Dataset:
     """Undirected distinct edges (u < v) between entities appearing as
     subjects in the same conversation — the co-mention projection of
     the triple table. Pair generation happens inside per-conversation
     groups (conversation-bounded, so per-group combinations stay
     tiny); the wide ops are the conv_id grouped shuffle and the final
-    distinct."""
+    distinct. ``max_group`` caps the quadratic blowup of a pathological
+    conversation (same contract as the LSH ``max_bucket`` cap): a group
+    beyond it contributes only its first ``max_group`` sorted entities
+    — deterministic, and far above any test-scale group size."""
     import numpy as np
 
     from ..functions.agg import distinct_rows
@@ -370,7 +373,7 @@ def co_mention_edges(triples: Dataset) -> Dataset:
     def pairs(b: pd.DataFrame) -> pa.Table:
         us, vs = [], []
         for _, g in b.groupby("conv_id", sort=False):
-            ents = np.sort(g["subj"].to_numpy())
+            ents = np.sort(g["subj"].to_numpy())[:max_group]
             if len(ents) < 2:
                 continue
             i, j = np.triu_indices(len(ents), k=1)
@@ -476,12 +479,11 @@ def k_core(edges: Dataset, k: int, *, max_rounds: int = 200) -> Dataset:
     ``u``/``v``): iterative peeling — drop every node with current
     degree < k (and its edges) until none remains, the standard
     distributed decomposition loop. Each round is one map-side-combined
-    degree count plus two anti joins (the removed-node set is tiny per
-    round, so the anti joins take the broadcast plan); the surviving
-    edge set is checkpointed per round like the PageRank iteration.
+    degree count plus two size-guarded anti joins (broadcast while the
+    removed set fits the key cap, shuffle existence join above it); the
+    surviving edge set is checkpointed per round like the PageRank
+    iteration.
     Raises if the loop hasn't converged within ``max_rounds``."""
-    import numpy as np
-
     from ..functions.joins import anti_join
 
     def endpoints(b: pd.DataFrame) -> pa.Table:
@@ -503,9 +505,12 @@ def k_core(edges: Dataset, k: int, *, max_rounds: int = 200) -> Dataset:
         bad = deg.map_batches(low, batch_format="pandas").materialize()
         if bad.count() == 0:
             break
+        # "auto": broadcast while the removed set fits the key cap —
+        # the first peel round can drop a large fraction of all nodes,
+        # where the shuffle existence-join plan takes over
         cur = anti_join(
-            anti_join(cur, bad, "u", right_on="node", plan="broadcast"),
-            bad, "v", right_on="node", plan="broadcast",
+            anti_join(cur, bad, "u", right_on="node", plan="auto"),
+            bad, "v", right_on="node", plan="auto",
         ).materialize()
     else:
         raise RuntimeError(f"k_core: no convergence in {max_rounds} rounds")
