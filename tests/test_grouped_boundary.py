@@ -111,3 +111,35 @@ def test_grouped_blockwise_correct_with_tiny_blocks():
             assert row["sum"] == expect[k]
     finally:
         ctx.target_max_block_size = old
+
+
+def test_group_row_number_tiny_blocks():
+    # the window family rides grouped_blockwise; under pathological
+    # 4 KiB blocks a skewed partition key must still produce exactly
+    # the pandas single-partition row numbering
+    from kgdata_ray.functions.agg import group_row_number
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024
+    try:
+        n = 12_000
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": np.where(np.arange(n) % 3 == 0, 0,
+                          np.arange(n) % 11).astype(np.int64),
+            "ord": rng.permutation(n).astype(np.int64),
+        })
+        ds = rd.from_pandas(df).repartition(16)
+        got = (
+            group_row_number(ds, "k", ["ord"])
+            .to_pandas()
+            .sort_values(["k", "ord"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "ord"]).reset_index(drop=True)
+        want["rn"] = want.groupby("k", sort=False).cumcount() + 1
+        pd.testing.assert_frame_equal(
+            got[["k", "ord", "rn"]], want[["k", "ord", "rn"]])
+    finally:
+        ctx.target_max_block_size = old
