@@ -463,3 +463,31 @@ def golden_kcore(edges: list[tuple[str, str]], k: int) -> pa.Table:
                 nodes.discard(n)
                 changed = True
     return pa.table({"node": pa.array(sorted(nodes), pa.string())})
+
+
+def golden_core_numbers(edges: list[tuple[str, str]]) -> pa.Table:
+    """(node, core) by naive repeated peeling — deliberately a
+    DIFFERENT algorithm from the engine's H-index iteration, so
+    agreement certifies both."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = set(adj)
+    core: dict = {}
+    k = 1
+    while nodes:
+        changed = True
+        while changed:
+            changed = False
+            for n in list(nodes):
+                if n in nodes and len(adj[n] & nodes) < k:
+                    core[n] = k - 1
+                    nodes.discard(n)
+                    changed = True
+        k += 1
+    items = sorted(core.items())
+    return pa.table({
+        "node": pa.array([n for n, _ in items], pa.string()),
+        "core": pa.array([c for _, c in items], pa.int64()),
+    })

