@@ -490,3 +490,50 @@ def group_rank(
         return b
 
     return grouped_blockwise(ds, [key], block)
+
+
+def watermark_tumbling_windows(
+    ds: Dataset, key: str, ts_col: str, arrival_col: str,
+    value_col: str, *, window: "pd.Timedelta", lateness: "pd.Timedelta",
+) -> Dataset:
+    """Streaming tumbling-window aggregate with watermark late-data
+    semantics, evaluated over a bounded replay: events are processed in
+    per-key ARRIVAL order (``arrival_col``); the watermark is the
+    running max of event time seen so far minus ``lateness``, and an
+    event whose timestamp is already behind the watermark at its
+    arrival is DROPPED (what a streaming engine does when a window has
+    been finalized). Survivors aggregate into fixed ``window`` buckets:
+    (key, window_start, n, sum_value).
+
+    The watermark is per-key, so the whole operator is one range
+    shuffle on ``key`` + a vectorized cummax/filter/groupby per block —
+    a faithful bounded-input replay of the streaming rule with no
+    sequential driver pass. Certified against the identical SQL window
+    expression (running MAX OVER arrival order, 1 PRECEDING). The sum
+    is cent-exact int64 (order-independent, same belt as
+    running_total/sliding_window)."""
+    import numpy as np
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values([key, arrival_col],
+                          kind="mergesort").reset_index(drop=True)
+        g = b.groupby(key, sort=False)
+        # watermark BEFORE this event: cummax of prior events' ts
+        # (vectorized: grouped cummax, then a grouped shift)
+        b["__cm"] = g[ts_col].cummax()
+        prior_max = b.groupby(key, sort=False)["__cm"].shift(1)
+        keep = prior_max.isna() | (
+            b[ts_col] >= prior_max - lateness)
+        kept = b[keep.to_numpy()].copy()
+        kept["window_start"] = kept[ts_col].dt.floor(window)
+        kept["__cents"] = np.floor(
+            kept[value_col].to_numpy() * 100).astype("int64")
+        out = (
+            kept.groupby([key, "window_start"], sort=False)["__cents"]
+            .agg(n="size", sum_cents="sum").reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(ds, [key], block)

@@ -1206,6 +1206,41 @@ def q_bucketed_join(sf_dir: str) -> Dataset:
     return j.select_columns(["o_orderkey", "c_name"])
 
 
+def q_watermark_windows(sf_dir: str) -> Dataset:
+    """Streaming tumbling-window aggregate with watermark late-data
+    drop, replayed over the bounded events table
+    (functions/agg.py:watermark_tumbling_windows). Arrival order is a
+    deterministic md5 permutation of event_id (the table's event_id
+    follows event time, so real arrival jitter must be synthesized);
+    lateness 14 days drops ~47% of events at sf0.01 — both the keep
+    and the drop path are exercised. Windows are 1-day buckets."""
+    import hashlib
+
+    from ..functions.agg import watermark_tumbling_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def arr(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # md5 prefix + zero-padded id = a TOTAL arrival order (md5
+        # prefixes alone can tie, which would leave the watermark
+        # order ambiguous between engines)
+        b["arr"] = [
+            hashlib.md5(str(e).encode()).hexdigest()[:8]
+            + f"-{e:012d}"
+            for e in b["event_id"]
+        ]
+        return b
+
+    out = watermark_tumbling_windows(
+        ev.map_batches(arr, batch_format="pandas"),
+        "user_id", "ts", "arr", "value",
+        window=pd.Timedelta(days=1), lateness=pd.Timedelta(days=14),
+    )
+    return out
+
+
 _CHUNK_TOKENS = 32
 _CHUNK_STRIDE = 24
 
@@ -1509,6 +1544,7 @@ def queries() -> dict[str, Callable]:
         "props_by_type": q_props_by_type,
         "chunk_documents": q_chunk_documents,
         "bucketed_join": q_bucketed_join,
+        "watermark_windows": q_watermark_windows,
         "value_histogram": q_value_histogram,
         "ndistinct_users": q_ndistinct_users,
         "word_counts": q_word_counts,
@@ -1845,6 +1881,30 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": """
             SELECT o_orderkey, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "watermark_windows": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                           || '-' || lpad(CAST(event_id AS VARCHAR),
+                                          12, '0') AS arr
+                FROM events
+            ), w AS (
+                SELECT user_id, ts, value,
+                       MAX(ts) OVER (
+                           PARTITION BY user_id ORDER BY arr
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+                FROM e
+            )
+            SELECT user_id,
+                   date_trunc('day', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM w
+            WHERE wm IS NULL OR ts >= wm - INTERVAL 14 DAY
+            GROUP BY user_id, date_trunc('day', ts)
         """,
         "chunk_documents": f"""
             WITH words AS (
