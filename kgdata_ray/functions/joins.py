@@ -22,7 +22,7 @@ map stages instead of spinning actor pools.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
@@ -489,6 +489,8 @@ def interval_join(
     bucket: str = "1D",
     num_partitions: int = 8,
     plan: str = "shuffle",
+    left_cols: Optional[Sequence[str]] = None,
+    interval_cols: Optional[Sequence[str]] = None,
 ) -> Dataset:
     """Range join: left rows matched to every interval of the same key
     with ``start <= ts <= end`` (inclusive). Ray Data has no range
@@ -508,13 +510,20 @@ def interval_join(
 
     Inner-join semantics: unmatched left rows drop. Payload column
     names must be disjoint between the two sides (apart from ``key``,
-    which appears once in the output under the left name)."""
+    which appears once in the output under the left name).
+
+    Pass ``left_cols`` / ``interval_cols`` when you know the schemas:
+    ``Dataset.schema()`` on a mapped pipeline costs a limit-1
+    execution of that pipeline (two of them here — ~1.5 s of fixed
+    overhead per call that explicit columns avoid)."""
     import pandas as pd
 
-    left_cols = list(left.schema().names)
+    left_cols = (list(left_cols) if left_cols is not None
+                 else list(left.schema().names))
+    iv_names = (list(interval_cols) if interval_cols is not None
+                else list(intervals.schema().names))
     out_cols = left_cols + [
-        c for c in intervals.schema().names
-        if c != key and c not in left_cols
+        c for c in iv_names if c != key and c not in left_cols
     ]
 
     if plan == "broadcast":

@@ -794,6 +794,8 @@ def q_interval_join(sf_dir: str) -> Dataset:
     return interval_join(
         left, iv, key="user_id", ts_col="ts",
         start_col="start_ts", end_col="end_ts", bucket="2h",
+        left_cols=["user_id", "event_id", "ts"],
+        interval_cols=["user_id", "iv_id", "start_ts", "end_ts"],
     )
 
 
