@@ -240,8 +240,17 @@ def salted_join(
         on=(on, "__salt"),
         right_on=(f"{on}__r", "__salt"),
     )
+    # drop per batch instead of joined.drop_columns(...): computing the
+    # join's schema() for the column list would execute the whole
+    # shuffle once just to answer the probe
     drop = ["__salt", f"{on}__r"]
-    return joined.drop_columns([c for c in drop if c in joined.schema().names])
+
+    def _strip(t: pa.Table) -> pa.Table:
+        present = [c for c in drop if c in t.schema.names]
+        return t.drop_columns(present) if present else t
+
+    return joined.map_batches(_strip, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
