@@ -128,6 +128,9 @@ def bench_queries(sf_dir: str) -> dict:
         "interval_join": q.q_interval_join,
         "word_counts": q.q_word_counts,
         "corpus_curation": q.q_corpus_curation,
+        "watermark_windows": q.q_watermark_windows,
+        "chunk_documents": q.q_chunk_documents,
+        "doc_corpus_freq": q.q_doc_corpus_freq,
     }
     out = {}
     for name, fn in picks.items():
