@@ -183,3 +183,43 @@ def test_byte_targeted_file_sizing(tmp_path):
     out2 = tmp_path / "unsized"
     m2 = write_dataset(ds, out2, name="unsized")
     assert len(m2["files"]) > len(m["files"])
+
+
+def test_bucketed_join_shard_mismatch_raises(tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from kgdata_ray.functions.joins import bucketed_join
+    from kgdata_ray.state.manifest import write_dataset_sharded
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": [7, 8, 9]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "b": ["x", "y"]}))
+    write_dataset_sharded(left, tmp_path / "l", shard_col="k",
+                          num_shards=2, name="l")
+    write_dataset_sharded(right, tmp_path / "r", shard_col="k",
+                          num_shards=4, name="r")
+    with _pytest.raises(ValueError, match="shard counts differ"):
+        bucketed_join(tmp_path / "l", tmp_path / "r", on="k")
+
+
+def test_bucketed_join_small_equals_plain_join(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.functions.joins import bucketed_join
+    from kgdata_ray.state.manifest import write_dataset_sharded
+
+    l = pd.DataFrame({"k": list(range(20)) * 2, "a": range(40)})
+    r = pd.DataFrame({"k": list(range(0, 30, 2)), "b": range(15)})
+    write_dataset_sharded(rd.from_pandas(l), tmp_path / "l",
+                          shard_col="k", num_shards=3, name="l")
+    write_dataset_sharded(rd.from_pandas(r), tmp_path / "r",
+                          shard_col="k", num_shards=3, name="r")
+    got = (
+        bucketed_join(tmp_path / "l", tmp_path / "r", on="k")
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    want = l.merge(r, on="k").sort_values(["k", "a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]], want[["k", "a", "b"]], check_dtype=False)
