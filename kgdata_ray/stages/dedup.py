@@ -293,7 +293,10 @@ def _join_pair_sides(
         def prune(b: pd.DataFrame) -> pd.DataFrame:
             return b[b[id_col].isin(get_broadcast(ids_ref))]
 
-        src = src.map_batches(prune, batch_format="pandas")
+        # materialize the pruned side: it is bounded by the (capped)
+        # pair-id count, and both per-side joins consume it — without
+        # this the corpus is re-read and re-filtered once per side
+        src = src.map_batches(prune, batch_format="pandas").materialize()
 
     def side(tag: str) -> Dataset:
         return rename_cols(
