@@ -1355,6 +1355,57 @@ def q_kg_entity_degrees(sf_dir: str) -> Dataset:
     return entity_degrees(q_kg_triples(sf_dir))
 
 
+def q_kg_types_degrees(sf_dir: str) -> Dataset:
+    """(entity_id, etype, out_degree, in_degree) — the reference's
+    ``entity_types_and_degrees`` join table
+    (kgdata/wikidata/datasets/entity_types_and_degrees.py:15-66):
+    degrees left-joined onto the entity-type table, 'unknown' fill for
+    typeless endpoints (literal objects)."""
+    from ..functions.blocks import rename_cols
+    from ..stages.graph import entity_degrees
+
+    deg = entity_degrees(q_kg_triples(sf_dir))
+    j = deg.join(
+        rename_cols(_entity_types_ds(sf_dir), {"entity_id": "te"}),
+        join_type="left_outer", num_partitions=2,
+        on=("entity_id",), right_on=("te",),
+    )
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity_id": b["entity_id"],
+            "etype": b["etype"].fillna("unknown"),
+            "out_degree": b["out_degree"].astype("int64"),
+            "in_degree": b["in_degree"].astype("int64"),
+        })
+
+    return j.map_batches(fix, batch_format="pandas")
+
+
+def q_kg_entity_aliases(sf_dir: str) -> Dataset:
+    """(entity_id, aliases, total_freq) — the reference's
+    ``entity_wiki_aliases`` per-entity alias rollup
+    (kgdata/wikidata/datasets/entity_wiki_aliases.py:19-56): sorted
+    distinct alias list (comma-joined for the driver compare) plus the
+    summed global frequency. One grouped shuffle on entity_id."""
+    from ..functions.agg import grouped_blockwise
+
+    cfg, gz, _ = _kg_world(sf_dir)
+    ds = rd.from_arrow(gz).repartition(4)
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby("entity_id", sort=False)
+            .agg(aliases=("alias", lambda s: ",".join(sorted(set(s)))),
+                 total_freq=("freq_global", "sum"))
+            .reset_index()
+        )
+        out["total_freq"] = out["total_freq"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(ds, ["entity_id"], block)
+
+
 def q_kg_meta_graph(sf_dir: str) -> Dataset:
     """Schema-level rollup via the JOIN plan (scale path — the
     entity→type table is entity-sized, so it joins instead of being
@@ -1561,6 +1612,8 @@ def queries() -> dict[str, Callable]:
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
+        "kg_types_degrees": q_kg_types_degrees,
+        "kg_entity_aliases": q_kg_entity_aliases,
         "kg_meta_graph": q_kg_meta_graph,
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
@@ -2377,6 +2430,28 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT subj AS entity_id,
                    string_agg(DISTINCT obj, ',' ORDER BY obj) AS outlinks
             FROM {golden} GROUP BY subj
+        """,
+        "kg_entity_aliases": f"""
+            SELECT entity_id,
+                   string_agg(DISTINCT alias, ',' ORDER BY alias)
+                       AS aliases,
+                   CAST(SUM(freq_global) AS BIGINT) AS total_freq
+            FROM {gz} GROUP BY entity_id
+        """,
+        "kg_types_degrees": f"""
+            WITH o AS (SELECT subj AS entity_id, count(*) AS out_degree
+                       FROM {golden} GROUP BY subj),
+                 i AS (SELECT obj AS entity_id, count(*) AS in_degree
+                       FROM {golden} GROUP BY obj),
+                 d AS (
+                    SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+                           COALESCE(out_degree, 0) AS out_degree,
+                           COALESCE(in_degree, 0) AS in_degree
+                    FROM o FULL JOIN i ON o.entity_id = i.entity_id
+                 )
+            SELECT d.entity_id, COALESCE(t.etype, 'unknown') AS etype,
+                   d.out_degree, d.in_degree
+            FROM d LEFT JOIN {et} t ON d.entity_id = t.entity_id
         """,
         "kg_meta_graph": f"""
             SELECT COALESCE(ts.etype, 'unknown') AS subj_type, t.pred,
