@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 2
+SKETCH_ORACLE_VERSION = 3
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -295,6 +295,50 @@ def golden_media_features(ids, texts, *, limit=128, dim=8) -> pa.Table:
     return _pair_table(rows, names, types)
 
 
+def golden_hll_ndistinct(group_vals, int_vals, *, p=12) -> pa.Table:
+    """Independent HyperLogLog: pure-python splitmix64 + bit_length
+    rho per value, registers built in a dict loop. The final estimator
+    uses the same numpy closed-form expression as the engine (register
+    equality then implies bit-identical estimates); everything before
+    it is loop-based and engine-import-free."""
+    MASK = (1 << 64) - 1
+    m = 1 << p
+    q = 64 - p
+
+    def sm64(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+        return z ^ (z >> 31)
+
+    regs: dict[str, list[int]] = {}
+    for g, v in zip(group_vals, int_vals):
+        h = sm64(int(v) & MASK)
+        r = regs.setdefault(str(g), [0] * m)
+        idx = h >> q
+        w = h & ((1 << q) - 1)
+        rho = (q + 1) if w == 0 else (q - (w.bit_length() - 1))
+        if rho > r[idx]:
+            r[idx] = rho
+
+    groups = sorted(regs)
+    ests = []
+    for g in groups:
+        arr = np.asarray(regs[g], dtype=np.uint8)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-arr.astype(np.float64))))
+        zeros = int((arr == 0).sum())
+        if zeros and est <= 2.5 * m:
+            est = m * float(np.log(m / zeros))
+        ests.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(groups, pa.string()),
+            "n_distinct_hll": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def golden_clusters(pairs: pa.Table) -> pa.Table:
     """Union-find over a (id_a, id_b) pair table -> (node_id,
     component_id) with component_id = min node id per component — the
@@ -409,6 +453,13 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     pq.write_table(golden_knn_ivf(vec_ids, vecs), out / "knn_ivf.parquet")
     pq.write_table(golden_media_features(ids, texts),
                    out / "media_features.parquet")
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "user_id"])
+    pq.write_table(
+        golden_hll_ndistinct(ev["event_type"].to_pylist(),
+                             ev["user_id"].to_pylist()),
+        out / "hll_ndistinct.parquet",
+    )
     (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
 
     if _matches(marker_path, want):  # another process won the race

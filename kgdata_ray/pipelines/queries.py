@@ -516,6 +516,26 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_hll_ndistinct(sf_dir: str) -> Dataset:
+    """HyperLogLog approximate distinct users per event type
+    (functions/sketches.py) — register partials merge by max, no
+    value shuffle; golden-parquet oracle from the independent
+    pure-python HLL in oracle_sketch.py."""
+    from ..functions.sketches import hll_ndistinct
+
+    return hll_ndistinct(_t(sf_dir, "events"), "event_type", "user_id")
+
+
+def q_heavy_hitters(sf_dir: str) -> Dataset:
+    """All terms above 1/200 of total token mass with EXACT counts:
+    per-batch pigeonhole candidate generation + broadcast-filtered
+    exact recount (functions/sketches.py) — certified by a plain SQL
+    HAVING oracle."""
+    from ..functions.sketches import heavy_hitters
+
+    return heavy_hitters(_t(sf_dir, "documents"), k=200)
+
+
 def q_media_features(sf_dir: str) -> Dataset:
     """Fake-decode features, flattened to scalar columns
     (item_id, kind, digest, feat_0..feat_7) so the driver can
@@ -1624,6 +1644,8 @@ def queries() -> dict[str, Callable]:
         "kg_property_domains": q_kg_property_domains,
         "kg_property_ranges": q_kg_property_ranges,
         "kg_prop_connections": q_kg_prop_connections,
+        "hll_ndistinct": q_hll_ndistinct,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2148,6 +2170,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height
             FROM documents
         """,
+        "heavy_hitters": """
+            WITH tk AS (
+                SELECT term
+                FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+')) AS term
+                      FROM documents)
+                WHERE term <> ''
+            ), tot AS (SELECT COUNT(*) AS t FROM tk)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tk, tot
+            GROUP BY term, tot.t
+            HAVING COUNT(*) * 200 > tot.t
+            ORDER BY n DESC, term
+        """,
         **_kg_oracle_sql(),
         **_sketch_oracle_sql(),
     }
@@ -2190,6 +2226,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "knn_ivf": f"""
             SELECT query_id, neighbor_id, rank
             FROM read_parquet('{d}/knn_ivf.parquet')
+        """,
+        "hll_ndistinct": f"""
+            SELECT event_type, n_distinct_hll
+            FROM read_parquet('{d}/hll_ndistinct.parquet')
         """,
         "media_features": f"""
             SELECT item_id, kind, digest, {feat_cols}
