@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 3
+SKETCH_ORACLE_VERSION = 4
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -278,6 +278,59 @@ def golden_knn_ivf(vec_ids, vecs, *, query_ids=range(8), k=5,
                        [pa.int64(), pa.int64(), pa.int64()])
 
 
+def golden_knn_ivf_perquery(vec_ids, vecs, *, query_mod=5, k=5,
+                            num_centroids=8, sample_size=2048, iters=5,
+                            seed=13, nprobe=2) -> pa.Table:
+    """Per-query-probe IVF semantics (the distributed large-Q path):
+    each query is scored ONLY against the posting lists of its own
+    nprobe nearest centroids — unlike golden_knn_ivf, which scores
+    every query against the union of all probed lists."""
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    ids = np.asarray([int(i) for i in vec_ids], dtype=np.int64)
+    mat = norm(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
+
+    sample = mat[:sample_size]
+    rng = np.random.default_rng(seed)
+    C = min(num_centroids, len(sample))
+    cent = sample[rng.choice(len(sample), size=C, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(C):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+
+    corpus_assign = (mat @ cent.T).argmax(axis=1)
+    lists: dict[int, list[int]] = {}
+    for row, c in enumerate(corpus_assign.tolist()):
+        lists.setdefault(int(c), []).append(row)
+
+    q_rows = [r for r, i in enumerate(ids.tolist()) if i % query_mod == 0]
+    probe = np.argsort(-(mat[q_rows] @ cent.T), axis=1,
+                       kind="stable")[:, :nprobe]
+    rows = []
+    for qi, qrow in enumerate(q_rows):
+        q = int(ids[qrow])
+        cands = []
+        for c in probe[qi].tolist():
+            for crow in lists.get(int(c), ()):
+                ci = int(ids[crow])
+                if ci == q:
+                    continue
+                cos = float(np.round(mat[qrow] @ mat[crow], 6))
+                cands.append((cos, ci))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (_cos, ci) in enumerate(cands[:k], start=1):
+            rows.append((q, ci, rank))
+    return _pair_table(rows, ["query_id", "neighbor_id", "rank"],
+                       [pa.int64(), pa.int64(), pa.int64()])
+
+
 def golden_media_features(ids, texts, *, limit=128, dim=8) -> pa.Table:
     rows = []
     for i, t in list(zip(ids, texts))[:limit]:
@@ -451,6 +504,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "embedding_lsh_pairs.parquet")
     pq.write_table(golden_rolling_fp(ids, texts), out / "rolling_fp.parquet")
     pq.write_table(golden_knn_ivf(vec_ids, vecs), out / "knn_ivf.parquet")
+    pq.write_table(golden_knn_ivf_perquery(vec_ids, vecs),
+                   out / "knn_ivf_perquery.parquet")
     pq.write_table(golden_media_features(ids, texts),
                    out / "media_features.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",

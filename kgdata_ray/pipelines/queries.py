@@ -516,6 +516,24 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_knn_ivf_distributed(sf_dir: str) -> Dataset:
+    """Large-Q IVF: a fifth of the embedding table is the query SET
+    (a Dataset, never collected); per-query probe semantics
+    (stages/similarity.py:knn_ivf_distributed). Golden oracle from the
+    independent per-query-probe IVF in oracle_sketch.py."""
+    from ..stages.similarity import build_ivf, knn_ivf_distributed
+
+    emb = _t(sf_dir, "embeddings")
+    index = build_ivf(emb, num_centroids=8, seed=13)
+
+    def is_query(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["vec_id"] % 5 == 0]
+
+    queries = emb.map_batches(is_query, batch_format="pandas")
+    out = knn_ivf_distributed(emb, queries, index, k=5, nprobe=2)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_hll_ndistinct(sf_dir: str) -> Dataset:
     """HyperLogLog approximate distinct users per event type
     (functions/sketches.py) — register partials merge by max, no
@@ -1646,6 +1664,7 @@ def queries() -> dict[str, Callable]:
         "kg_prop_connections": q_kg_prop_connections,
         "hll_ndistinct": q_hll_ndistinct,
         "heavy_hitters": q_heavy_hitters,
+        "knn_ivf_distributed": q_knn_ivf_distributed,
     }
 
 
@@ -2230,6 +2249,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "hll_ndistinct": f"""
             SELECT event_type, n_distinct_hll
             FROM read_parquet('{d}/hll_ndistinct.parquet')
+        """,
+        "knn_ivf_distributed": f"""
+            SELECT query_id, neighbor_id, rank
+            FROM read_parquet('{d}/knn_ivf_perquery.parquet')
         """,
         "media_features": f"""
             SELECT item_id, kind, digest, {feat_cols}

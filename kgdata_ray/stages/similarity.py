@@ -143,10 +143,15 @@ def build_ivf(
     iters: int = 5,
     seed: int = 13,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> IVFIndex:
     """Seeded mini-KMeans on a sample (driver-side; centroids are tiny
-    and broadcast everywhere)."""
-    sample = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    and broadcast everywhere). The sample rows are sorted by ``id_col``
+    before seeding: ``take_all`` assembles blocks in task-completion
+    order, so without the sort the KMeans seed rows — and therefore the
+    centroids — would differ run to run (observed ~1-in-3 at 8 blocks)."""
+    sample = ds.select_columns([id_col, vec_col]).limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])
     mat = _l2_normalize(
         np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     )
@@ -276,6 +281,136 @@ def knn_block_cross(
 
     out_refs = [cross.remote(q, c) for q in q_refs for c in c_refs]
     return _final_topk(rd.from_arrow_refs(out_refs), k)
+
+
+def knn_ivf_distributed(
+    ds: Dataset,
+    queries: Dataset,
+    index: IVFIndex,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    chunk_rows: int = 4096,
+) -> Dataset:
+    """IVF kNN where the QUERY SET is itself a large Dataset — the
+    large-Q scale path (:func:`knn_ivf` collects its queries to the
+    driver, fine only while Q is small).
+
+    Per-query probe semantics: query q is scored ONLY against corpus
+    rows assigned to q's own ``nprobe`` nearest centroids (the
+    classical IVF contract — :func:`knn_ivf` instead scores every
+    query against the union of all probed lists, which degrades to
+    brute force as Q grows).
+
+    Plan: centroids are tiny and broadcast; the corpus maps to
+    (cent, id, vec) with one argmax per batch; queries flat-map to
+    ``nprobe`` (cent, id, vec) rows; ONE shuffle co-locates each
+    centroid's posting list with the queries probing it
+    (grouped_blockwise — boundary-guarded, so a centroid straddling
+    sorted blocks is repaired, and a hot centroid is bounded by the
+    chunked matmul below); per-centroid chunked matmuls emit top-k
+    partials; a final grouped merge keeps the global top-k per query.
+    Vectors travel packed as float64 bytes (Arrow joins/sorts reject
+    list<float> payloads). Nothing collects to the driver.
+    """
+    from ..functions.agg import grouped_blockwise
+
+    cent_ref = ray.put(index.centroids)
+    dim = index.centroids.shape[1]
+
+    def corpus_side(b: pd.DataFrame) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _l2_normalize(_vec_matrix(b, vec_col))
+        assign = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cent": pa.array(assign, pa.int64()),
+                "side": pa.array(np.zeros(len(b), np.int8), pa.int8()),
+                "vid": pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                "vec": pa.array([m.tobytes() for m in mat], pa.binary()),
+            }
+        )
+
+    def query_side(b: pd.DataFrame) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _l2_normalize(_vec_matrix(b, vec_col))
+        probe = np.argsort(-(mat @ cent.T), axis=1, kind="stable")[:, :nprobe]
+        n, p = probe.shape
+        rows = np.repeat(np.arange(n), p)
+        return pa.table(
+            {
+                "cent": pa.array(probe.ravel().astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(n * p, np.int8), pa.int8()),
+                "vid": pa.array(
+                    b[id_col].to_numpy(np.int64)[rows], pa.int64()
+                ),
+                "vec": pa.array(
+                    [mat[r].tobytes() for r in rows], pa.binary()
+                ),
+            }
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        corpus_side, batch_format="pandas", batch_size=4096
+    ).union(
+        queries.select_columns([id_col, vec_col]).map_batches(
+            query_side, batch_format="pandas", batch_size=4096
+        )
+    )
+
+    def per_centroid(b: pd.DataFrame) -> pa.Table:
+        out_q, out_n, out_c = [], [], []
+        for _, grp in b.groupby("cent", sort=False):
+            qs = grp[grp["side"] == 1]
+            cs = grp[grp["side"] == 0]
+            if not len(qs) or not len(cs):
+                continue
+            q_ids = qs["vid"].to_numpy(np.int64)
+            q_mat = np.vstack(
+                [np.frombuffer(v, np.float64) for v in qs["vec"]]
+            ).reshape(len(qs), dim)
+            c_ids = cs["vid"].to_numpy(np.int64)
+            c_mat = np.vstack(
+                [np.frombuffer(v, np.float64) for v in cs["vec"]]
+            ).reshape(len(cs), dim)
+            for lo in range(0, len(c_ids), chunk_rows):
+                cc_ids = c_ids[lo:lo + chunk_rows]
+                sims = np.round(q_mat @ c_mat[lo:lo + chunk_rows].T, 6)
+                if exclude_self:
+                    sims[q_ids[:, None] == cc_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(len(q_ids)), kk)
+                cols = idx.ravel()
+                vals = sims[rows, cols]
+                fin = np.isfinite(vals)
+                out_q.append(q_ids[rows][fin])
+                out_n.append(cc_ids[cols][fin])
+                out_c.append(vals[fin])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    # (query, neighbor) pairs are unique by construction — each corpus
+    # row lives in exactly one posting list and probes are distinct —
+    # so the partials go straight to the grouped top-k merge
+    partials = grouped_blockwise(tagged, ["cent"], per_centroid)
+    return _final_topk(partials, k)
 
 
 def grouped_vector_sums(

@@ -178,3 +178,52 @@ def test_repetition_stats_batch():
     assert out.loc[7, "top_word_frac"] == 0.75
     assert out.loc[7, "repetition_ratio"] == 0.5
     assert out.loc[8, "repetition_ratio"] == 0.0
+
+
+def test_knn_ivf_distributed_batching_invariant_and_recall():
+    """Per-query-probe IVF over a large query Dataset: shuffled input
+    row order + many small blocks must produce exactly the same result
+    table, and recall vs exact brute force stays sane."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import (
+        build_ivf,
+        knn_bruteforce,
+        knn_ivf_distributed,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(path)
+    index = build_ivf(ds, num_centroids=8, seed=13)
+
+    def is_query(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["vec_id"] % 7 == 0]
+
+    def run(corpus):
+        q = corpus.map_batches(is_query, batch_format="pandas")
+        out = knn_ivf_distributed(
+            corpus, q, index, k=5, nprobe=2, chunk_rows=16
+        ).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank", "cosine"]
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    a = run(ds)
+
+    # adversarial layout: random row order, many tiny blocks
+    pdf = pq_df = rd.read_parquet(path).to_pandas()
+    shuffled = pq_df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    b = run(rd.from_pandas(shuffled).repartition(13))
+    pd.testing.assert_frame_equal(a, b)
+
+    # recall vs brute force over the same query ids
+    qids = sorted(pdf[pdf["vec_id"] % 7 == 0]["vec_id"].tolist())
+    exact = knn_bruteforce(ds, qids, k=5).to_pandas()
+    hits = total = 0
+    for q in qids:
+        g = set(a[a["query_id"] == q]["neighbor_id"])
+        w = set(exact[exact["query_id"] == q]["neighbor_id"])
+        hits += len(g & w)
+        total += len(w)
+    assert hits / total >= 0.5, hits / total
