@@ -537,3 +537,30 @@ def watermark_tumbling_windows(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_blockwise(ds, [key], block)
+
+
+def group_percent_rank(
+    ds: Dataset, key: str, value_col: str,
+    *, ascending: bool = True,
+) -> Dataset:
+    """SQL ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY
+    ``key`` ORDER BY ``value_col``) — one range shuffle on the
+    partition key, vectorized pandas rank kernels per block. Both
+    formulas — ``(rank-1)/(n-1)`` and ``#(peers <= v)/n`` — are exact
+    small-integer divisions, so the doubles match any SQL engine
+    bit-for-bit (no rounding dance needed)."""
+    import numpy as np
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, sort=False)
+        n = g[key].transform("size").to_numpy().astype("float64")
+        rnk = g[value_col].rank(method="min",
+                                ascending=ascending).to_numpy()
+        hi = g[value_col].rank(method="max",
+                               ascending=ascending).to_numpy()
+        b = b.copy()
+        b["pct_rank"] = np.where(n > 1, (rnk - 1.0) / (n - 1.0), 0.0)
+        b["cume_dist"] = hi / n
+        return b
+
+    return grouped_blockwise(ds, [key], block)

@@ -76,3 +76,30 @@ def cap_per_group(
             b[keep.to_numpy()].drop(columns="_h"), preserve_index=False)
 
     return grouped_blockwise(ds, keys, block)
+
+
+def stratified_sample(
+    ds: Dataset, strata_col: str, key_col: str,
+    fractions: dict, *, default: float = 1.0, salt: str = "",
+) -> Dataset:
+    """Per-stratum deterministic sample: each row's keep-cut comes from
+    ``fractions[row[strata_col]]`` (``default`` otherwise) and the row
+    survives iff its keyed md5 prefix falls under that cut — the
+    corpus-rebalancing step (downsample over-represented languages /
+    sources) of training-data curation. Same md5 contract as
+    :func:`hash_sample`, so it is restart-safe, shuffle-free and
+    replayable by any engine."""
+    cuts = {s: hash_threshold(f) for s, f in fractions.items()}
+    default_cut = hash_threshold(default)
+
+    def filt(b: pd.DataFrame) -> pa.Table:
+        cut = b[strata_col].map(cuts).fillna(default_cut)
+        keys = b[key_col].astype(str)
+        keep = [
+            hashlib.md5((salt + k).encode()).hexdigest()[:8] < c
+            for k, c in zip(keys, cut)
+        ]
+        return pa.Table.from_pandas(b[pd.Series(keep, index=b.index)],
+                                    preserve_index=False)
+
+    return ds.map_batches(filt, batch_format="pandas")

@@ -1559,6 +1559,71 @@ def q_kg_unlinkable(sf_dir: str) -> Dataset:
 # Registry
 
 
+_BLOOM_ACCTBAL = 6000.0
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_STRAT_FRACTIONS = {"en": 0.25}
+_STRAT_DEFAULT = 0.75
+_STRAT_SALT = "strat"
+
+
+def q_bloom_join(sf_dir: str) -> Dataset:
+    """Bloom-pruned probe-side join (functions/bloom.py:bloom_join):
+    lineitem rows whose l_suppkey cannot match the high-balance
+    supplier subset are dropped BEFORE the join shuffle by a broadcast
+    10-bit/key Bloom filter; the exact hash join then removes the
+    ~0.8% false positives, so results equal the plain join — the
+    shuffle-traffic reducer a 100-TB probe side needs."""
+    from ..functions.bloom import bloom_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_suppkey"])
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name",
+                                               "s_acctbal"]
+    ).filter(expr=f"s_acctbal > {_BLOOM_ACCTBAL}").drop_columns(
+        ["s_acctbal"])
+    out = bloom_join(li, sup, "l_suppkey", right_on="s_suppkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "s_name"])
+
+
+def q_funnel_stages(sf_dir: str) -> Dataset:
+    """view -> click -> purchase funnel per user
+    (functions/funnel.py:funnel_stages): furthest step reached, each
+    step strictly after the first occurrence of the previous one."""
+    from ..functions.funnel import funnel_stages
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         _FUNNEL_STEPS)
+
+
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    """Per-language deterministic downsample of documents
+    (functions/sampling.py:stratified_sample): 'en' kept at 25%,
+    everything else at 75% — the corpus-rebalancing curation step,
+    replayed exactly by the md5 CASE oracle."""
+    from ..functions.sampling import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "lang", "doc_id", _STRAT_FRACTIONS,
+                             default=_STRAT_DEFAULT, salt=_STRAT_SALT)
+
+
+def q_percent_rank_events(sf_dir: str) -> Dataset:
+    """percent_rank()/cume_dist() OVER (PARTITION BY user_id ORDER BY
+    value) (functions/agg.py:group_percent_rank) — exact small-integer
+    divisions, so doubles match DuckDB bit-for-bit."""
+    from ..functions.agg import group_percent_rank
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    out = group_percent_rank(ev, "user_id", "value")
+    return out.select_columns(
+        ["user_id", "event_id", "pct_rank", "cume_dist"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "filter_project": q_filter_project,
@@ -1665,6 +1730,10 @@ def queries() -> dict[str, Callable]:
         "hll_ndistinct": q_hll_ndistinct,
         "heavy_hitters": q_heavy_hitters,
         "knn_ivf_distributed": q_knn_ivf_distributed,
+        "bloom_join": q_bloom_join,
+        "funnel_stages": q_funnel_stages,
+        "stratified_sample": q_stratified_sample,
+        "percent_rank_events": q_percent_rank_events,
     }
 
 
@@ -2202,6 +2271,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term, tot.t
             HAVING COUNT(*) * 200 > tot.t
             ORDER BY n DESC, term
+        """,
+        "bloom_join": f"""
+            SELECT l.l_orderkey, l.l_linenumber, s.s_name
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_acctbal > {_BLOOM_ACCTBAL}
+        """,
+        "funnel_stages": f"""
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+                     AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+                     AND e.ts > s2.t2 GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "stratified_sample": f"""
+            SELECT * FROM documents
+            WHERE substr(md5('{_STRAT_SALT}' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en'
+                       THEN '{_hash_threshold(_STRAT_FRACTIONS["en"])}'
+                       ELSE '{_hash_threshold(_STRAT_DEFAULT)}' END
+        """,
+        "percent_rank_events": """
+            SELECT user_id, event_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                       ORDER BY value) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY user_id
+                       ORDER BY value) AS cume_dist
+            FROM events
         """,
         **_kg_oracle_sql(),
         **_sketch_oracle_sql(),
