@@ -1559,6 +1559,39 @@ def q_kg_unlinkable(sf_dir: str) -> Dataset:
 # Registry
 
 
+def q_edit_distance_pairs(sf_dir: str) -> Dataset:
+    """Typo-tolerant string self-join: distinct part-name pairs within
+    Levenshtein distance 2 via lossless q-gram blocking + bounded exact
+    verify (stages/strsim.py:edit_distance_pairs) — the entity-
+    resolution primitive; the DuckDB oracle is the naive all-pairs
+    levenshtein() scan."""
+    from ..stages.strsim import edit_distance_pairs
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"])
+    return edit_distance_pairs(parts, "p_name", max_dist=2)
+
+
+def q_kg_adamic_adar(sf_dir: str) -> Dataset:
+    """Adamic–Adar link-prediction scores over the entity co-mention
+    graph (stages/graph.py:adamic_adar): one neighbor-key grouped
+    shuffle (group size IS the degree) + one pair-sum shuffle."""
+    from ..stages.graph import adamic_adar, co_mention_edges
+
+    return adamic_adar(co_mention_edges(q_kg_triples(sf_dir)))
+
+
+def q_kg_pmi_pairs(sf_dir: str) -> Dataset:
+    """PMI between co-mentioned entities (stages/graph.py:pmi_pairs):
+    conversation-bounded pair generation, map-side-combined counts,
+    two small joins against the per-entity count table."""
+    from ..functions.agg import distinct_rows
+    from ..stages.graph import pmi_pairs
+
+    tr = q_kg_triples(sf_dir).select_columns(["conv_id", "subj"])
+    return pmi_pairs(distinct_rows(tr, ["conv_id", "subj"]))
+
+
 _BLOOM_ACCTBAL = 6000.0
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _STRAT_FRACTIONS = {"en": 0.25}
@@ -1734,6 +1767,9 @@ def queries() -> dict[str, Callable]:
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
         "percent_rank_events": q_percent_rank_events,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "kg_adamic_adar": q_kg_adamic_adar,
+        "kg_pmi_pairs": q_kg_pmi_pairs,
     }
 
 
@@ -2316,6 +2352,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY value) AS cume_dist
             FROM events
         """,
+        "edit_distance_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                       AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
         **_kg_oracle_sql(),
         **_sketch_oracle_sql(),
     }
@@ -2693,6 +2737,43 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM e0 e1
             JOIN e0 e2 ON e1.v = e2.u
             JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "kg_adamic_adar": f"""
+            WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),
+            edges AS (
+                SELECT DISTINCT s1.subj AS u, s2.subj AS v
+                FROM s s1 JOIN s s2
+                  ON s1.conv_id = s2.conv_id AND s1.subj < s2.subj
+            ),
+            adj AS (SELECT u AS node, v AS nb FROM edges
+                    UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+            wed AS (SELECT a.node AS p, b.node AS q, a.nb AS z
+                    FROM adj a JOIN adj b
+                      ON a.nb = b.nb AND a.node < b.node)
+            SELECT w.p, w.q,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   round(sum(1.0 / ln(deg.d)), 6) AS aa_score
+            FROM wed w JOIN deg ON w.z = deg.node
+            GROUP BY w.p, w.q
+        """,
+        "kg_pmi_pairs": f"""
+            WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),
+            n AS (SELECT count(DISTINCT conv_id) AS nc FROM s),
+            cx AS (SELECT subj, count(*) AS c FROM s GROUP BY subj),
+            pr AS (SELECT s1.subj AS p, s2.subj AS q,
+                          count(*) AS cpq
+                   FROM s s1 JOIN s s2
+                     ON s1.conv_id = s2.conv_id AND s1.subj < s2.subj
+                   GROUP BY 1, 2)
+            SELECT pr.p, pr.q, CAST(pr.cpq AS BIGINT) AS cpq,
+                   round(ln((CAST(pr.cpq AS DOUBLE) * n.nc)
+                            / (CAST(cp.c AS DOUBLE) * cq.c)), 6)
+                       AS pmi
+            FROM pr
+            CROSS JOIN n
+            JOIN cx cp ON pr.p = cp.subj
+            JOIN cx cq ON pr.q = cq.subj
         """,
         "kg_kcore": f"""
             SELECT node FROM read_parquet('{d}/kcore3.parquet')

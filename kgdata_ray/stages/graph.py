@@ -587,3 +587,129 @@ def core_numbers(edges: Dataset, *, max_rounds: int = 100,
             f"core_numbers: no convergence in {max_rounds} rounds")
 
     return rename_cols(est, {"enode": "node", "est": "core"})
+
+
+def adamic_adar(edges: Dataset, *, max_group: int = 5000) -> Dataset:
+    """Adamic–Adar link-prediction scores for every node pair with at
+    least one common neighbor: ``aa = sum_z 1/ln(deg(z))`` over common
+    neighbors ``z`` (Adamic & Adar 2003, "Friends and neighbors on the
+    web"). Input: undirected distinct edges ``(u < v)``.
+
+    Plan: expand to adjacency (node, nb); ONE grouped shuffle on the
+    neighbor key — within each group the neighbor set of ``z`` IS its
+    degree, so each pair of the group contributes ``1/ln(|group|)``
+    with no separate degree table or wedge join; then one
+    map-side-combined sum shuffle on the pair key. ``max_group`` caps
+    the quadratic hub blowup (deterministic first-K rule, same contract
+    as :func:`co_mention_edges`); scores are rounded to 6 dp so the
+    float sum order never shows."""
+    import numpy as np
+
+    def both_dirs(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "node": pd.concat([b["u"], b["v"]], ignore_index=True),
+            "nb": pd.concat([b["v"], b["u"]], ignore_index=True),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    adj = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def wedge_pairs(b: pd.DataFrame) -> pa.Table:
+        ps, qs, ws = [], [], []
+        for _, g in b.groupby("nb", sort=False):
+            ents = np.sort(g["node"].to_numpy())[:max_group]
+            if len(ents) < 2:
+                continue
+            i, j = np.triu_indices(len(ents), k=1)
+            ps.append(ents[i])
+            qs.append(ents[j])
+            ws.append(np.full(i.size, 1.0 / np.log(len(ents))))
+        if not ps:
+            return pa.table({"p": pa.array([], pa.string()),
+                             "q": pa.array([], pa.string()),
+                             "w": pa.array([], pa.float64())})
+        return pa.table({"p": pa.array(np.concatenate(ps)),
+                         "q": pa.array(np.concatenate(qs)),
+                         "w": pa.array(np.concatenate(ws))})
+
+    wedges = grouped_blockwise(adj, ["nb"], wedge_pairs)
+
+    def partial_sum(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["p", "q"], as_index=False)
+                .agg(w=("w", "sum"), n=("w", "size")))
+
+    partial = wedges.map_batches(partial_sum, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = (b.groupby(["p", "q"], as_index=False)
+               .agg(w=("w", "sum"), n=("n", "sum")))
+        out["aa_score"] = out["w"].round(6)
+        out["common_neighbors"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["p", "q", "common_neighbors", "aa_score"]],
+            preserve_index=False)
+
+    return grouped_blockwise(partial, ["p", "q"], final)
+
+
+def pmi_pairs(convs: Dataset, *, max_group: int = 5000) -> Dataset:
+    """Pointwise mutual information between entities over conversation
+    co-occurrence: ``pmi(p,q) = ln(c_pq * N / (c_p * c_q))`` with
+    ``c_x`` = #conversations mentioning ``x``, ``N`` = #conversations
+    (Church & Hanks 1990). Input: distinct ``(conv_id, subj)`` rows.
+
+    One grouped shuffle on conv_id generates per-conversation pairs
+    (bounded by ``max_group``), a count shuffle yields ``c_pq``, the
+    small per-entity count table joins back twice. ``N`` is a driver
+    scalar (one count of the grouped keys)."""
+    import numpy as np
+
+    from ..functions.agg import distinct_rows
+
+    convs = convs.materialize()  # consumed 3x: N, c_x, pairs
+    n_convs = distinct_rows(
+        convs.select_columns(["conv_id"]), ["conv_id"]).count()
+    cx = partial_group_count(convs.select_columns(["subj"]), "subj",
+                             count_name="cx").materialize()
+
+    def pairs(b: pd.DataFrame) -> pa.Table:
+        ps, qs = [], []
+        for _, g in b.groupby("conv_id", sort=False):
+            ents = np.sort(g["subj"].to_numpy())[:max_group]
+            if len(ents) < 2:
+                continue
+            i, j = np.triu_indices(len(ents), k=1)
+            ps.append(ents[i])
+            qs.append(ents[j])
+        if not ps:
+            return pa.table({"p": pa.array([], pa.string()),
+                             "q": pa.array([], pa.string())})
+        return pa.table({"p": pa.array(np.concatenate(ps)),
+                         "q": pa.array(np.concatenate(qs))})
+
+    cpq = partial_group_count(
+        grouped_blockwise(convs, ["conv_id"], pairs),
+        ["p", "q"], count_name="cpq")
+
+    j = cpq.join(rename_cols(cx, {"subj": "pe", "cx": "cp"}),
+                 join_type="inner", num_partitions=8,
+                 on=("p",), right_on=("pe",))
+    # a join emits schema-less blocks for empty partitions; rebuild
+    # before the next Arrow join keys on them
+    j = scrub_empty_blocks(j).join(
+        rename_cols(cx, {"subj": "qe", "cx": "cq"}),
+        join_type="inner", num_partitions=8,
+        on=("q",), right_on=("qe",))
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["pmi"] = np.round(np.log(
+            b["cpq"].to_numpy(dtype=np.float64) * float(n_convs)
+            / (b["cp"].to_numpy(dtype=np.float64)
+               * b["cq"].to_numpy(dtype=np.float64))), 6)
+        b["cpq"] = b["cpq"].astype("int64")
+        return pa.Table.from_pandas(b[["p", "q", "cpq", "pmi"]],
+                                    preserve_index=False)
+
+    return scrub_empty_blocks(j).map_batches(
+        score, batch_format="pandas")
