@@ -53,3 +53,35 @@ def melt(ds: Dataset, *, id_vars: list[str], value_vars: list[str],
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def union_by_name(datasets: "list[Dataset]", *,
+                  schemas: "list[pa.Schema] | None" = None) -> Dataset:
+    """Schema-harmonizing UNION ALL BY NAME: aligns every input to the
+    name-unified, type-promoted schema (missing columns become typed
+    nulls) and unions — what a 100-TB ingest needs when parquet shards
+    drift (new columns appear, int32 widens to int64).
+    ``Dataset.union`` itself requires identical schemas.
+
+    Pass ``schemas`` explicitly when an input is a mapped pipeline:
+    ``Dataset.schema()`` on a non-read plan EXECUTES it (the
+    schema-probe trap; parquet reads answer from metadata for free)."""
+    if schemas is None:
+        schemas = [ds.schema().base_schema for ds in datasets]
+    target = pa.unify_schemas(schemas, promote_options="permissive")
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in t.schema.names:
+                cols.append(t[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(len(t), f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -429,3 +429,63 @@ def cube_counts(ds: Dataset, keys: Sequence[str],
     for lv in levels[1:]:
         out = out.union(scrub_empty_blocks(lv, target_blocks=1))
     return out
+
+
+def grouped_zscore_outliers(
+    ds: Dataset, key: str, id_col: str, x_col: str,
+    *, threshold: float = 3.0,
+) -> Dataset:
+    """Per-group z-score outlier flagging over an INTEGER metric
+    column: rows with ``|x - mean| / stddev_samp > threshold`` within
+    their ``key`` group. The anomaly-detection / data-cleaning step of
+    corpus curation.
+
+    Same exactness contract as :func:`paired_moments`: the group
+    moments are EXACT int64 partial sums (map-side combined, one tiny
+    shuffle), and mean/stddev come from the closed-form double formula
+    ``(s2 - s1*s1/n) / (n-1)`` evaluated identically by any SQL engine
+    — so the emitted z doubles are bit-identical to the oracle's with
+    no rounding. The group-stats table is #groups rows (bounded small
+    by contract); it is collected once and broadcast, so the data pass
+    is a single streaming filter."""
+    import numpy as np
+    import ray
+
+    from .broadcast import get_broadcast
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        x = b[x_col].to_numpy().astype("int64")
+        g = pd.DataFrame({key: b[key], "x": x, "xx": x * x})
+        out = g.groupby(key, sort=False).agg(
+            n=("x", "size"), s1=("x", "sum"), s2=("xx", "sum"))
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    partial = ds.map_batches(pre, batch_format="pandas")
+    stats = (partial.to_pandas()
+             .groupby(key, as_index=False).agg(
+                 n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
+    mean = stats["s1"].to_numpy(dtype=np.float64) / stats["n"].to_numpy()
+    s1f = stats["s1"].to_numpy(dtype=np.float64)
+    var = ((stats["s2"].to_numpy(dtype=np.float64)
+            - s1f * stats["s1"].to_numpy(dtype=np.float64)
+            / stats["n"].to_numpy())
+           / (stats["n"].to_numpy() - 1))
+    ref = ray.put({
+        k: (m, np.sqrt(v))
+        for k, m, v in zip(stats[key], mean, var)
+    })
+
+    def flag(b: pd.DataFrame) -> pa.Table:
+        lut = get_broadcast(ref)
+        ms = b[key].map(lambda k: lut[k][0]).to_numpy(dtype=np.float64)
+        sds = b[key].map(lambda k: lut[k][1]).to_numpy(dtype=np.float64)
+        x = b[x_col].to_numpy().astype("int64")
+        z = (x.astype(np.float64) - ms) / sds
+        keep = np.abs(z) > threshold
+        out = b.loc[keep, [id_col, key]].copy()
+        out[x_col] = x[keep]
+        out["z"] = z[keep]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(flag, batch_format="pandas")

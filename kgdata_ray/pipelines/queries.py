@@ -1592,6 +1592,91 @@ def q_kg_pmi_pairs(sf_dir: str) -> Dataset:
     return pmi_pairs(distinct_rows(tr, ["conv_id", "subj"]))
 
 
+_ZSCORE_THRESHOLD = 3.0
+
+
+def q_zscore_outliers(sf_dir: str) -> Dataset:
+    """Per-event-type z-score outliers over floor(value)
+    (functions/stats.py:grouped_zscore_outliers): exact int64 group
+    moments + closed-form doubles, so emitted z values are
+    bit-identical to the SQL oracle with no rounding."""
+    from ..functions.stats import grouped_zscore_outliers
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "x": np.floor(b["value"].to_numpy()).astype("int64"),
+        })
+
+    return grouped_zscore_outliers(
+        ev.map_batches(ints, batch_format="pandas"),
+        "event_type", "event_id", "x", threshold=_ZSCORE_THRESHOLD)
+
+
+def q_union_by_name(sf_dir: str) -> Dataset:
+    """Schema-drift union (functions/blocks.py:union_by_name): two
+    document shards with different column sets union into the
+    name-unified schema; missing cells become typed nulls, filled here
+    so the comparison stays dtype-exact (int64, not NaN-float)."""
+    import pyarrow as _pa
+
+    from ..functions.blocks import union_by_name
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source",
+                                    "n_chars"])
+
+    def even(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["doc_id"] % 2 == 0,
+                     ["doc_id", "lang", "source"]]
+
+    def odd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["doc_id"] % 2 == 1,
+                     ["doc_id", "lang", "n_chars"]]
+
+    a = docs.map_batches(even, batch_format="pandas")
+    c = docs.map_batches(odd, batch_format="pandas")
+    u = union_by_name([a, c], schemas=[
+        _pa.schema([("doc_id", _pa.int64()), ("lang", _pa.string()),
+                    ("source", _pa.string())]),
+        _pa.schema([("doc_id", _pa.int64()), ("lang", _pa.string()),
+                    ("n_chars", _pa.int64())]),
+    ])
+
+    def fill(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("source"), "source",
+            pc.fill_null(t["source"], ""),
+        ).set_column(
+            t.schema.get_field_index("n_chars"), "n_chars",
+            pc.fill_null(t["n_chars"], -1),
+        )
+
+    return u.map_batches(fill, batch_format="pyarrow")
+
+
+def q_audio_headers(sf_dir: str) -> Dataset:
+    """REAL RIFF/WAVE header parsing over synthetic structurally-valid
+    WAV payloads (stages/multimodal.py:parse_wav_header) — rate /
+    channels / bit depth / frame count / duration from a byte-level
+    chunk walk; the oracle replays the doc_id-derived parameter
+    formulas in SQL."""
+    from ..stages.multimodal import (
+        media_from_documents_wav,
+        parse_audio_headers,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return parse_audio_headers(media_from_documents_wav(docs))
+
+
 _BLOOM_ACCTBAL = 6000.0
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _STRAT_FRACTIONS = {"en": 0.25}
@@ -1770,6 +1855,9 @@ def queries() -> dict[str, Callable]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_pmi_pairs": q_kg_pmi_pairs,
+        "zscore_outliers": q_zscore_outliers,
+        "union_by_name": q_union_by_name,
+        "audio_headers": q_audio_headers,
     }
 
 
@@ -2359,6 +2447,51 @@ def oracle_sql() -> dict[str, str]:
                        AS dist
             FROM names a JOIN names b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "zscore_outliers": f"""
+            WITH x AS (SELECT event_id, event_type,
+                              CAST(floor(value) AS BIGINT) AS x
+                       FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS s1,
+                         CAST(sum(x * x) AS BIGINT) AS s2
+                  FROM x GROUP BY 1)
+            SELECT x.event_id, x.event_type, x.x,
+                   (CAST(x.x AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                          / (s.n - 1)) AS z
+            FROM x JOIN s USING (event_type)
+            WHERE abs((CAST(x.x AS DOUBLE)
+                       - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                          / (s.n - 1))) > {_ZSCORE_THRESHOLD}
+        """,
+        "union_by_name": """
+            SELECT doc_id, lang, COALESCE(source, '') AS source,
+                   COALESCE(n_chars, -1) AS n_chars
+            FROM (
+                SELECT doc_id, lang, source FROM documents
+                WHERE doc_id % 2 = 0
+                UNION ALL BY NAME
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 1
+            )
+        """,
+        "audio_headers": """
+            SELECT doc_id AS item_id,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 8000
+                        WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                        ELSE 44100 END AS INTEGER) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+                   CAST(100 + doc_id % 400 AS DOUBLE) * 1000.0
+                   / CAST(CASE doc_id % 4 WHEN 0 THEN 8000
+                          WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                          ELSE 44100 END AS DOUBLE) AS duration_ms
+            FROM documents
         """,
         **_kg_oracle_sql(),
         **_sketch_oracle_sql(),

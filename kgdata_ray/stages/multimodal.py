@@ -308,3 +308,115 @@ def parse_media_headers(media: Dataset, *, batch_size: int = 256) -> Dataset:
         )
 
     return media.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# RIFF/WAVE audio: synthetic payloads + REAL byte-level header parsing
+# (same contract as the PNG/GIF/JPEG image path above: the container
+# metadata parse is real, only codec work is out of scope here).
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_bytes(sample_rate: int, channels: int, bits: int,
+              n_frames: int) -> bytes:
+    """Minimal structurally-valid RIFF/WAVE (fmt + data chunks) with a
+    deterministic PCM byte pattern — synthetic audio payloads whose
+    headers a real parser can parse."""
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    data = bytes((i * 7) & 0xFF for i in range(data_size))
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size) + data)
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, n_frames) from a RIFF
+    chunk walk; (-1, -1, -1, -1) when not a WAVE stream. Chunks are
+    word-aligned (odd sizes pad one byte); the data chunk's size field
+    is authoritative even if the payload is truncated (streaming)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (-1, -1, -1, -1)
+    i = 12
+    sr = ch = bits = -1
+    block_align = 0
+    data_size = None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if tag == b"fmt " and i + 24 <= len(b):
+            _, ch, sr, _, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24])
+        elif tag == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    n_frames = (data_size // block_align
+                if data_size is not None and block_align else -1)
+    return (sr, ch, bits, n_frames)
+
+
+def media_from_documents_wav(docs: Dataset) -> Dataset:
+    """Synthetic audio table with doc_id-derived, structurally-valid
+    WAV payloads (rate/channels/frame-count vary per id so the parser
+    is exercised across the parameter space)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [
+            wav_bytes(_WAV_RATES[i % 4], 1 + i % 2, 16, 100 + i % 400)
+            for i in ids
+        ]
+        meta = [
+            json.dumps({"kind": "audio", "n_bytes": len(p)},
+                       sort_keys=True)
+            for p in payload
+        ]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["audio"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def parse_audio_headers(media: Dataset, *,
+                        batch_size: int = 256) -> Dataset:
+    """(item_id, sample_rate, channels, bits, n_frames, duration_ms)
+    parsed from RIFF bytes — stateless plain task, binary-safe Arrow
+    in/out, small batches for wide binary rows. duration_ms =
+    n_frames * 1000.0 / rate (exact IEEE ops on exact ints, so any
+    engine reproduces it bit-for-bit)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        srs, chs, bts, nfs, durs = [], [], [], [], []
+        for p in t["payload"].to_pylist():
+            sr, ch, bits, nf = parse_wav_header(p or b"")
+            srs.append(sr)
+            chs.append(ch)
+            bts.append(bits)
+            nfs.append(nf)
+            durs.append(nf * 1000.0 / sr if sr > 0 and nf >= 0 else -1.0)
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "sample_rate": pa.array(srs, pa.int32()),
+                "channels": pa.array(chs, pa.int32()),
+                "bits": pa.array(bts, pa.int32()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "duration_ms": pa.array(durs, pa.float64()),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)
