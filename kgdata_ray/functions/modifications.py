@@ -38,3 +38,31 @@ def apply_gazetteer_patches(gazetteer: pa.Table, patches: pa.Table) -> pa.Table:
         else:
             raise ValueError(f"unknown patch op: {op!r}")
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def merge_upserts(
+    base, updates, key: str, *,
+    version_col: str = "_version", tombstone_col: str = "_deleted",
+):
+    """CDC merge (SQL MERGE INTO / Delta-style upsert): union ``base``
+    and ``updates`` (identical schemas incl. the two meta columns;
+    higher ``version_col`` = newer), keep the latest version per key,
+    drop keys whose winner is tombstoned, strip the meta columns — the
+    dataset-versioning analog of the reference's patch application
+    (``Modification.apply``), but distributed: one grouped shuffle on
+    the key, everything else streams."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .agg import latest_wins
+
+    merged = base.union(updates)
+    won = latest_wins(merged, key, version_col)
+
+    def strip(b: pd.DataFrame) -> pa.Table:
+        live = b[~b[tombstone_col].astype(bool)]
+        return pa.Table.from_pandas(
+            live.drop(columns=[version_col, tombstone_col]),
+            preserve_index=False)
+
+    return won.map_batches(strip, batch_format="pandas")

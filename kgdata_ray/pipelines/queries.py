@@ -1592,6 +1592,56 @@ def q_kg_pmi_pairs(sf_dir: str) -> Dataset:
     return pmi_pairs(distinct_rows(tr, ["conv_id", "subj"]))
 
 
+def q_merge_upserts(sf_dir: str) -> Dataset:
+    """CDC upsert/delete merge (functions/modifications.py:
+    merge_upserts): deterministic synthetic changefeed over orders —
+    keys %7==0 get a +1000.0 repricing (version 1), of those keys
+    %3==0 are tombstoned — applied distributed (union + latest-wins
+    + tombstone drop); the oracle replays the same change rules."""
+    from ..functions.modifications import merge_upserts
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def as_base(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        b["_version"] = np.int64(0)
+        b["_deleted"] = False
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def as_updates(b: pd.DataFrame) -> pa.Table:
+        u = b[b["o_orderkey"] % 7 == 0].copy()
+        u["o_totalprice"] = u["o_totalprice"] + 1000.0
+        u["_version"] = np.int64(1)
+        u["_deleted"] = (u["o_orderkey"] % 3 == 0)
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    base = orders.map_batches(as_base, batch_format="pandas")
+    upd = orders.map_batches(as_updates, batch_format="pandas")
+    return merge_upserts(base, upd, "o_orderkey")
+
+
+def q_kg_neighborhood_jaccard(sf_dir: str) -> Dataset:
+    """Neighbor-set Jaccard similarity over the entity co-mention
+    graph (stages/graph.py:neighborhood_jaccard) — duplicate-entity /
+    similar-entity detection; exact int counts, exact double division."""
+    from ..stages.graph import co_mention_edges, neighborhood_jaccard
+
+    return neighborhood_jaccard(co_mention_edges(q_kg_triples(sf_dir)))
+
+
+def q_inverted_index(sf_dir: str) -> Dataset:
+    """Inverted index over documents (stages/textstats.py:
+    inverted_index): term -> (df, comma-joined ascending posting
+    list), tokenization shared with the SQL oracle."""
+    from ..stages.textstats import inverted_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return inverted_index(docs)
+
+
 _ZSCORE_THRESHOLD = 3.0
 
 
@@ -1858,6 +1908,9 @@ def queries() -> dict[str, Callable]:
         "zscore_outliers": q_zscore_outliers,
         "union_by_name": q_union_by_name,
         "audio_headers": q_audio_headers,
+        "merge_upserts": q_merge_upserts,
+        "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -2479,6 +2532,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 2 = 1
             )
         """,
+        "merge_upserts": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 3 = 0)
+        """,
+        "inverted_index": """
+            WITH tk AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+')) AS term
+                    FROM documents)
+                WHERE term <> ''
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                       ORDER BY doc_id) AS postings
+            FROM tk GROUP BY term
+        """,
         "audio_headers": """
             SELECT doc_id AS item_id,
                    CAST(CASE doc_id % 4 WHEN 0 THEN 8000
@@ -2889,6 +2964,27 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    round(sum(1.0 / ln(deg.d)), 6) AS aa_score
             FROM wed w JOIN deg ON w.z = deg.node
             GROUP BY w.p, w.q
+        """,
+        "kg_neighborhood_jaccard": f"""
+            WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),
+            edges AS (
+                SELECT DISTINCT s1.subj AS u, s2.subj AS v
+                FROM s s1 JOIN s s2
+                  ON s1.conv_id = s2.conv_id AND s1.subj < s2.subj
+            ),
+            adj AS (SELECT u AS node, v AS nb FROM edges
+                    UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+            c AS (SELECT a.node AS p, b.node AS q, count(*) AS common
+                  FROM adj a JOIN adj b
+                    ON a.nb = b.nb AND a.node < b.node
+                  GROUP BY 1, 2)
+            SELECT c.p, c.q, CAST(c.common AS BIGINT) AS common,
+                   CAST(c.common AS DOUBLE)
+                       / (dp.d + dq.d - c.common) AS jaccard
+            FROM c
+            JOIN deg dp ON c.p = dp.node
+            JOIN deg dq ON c.q = dq.node
         """,
         "kg_pmi_pairs": f"""
             WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),

@@ -713,3 +713,67 @@ def pmi_pairs(convs: Dataset, *, max_group: int = 5000) -> Dataset:
 
     return scrub_empty_blocks(j).map_batches(
         score, batch_format="pandas")
+
+
+def neighborhood_jaccard(edges: Dataset, *, max_group: int = 5000,
+                         num_partitions: int = 8) -> Dataset:
+    """Jaccard similarity of neighbor SETS for every node pair with at
+    least one common neighbor: ``|N(p) ∩ N(q)| / |N(p) ∪ N(q)|`` — the
+    set-overlap cousin of :func:`adamic_adar` (entity-similarity /
+    duplicate-entity detection over a KG). Common-neighbor counts come
+    from the same degree-free neighbor-key grouped shuffle; degrees
+    join in from the node-count-sized table. The division is exact
+    ints → double, so no rounding is needed for engine parity."""
+    import numpy as np
+
+    edges = edges.materialize()  # consumed twice (adjacency + degrees)
+
+    def both_dirs(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "node": pd.concat([b["u"], b["v"]], ignore_index=True),
+            "nb": pd.concat([b["v"], b["u"]], ignore_index=True),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    adj = edges.map_batches(both_dirs, batch_format="pandas")
+    deg = partial_group_count(adj.select_columns(["node"]), "node",
+                              count_name="deg").materialize()
+
+    def wedge_pairs(b: pd.DataFrame) -> pa.Table:
+        ps, qs = [], []
+        for _, g in b.groupby("nb", sort=False):
+            ents = np.sort(g["node"].to_numpy())[:max_group]
+            if len(ents) < 2:
+                continue
+            i, j = np.triu_indices(len(ents), k=1)
+            ps.append(ents[i])
+            qs.append(ents[j])
+        if not ps:
+            return pa.table({"p": pa.array([], pa.string()),
+                             "q": pa.array([], pa.string())})
+        return pa.table({"p": pa.array(np.concatenate(ps)),
+                         "q": pa.array(np.concatenate(qs))})
+
+    common = partial_group_count(
+        grouped_blockwise(adj, ["nb"], wedge_pairs),
+        ["p", "q"], count_name="common")
+
+    j = common.join(rename_cols(deg, {"node": "pe", "deg": "dp"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("p",), right_on=("pe",))
+    j = scrub_empty_blocks(j).join(
+        rename_cols(deg, {"node": "qe", "deg": "dq"}),
+        join_type="inner", num_partitions=num_partitions,
+        on=("q",), right_on=("qe",))
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        b = b.copy()
+        c = b["common"].to_numpy(dtype=np.float64)
+        b["jaccard"] = c / (b["dp"].to_numpy() + b["dq"].to_numpy()
+                            - b["common"].to_numpy())
+        b["common"] = b["common"].astype("int64")
+        return pa.Table.from_pandas(b[["p", "q", "common", "jaccard"]],
+                                    preserve_index=False)
+
+    return scrub_empty_blocks(j).map_batches(
+        score, batch_format="pandas")

@@ -22,6 +22,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -522,3 +523,47 @@ def chunk_documents(ds: Dataset, *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pandas")
+
+
+def inverted_index(ds: Dataset, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> Dataset:
+    """Inverted index build: ``(term, df, postings)`` with ``postings``
+    = comma-joined ascending doc ids — the IR-side analog of the
+    reference's dataset→database materialization
+    (``kgdata/scripts/dataset2db.py``: a keyed artifact other jobs
+    probe). Tokenization shared with :func:`word_counts`
+    (``WORD_SPLIT_PATTERN``). Vectorized explode + per-doc dedup per
+    block, cross-block distinct, then ONE grouped shuffle on the term;
+    the per-group string join is bounded by each term's posting size
+    (cap postings upstream for web-scale hot terms)."""
+    import numpy as np
+
+    from ..functions.agg import distinct_rows, grouped_blockwise
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks = (b[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True))
+        n = toks.str.len().to_numpy()
+        ids = np.repeat(b[id_col].to_numpy(), n)
+        terms = np.concatenate(toks.to_numpy()) if len(b) else np.array(
+            [], dtype=object)
+        out = pd.DataFrame({"term": terms, id_col: ids})
+        out = out[out["term"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = distinct_rows(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["term", id_col])
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["term", id_col], kind="mergesort")
+        g = b.groupby("term", sort=False)[id_col]
+        out = pd.DataFrame({
+            "df": g.size().astype("int64"),
+            "postings": g.agg(
+                lambda s: ",".join(s.astype(str))),
+        }).reset_index()
+        return pa.Table.from_pandas(out[["term", "df", "postings"]],
+                                    preserve_index=False)
+
+    return grouped_blockwise(pairs, ["term"], block)
