@@ -51,3 +51,33 @@ def assert_unique(ds: Dataset, cols: Sequence[str]) -> None:
 def assert_count_preserved(before: int, after: int, *, what: str = "rows") -> None:
     if before != after:
         raise AssertionError(f"{what} count changed: {before} -> {after}")
+
+
+def expectation_violations(
+    ds: Dataset, id_col: str, rules: "dict[str, object]",
+) -> Dataset:
+    """Data-quality expectation gate: evaluate every rule on every row
+    in ONE streaming pass and emit ``(id_col, rule)`` per violation —
+    the ingest-validation report a 100-TB pipeline runs before
+    publishing a dataset (the distributed generalization of this
+    module's uniqueness post-conditions). ``rules`` maps a rule name to
+    a vectorized predicate ``pd.DataFrame -> bool array`` that is TRUE
+    where the row VIOLATES the expectation."""
+    names = list(rules)
+
+    def flag(b: pd.DataFrame) -> pa.Table:
+        ids, rl = [], []
+        for name in names:
+            mask = pd.Series(rules[name](b), index=b.index,
+                             dtype=bool)
+            if mask.any():
+                ids.append(b.loc[mask, id_col])
+                rl.extend([name] * int(mask.sum()))
+        if not ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rule": pa.array([], pa.string())})
+        out = pd.DataFrame({id_col: pd.concat(ids, ignore_index=True),
+                            "rule": rl})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -489,3 +489,40 @@ def grouped_zscore_outliers(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def winsorize_by_group(
+    ds: Dataset, key: str, id_col: str, x_col: str,
+    *, lo_q: float = 0.05, hi_q: float = 0.95,
+) -> Dataset:
+    """Per-group winsorization (outlier clipping) of an integer metric
+    at the [lo_q, hi_q] DISCRETE quantiles — the robust-statistics
+    cleaning step of corpus curation. quantile_disc order statistics
+    are exact ints, so clipped values match any SQL engine exactly.
+    The per-group (lo, hi) table is #groups rows (bounded small by
+    contract): computed by :func:`grouped_quantiles`, collected once,
+    broadcast; the data pass is one streaming clip."""
+    import ray
+
+    from .broadcast import get_broadcast
+
+    q = grouped_quantiles(ds.select_columns([key, x_col]), key, x_col,
+                          [lo_q, hi_q], interpolated=False)
+    qdf = q.to_pandas()
+    lut = {}
+    for k, g in qdf.groupby(key):
+        s = dict(zip(g["q"], g[x_col]))
+        lut[k] = (int(s[lo_q]), int(s[hi_q]))
+    ref = ray.put(lut)
+
+    def clip(b: pd.DataFrame) -> pa.Table:
+        m = get_broadcast(ref)
+        lo = b[key].map(lambda k: m[k][0]).to_numpy()
+        hi = b[key].map(lambda k: m[k][1]).to_numpy()
+        x = b[x_col].to_numpy().astype("int64")
+        out = b[[id_col, key]].copy()
+        out[x_col] = x
+        out[f"{x_col}_wins"] = np.clip(x, lo, hi).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(clip, batch_format="pandas")

@@ -1642,6 +1642,73 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_expectation_checks(sf_dir: str) -> Dataset:
+    """Data-quality expectation gate over events
+    (functions/checks.py:expectation_violations): three vectorized
+    rules evaluated in ONE streaming pass, emitting (event_id, rule)
+    per violation — the pre-publish validation report of a 100-TB
+    ingest. The oracle replays each rule as a UNION ALL branch."""
+    from ..functions.checks import expectation_violations
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value",
+                                  "user_id"])
+    rules = {
+        "value_range": lambda b: (b["value"] < 0) | (b["value"] > 400),
+        "known_type": lambda b: ~b["event_type"].isin(
+            ["view", "click", "purchase"]),
+        "user_id_range": lambda b: b["user_id"] < 10,
+    }
+    return expectation_violations(ev, "event_id", rules)
+
+
+def q_winsorize_events(sf_dir: str) -> Dataset:
+    """Per-event-type winsorization of floor(value) at the 5th/95th
+    discrete percentiles (functions/stats.py:winsorize_by_group) —
+    exact integer order statistics, so clipped values match the SQL
+    oracle exactly."""
+    from ..functions.stats import winsorize_by_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "x": np.floor(b["value"].to_numpy()).astype("int64"),
+        })
+
+    return winsorize_by_group(
+        ev.map_batches(ints, batch_format="pandas"),
+        "event_type", "event_id", "x", lo_q=0.05, hi_q=0.95)
+
+
+def q_partitioned_roundtrip(sf_dir: str) -> Dataset:
+    """Resumable-output pattern end-to-end: write documents
+    hive-partitioned by lang to scratch, then read back ONLY the 'en'
+    partition directory with column pruning — partition-pruned reads
+    are how a restarted 100-TB job skips finished work. Fresh scratch
+    dir per call; the partition value is re-attached as a constant
+    column (hive layout stores it in the path, not the files)."""
+    import tempfile
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="kgr_part_")
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+    back = rd.read_parquet(f"{out_dir}/lang=en",
+                           columns=["doc_id", "n_chars"])
+
+    def attach(t: "pa.Table") -> "pa.Table":
+        return t.append_column(
+            "lang", pa.array(["en"] * len(t), pa.string()))
+
+    return back.map_batches(
+        attach, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "n_chars"])
+
+
 _ZSCORE_THRESHOLD = 3.0
 
 
@@ -1911,6 +1978,9 @@ def queries() -> dict[str, Callable]:
         "merge_upserts": q_merge_upserts,
         "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
         "inverted_index": q_inverted_index,
+        "expectation_checks": q_expectation_checks,
+        "winsorize_events": q_winsorize_events,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
     }
 
 
@@ -2531,6 +2601,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, n_chars FROM documents
                 WHERE doc_id % 2 = 1
             )
+        """,
+        "expectation_checks": """
+            SELECT event_id, 'value_range' AS rule FROM events
+            WHERE value < 0 OR value > 400
+            UNION ALL
+            SELECT event_id, 'known_type' FROM events
+            WHERE event_type NOT IN ('view', 'click', 'purchase')
+            UNION ALL
+            SELECT event_id, 'user_id_range' FROM events
+            WHERE user_id < 10
+        """,
+        "winsorize_events": """
+            WITH x AS (SELECT event_id, event_type,
+                              CAST(floor(value) AS BIGINT) AS x
+                       FROM events),
+            qs AS (SELECT event_type,
+                          quantile_disc(x, 0.05) AS lo,
+                          quantile_disc(x, 0.95) AS hi
+                   FROM x GROUP BY 1)
+            SELECT x.event_id, x.event_type, x.x,
+                   CAST(least(greatest(x.x, qs.lo), qs.hi) AS BIGINT)
+                       AS x_wins
+            FROM x JOIN qs USING (event_type)
+        """,
+        "partitioned_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en'
         """,
         "merge_upserts": """
             SELECT o_orderkey, o_custkey,

@@ -1,0 +1,63 @@
+"""expectation_violations, winsorize_by_group, partitioned roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgdata_ray.functions.checks import expectation_violations
+from kgdata_ray.functions.stats import winsorize_by_group
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_expectation_violations():
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "v": [5.0, -1.0, 900.0, 10.0],
+        "t": ["ok", "ok", "bad", "ok"],
+    })
+    rules = {
+        "v_range": lambda b: (b["v"] < 0) | (b["v"] > 400),
+        "t_known": lambda b: b["t"] != "ok",
+    }
+    got = expectation_violations(rd.from_pandas(df), "id",
+                                 rules).to_pandas()
+    assert {(r.id, r.rule) for r in got.itertuples()} == {
+        (2, "v_range"), (3, "v_range"), (3, "t_known")}
+
+
+def test_expectation_violations_clean_batch():
+    df = pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]})
+    got = expectation_violations(
+        rd.from_pandas(df), "id",
+        {"neg": lambda b: b["v"] < 0}).to_pandas()
+    assert len(got) == 0
+
+
+def test_winsorize_matches_quantile_disc():
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev["x"] = np.floor(ev["value"]).astype("int64")
+    got = winsorize_by_group(
+        rd.from_pandas(ev[["event_id", "event_type", "x"]]),
+        "event_type", "event_id", "x",
+        lo_q=0.1, hi_q=0.9).to_pandas()
+
+    def disc(s, q):  # DuckDB quantile_disc: element at ceil(q*n)-1
+        v = np.sort(s.to_numpy())
+        return v[max(int(np.ceil(q * len(v))) - 1, 0)]
+
+    lut = {k: (disc(g["x"], 0.1), disc(g["x"], 0.9))
+           for k, g in ev.groupby("event_type")}
+    exp = ev[["event_id", "event_type", "x"]].copy()
+    lo = exp["event_type"].map(lambda k: lut[k][0])
+    hi = exp["event_type"].map(lambda k: lut[k][1])
+    exp["x_wins"] = np.clip(exp["x"], lo, hi).astype("int64")
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    assert g[["event_id", "x", "x_wins"]].equals(
+        e[["event_id", "x", "x_wins"]])
+    # clipping must have changed at least one row at these quantiles
+    assert (g["x"] != g["x_wins"]).any()
