@@ -597,3 +597,33 @@ def golden_core_numbers(edges: list[tuple[str, str]]) -> pa.Table:
         "node": pa.array([n for n, _ in items], pa.string()),
         "core": pa.array([c for _, c in items], pa.int64()),
     })
+
+
+def golden_components(edges: list[tuple[str, str]]) -> pa.Table:
+    """(node_id, component_id) with component_id = min node id, by
+    union-find with path compression — deliberately a DIFFERENT
+    algorithm from the engine's label-propagation rounds
+    (stages/canonicalize.py:connected_components), so agreement
+    certifies both."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for u, v in edges:
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = sorted((n, find(n)) for n in nodes)
+    return pa.table({
+        "node_id": pa.array([n for n, _ in out], pa.string()),
+        "component_id": pa.array([c for _, c in out], pa.string()),
+    })

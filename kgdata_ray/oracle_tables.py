@@ -49,7 +49,7 @@ from .synth import (
 ORACLE_BASE = os.environ.get("KGR_ORACLE_DIR", "/tmp/kgr_oracle")
 
 # bump when the set of materialized tables or their schemas change
-ORACLE_TABLES_VERSION = 7
+ORACLE_TABLES_VERSION = 8
 
 
 def oracle_dir(sf: float) -> str:
@@ -156,6 +156,7 @@ def ensure_oracle_tables(sf: float) -> str:
 
     from .oracle_sketch import (
         golden_comention_edges,
+        golden_components,
         golden_core_numbers,
         golden_kcore,
         golden_pagerank,
@@ -180,6 +181,13 @@ def ensure_oracle_tables(sf: float) -> str:
             golden_comention_edges(
                 [(t["subj"], t["conv_id"]) for t in golden])),
         out / "core_numbers.parquet",
+    )
+
+    pq.write_table(
+        golden_components(
+            golden_comention_edges(
+                [(t["subj"], t["conv_id"]) for t in golden])),
+        out / "components.parquet",
     )
 
     unlink = oracle.extract_unlinkable(tt, gz)

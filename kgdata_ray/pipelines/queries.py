@@ -1642,6 +1642,94 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_kg_components(sf_dir: str) -> Dataset:
+    """Connected components of the entity co-mention graph
+    (stages/canonicalize.py:connected_components — bounded-round
+    label propagation, min-id winner); certified against a golden
+    union-find parquet built by an independent algorithm
+    (oracle_sketch.py:golden_components)."""
+    from ..functions.blocks import rename_cols
+    from ..stages.canonicalize import connected_components
+    from ..stages.graph import co_mention_edges
+
+    edges = rename_cols(co_mention_edges(q_kg_triples(sf_dir)),
+                        {"u": "src_id", "v": "dst_id"})
+    return connected_components(edges)
+
+
+def q_top_sources_per_lang(sf_dir: str) -> Dataset:
+    """Two-level top-k: document counts per (lang, source), then the
+    top-2 sources per lang by (count desc, source asc)
+    (functions/agg.py:partial_group_count + group_top_k) — the
+    aggregate-then-rank rollup pattern."""
+    from ..functions.agg import group_top_k, partial_group_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    counts = partial_group_count(docs, ["lang", "source"],
+                                 count_name="n")
+    return group_top_k(counts, "lang", sort_cols=["n", "source"],
+                       ascending=[False, True], k=2)
+
+
+def q_users_intersect(sf_dir: str) -> Dataset:
+    """SQL INTERSECT: users with a big (>100) purchase AND a big view
+    — two distinct projections joined on the key (the set-op surface
+    next to the existing anti/semi joins)."""
+    from ..functions.agg import distinct_rows
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..functions.joins import equi_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def big_of_type(t):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            keep = (b["event_type"] == t) & (b["value"] > 100.0)
+            return b.loc[keep, ["user_id"]]
+        return f
+
+    a = distinct_rows(
+        ev.map_batches(big_of_type("purchase"), batch_format="pandas"),
+        ["user_id"])
+    b = distinct_rows(
+        ev.map_batches(big_of_type("view"), batch_format="pandas"),
+        ["user_id"])
+    j = equi_join(scrub_empty_blocks(a),
+                  rename_cols(scrub_empty_blocks(b),
+                              {"user_id": "u2"}),
+                  "user_id", right_on="u2")
+    return j.select_columns(["user_id"])
+
+
+def q_users_except(sf_dir: str) -> Dataset:
+    """SQL EXCEPT: signed-up users with no event over 350 — distinct
+    projection anti-joined against the excluded key set
+    (functions/joins.py:anti_join)."""
+    from ..functions.agg import distinct_rows
+    from ..functions.blocks import scrub_empty_blocks
+    from ..functions.joins import anti_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def of_type(t):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["event_type"] == t, ["user_id"]]
+        return f
+
+    def hot(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["value"] > 350.0, ["user_id"]]
+
+    a = distinct_rows(
+        ev.map_batches(of_type("signup"), batch_format="pandas"),
+        ["user_id"])
+    b = distinct_rows(ev.map_batches(hot, batch_format="pandas"),
+                      ["user_id"])
+    return anti_join(scrub_empty_blocks(a), scrub_empty_blocks(b),
+                     "user_id")
+
+
 def q_expectation_checks(sf_dir: str) -> Dataset:
     """Data-quality expectation gate over events
     (functions/checks.py:expectation_violations): three vectorized
@@ -1981,6 +2069,10 @@ def queries() -> dict[str, Callable]:
         "expectation_checks": q_expectation_checks,
         "winsorize_events": q_winsorize_events,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        "kg_components": q_kg_components,
+        "top_sources_per_lang": q_top_sources_per_lang,
+        "users_intersect": q_users_intersect,
+        "users_except": q_users_except,
     }
 
 
@@ -2602,6 +2694,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 2 = 1
             )
         """,
+        "top_sources_per_lang": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2)
+            SELECT lang, source, n FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, source ASC) AS rn
+                FROM c
+            ) WHERE rn <= 2
+        """,
+        "users_intersect": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 100.0
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view' AND value > 100.0
+        """,
+        "users_except": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE value > 350.0
+        """,
         "expectation_checks": """
             SELECT event_id, 'value_range' AS rule FROM events
             WHERE value < 0 OR value > 400
@@ -3103,6 +3218,10 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_kcore": f"""
             SELECT node FROM read_parquet('{d}/kcore3.parquet')
+        """,
+        "kg_components": f"""
+            SELECT node_id, component_id
+            FROM read_parquet('{d}/components.parquet')
         """,
         "kg_core_numbers": f"""
             SELECT node, core FROM read_parquet('{d}/core_numbers.parquet')

@@ -77,3 +77,18 @@ def test_inverted_index_matches_naive():
         "sat": (1, "3"),
         "dog": (2, "1,2"),
     }
+
+
+def test_golden_components_union_find_matches_engine_cc():
+    from kgdata_ray.oracle_sketch import golden_components
+    from kgdata_ray.stages.canonicalize import connected_components
+
+    e = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"),
+         ("r", "p")]
+    golden = golden_components(e).to_pandas()
+    df = pd.DataFrame(e, columns=["src_id", "dst_id"])
+    got = (connected_components(_ds(df)).to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    exp = golden.sort_values("node_id").reset_index(drop=True)
+    assert got[["node_id", "component_id"]].equals(
+        exp[["node_id", "component_id"]])
