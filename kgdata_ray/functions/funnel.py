@@ -58,3 +58,90 @@ def funnel_stages(
         })
 
     return grouped_blockwise(ds, [user_col], block)
+
+
+def transition_counts(
+    ds: Dataset, user_col: str, ts_col: str, type_col: str,
+    tiebreak: str,
+) -> Dataset:
+    """First-order Markov transition counts over per-user event
+    sequences: ``(cur_type, next_type, n)`` where next is the
+    immediately following event in (ts, tiebreak) order — the
+    sequence-analytics sibling of :func:`funnel_stages`. One range
+    shuffle on the user key; pair extraction is a vectorized grouped
+    shift; counts are map-side combined."""
+    from .agg import grouped_blockwise, partial_group_count
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values([user_col, ts_col, tiebreak],
+                          kind="mergesort")
+        nxt = b.groupby(user_col, sort=False)[type_col].shift(-1)
+        keep = nxt.notna()
+        out = pd.DataFrame({"cur_type": b.loc[keep, type_col],
+                            "next_type": nxt[keep]})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = grouped_blockwise(ds, [user_col], block)
+    return partial_group_count(pairs, ["cur_type", "next_type"],
+                               count_name="n")
+
+
+def retention_cohorts(
+    ds: Dataset, user_col: str, ts_col: str, type_col: str,
+    signup_type: str,
+) -> Dataset:
+    """Weekly retention-cohort matrix: users grouped by the week of
+    their first ``signup_type`` event, counted in every week (>= the
+    cohort week) in which they had ANY event —
+    ``(cohort_week, active_week, n_users)``. Weeks are Monday-start
+    (SQL ``date_trunc('week', ...)``); timestamps stay microsecond
+    precision for dtype-exact engine/oracle parity. Plan: per-user
+    first-signup grouped min, distinct (user, week) activity, one
+    hash join, map-side-combined counts — the joined rows are unique
+    per (user, active_week), so plain counts ARE distinct-user counts.
+    """
+    from .agg import distinct_rows, grouped_blockwise, \
+        partial_group_count
+    from .blocks import scrub_empty_blocks
+
+    def week(s: pd.Series) -> pd.Series:
+        return (s.dt.to_period("W-SUN").dt.start_time
+                .astype("datetime64[us]"))
+
+    def first_signup(b: pd.DataFrame) -> pa.Table:
+        su = b[b[type_col] == signup_type]
+        out = su.groupby(user_col, as_index=False)[ts_col].min()
+        out["cohort_week"] = week(out[ts_col])
+        return pa.Table.from_pandas(out[[user_col, "cohort_week"]],
+                                    preserve_index=False)
+
+    cohorts = grouped_blockwise(
+        ds.select_columns([user_col, ts_col, type_col]),
+        [user_col], first_signup)
+
+    def activity(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({user_col: b[user_col],
+                            "active_week": week(b[ts_col])})
+        return pa.Table.from_pandas(out.drop_duplicates(),
+                                    preserve_index=False)
+
+    weeks = distinct_rows(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            activity, batch_format="pandas"),
+        [user_col, "active_week"])
+
+    from .blocks import rename_cols
+
+    j = scrub_empty_blocks(cohorts).join(
+        rename_cols(scrub_empty_blocks(weeks), {user_col: "u2"}),
+        join_type="inner", num_partitions=8,
+        on=(user_col,), right_on=("u2",))
+
+    def retained(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["active_week"] >= b["cohort_week"],
+                     ["cohort_week", "active_week"]]
+
+    kept = scrub_empty_blocks(j).map_batches(retained,
+                                             batch_format="pandas")
+    return partial_group_count(kept, ["cohort_week", "active_week"],
+                               count_name="n_users")

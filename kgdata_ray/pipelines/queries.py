@@ -1642,6 +1642,29 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_transition_counts(sf_dir: str) -> Dataset:
+    """First-order Markov transition counts over per-user event
+    sequences (functions/funnel.py:transition_counts)."""
+    from ..functions.funnel import transition_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    return transition_counts(ev, "user_id", "ts", "event_type",
+                             "event_id")
+
+
+def q_retention_cohorts(sf_dir: str) -> Dataset:
+    """Weekly retention-cohort matrix keyed on first signup week
+    (functions/funnel.py:retention_cohorts)."""
+    from ..functions.funnel import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return retention_cohorts(ev, "user_id", "ts", "event_type",
+                             "signup")
+
+
 def q_kg_components(sf_dir: str) -> Dataset:
     """Connected components of the entity co-mention graph
     (stages/canonicalize.py:connected_components — bounded-round
@@ -2073,6 +2096,8 @@ def queries() -> dict[str, Callable]:
         "top_sources_per_lang": q_top_sources_per_lang,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
+        "transition_counts": q_transition_counts,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -2693,6 +2718,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, n_chars FROM documents
                 WHERE doc_id % 2 = 1
             )
+        """,
+        "transition_counts": """
+            WITH o AS (SELECT user_id, event_type AS cur_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+                       FROM events)
+            SELECT cur_type, next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "retention_cohorts": """
+            WITH su AS (SELECT user_id,
+                               date_trunc('week', min(ts))
+                                   AS cohort_week
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY 1),
+            aw AS (SELECT DISTINCT user_id,
+                          date_trunc('week', ts) AS active_week
+                   FROM events)
+            SELECT su.cohort_week, aw.active_week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM su JOIN aw USING (user_id)
+            WHERE aw.active_week >= su.cohort_week
+            GROUP BY 1, 2
         """,
         "top_sources_per_lang": """
             WITH c AS (SELECT lang, source,

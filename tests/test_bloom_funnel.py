@@ -158,3 +158,44 @@ def test_percent_rank_matches_pandas():
     exp["cume_dist"] = hi / n
     got = out[["user_id", "event_id", "pct_rank", "cume_dist"]]
     assert _sorted(got).equals(_sorted(exp))
+
+
+def test_transition_counts_matches_pandas():
+    from kgdata_ray.functions.funnel import transition_counts
+
+    ev = _pdf("events")
+    got = transition_counts(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["user_id", "event_id", "ts",
+                                 "event_type"]),
+        "user_id", "ts", "event_type", "event_id").to_pandas()
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    nxt = s.groupby("user_id")["event_type"].shift(-1)
+    exp = (pd.DataFrame({"cur_type": s["event_type"],
+                         "next_type": nxt}).dropna()
+           .groupby(["cur_type", "next_type"]).size())
+    got_map = {(r.cur_type, r.next_type): r.n for r in got.itertuples()}
+    assert got_map == exp.to_dict()
+
+
+def test_retention_cohorts_matches_pandas():
+    from kgdata_ray.functions.funnel import retention_cohorts
+
+    ev = _pdf("events")
+    got = retention_cohorts(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type", "signup").to_pandas()
+
+    def wk(s):
+        return s.dt.to_period("W-SUN").dt.start_time
+
+    su = (ev[ev.event_type == "signup"].groupby("user_id")["ts"]
+          .min().pipe(lambda s: wk(s.to_frame()["ts"])))
+    aw = ev.assign(w=wk(ev["ts"]))[["user_id", "w"]].drop_duplicates()
+    j = aw.join(su.rename("cohort"), on="user_id", how="inner")
+    j = j[j["w"] >= j["cohort"]]
+    exp = j.groupby(["cohort", "w"]).size()
+    got_map = {(r.cohort_week, r.active_week): r.n_users
+               for r in got.itertuples()}
+    assert got_map == {(c, w): n for (c, w), n in exp.items()}
