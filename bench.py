@@ -131,6 +131,11 @@ def bench_queries(sf_dir: str) -> dict:
         "watermark_windows": q.q_watermark_windows,
         "chunk_documents": q.q_chunk_documents,
         "doc_corpus_freq": q.q_doc_corpus_freq,
+        # round-3 session-3 additions
+        "bloom_join": q.q_bloom_join,
+        "funnel_stages": q.q_funnel_stages,
+        "edit_distance_pairs": q.q_edit_distance_pairs,
+        "inverted_index": q.q_inverted_index,
     }
     out = {}
     for name, fn in picks.items():

@@ -1642,6 +1642,35 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_gif_frame_counts(sf_dir: str) -> Dataset:
+    """REAL animated-GIF block-walk parsing over synthetic multi-frame
+    payloads (stages/multimodal.py:parse_gif_frames) — width/height
+    from the logical screen descriptor, frame count from image
+    separators; the oracle replays the doc_id-derived formulas."""
+    from ..stages.multimodal import (
+        media_from_documents_gif,
+        parse_gif_frame_counts,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return parse_gif_frame_counts(media_from_documents_gif(docs))
+
+
+def q_mode_event_type(sf_dir: str) -> Dataset:
+    """Grouped mode: each user's most frequent event type (ties ->
+    lexicographically smallest) — count shuffle then per-group top-1
+    (functions/agg.py:partial_group_count + group_top_k)."""
+    from ..functions.agg import group_top_k, partial_group_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = partial_group_count(ev, ["user_id", "event_type"],
+                                 count_name="n")
+    return group_top_k(counts, "user_id", sort_cols=["n", "event_type"],
+                       ascending=[False, True], k=1)
+
+
 def q_transition_counts(sf_dir: str) -> Dataset:
     """First-order Markov transition counts over per-user event
     sequences (functions/funnel.py:transition_counts)."""
@@ -2098,6 +2127,8 @@ def queries() -> dict[str, Callable]:
         "users_except": q_users_except,
         "transition_counts": q_transition_counts,
         "retention_cohorts": q_retention_cohorts,
+        "gif_frame_counts": q_gif_frame_counts,
+        "mode_event_type": q_mode_event_type,
     }
 
 
@@ -2718,6 +2749,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, n_chars FROM documents
                 WHERE doc_id % 2 = 1
             )
+        """,
+        "gif_frame_counts": """
+            SELECT doc_id AS item_id,
+                   CAST(16 + doc_id % 64 AS INTEGER) AS width,
+                   CAST(16 + (doc_id * 3) % 64 AS INTEGER) AS height,
+                   CAST(1 + doc_id % 5 AS INTEGER) AS n_frames
+            FROM documents
+        """,
+        "mode_event_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, event_type, n FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY n DESC, event_type ASC) AS rn
+                FROM c
+            ) WHERE rn = 1
         """,
         "transition_counts": """
             WITH o AS (SELECT user_id, event_type AS cur_type,

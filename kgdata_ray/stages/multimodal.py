@@ -420,3 +420,124 @@ def parse_audio_headers(media: Dataset, *,
 
     return media.map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# Animated GIF: frame counting by a REAL block walk.
+
+
+def gif_bytes_frames(width: int, height: int, n_frames: int) -> bytes:
+    """Structurally-valid animated GIF89a: logical screen descriptor
+    (no global color table) followed by ``n_frames`` image descriptors
+    each with a minimal LZW data stream, then the trailer."""
+    out = [b"GIF89a", struct.pack("<HH", width, height), b"\x00\x00\x00"]
+    for _ in range(n_frames):
+        out.append(b"\x2c")  # image separator
+        out.append(struct.pack("<HHHH", 0, 0, width, height))
+        out.append(b"\x00")  # no local color table
+        out.append(b"\x02")  # LZW minimum code size
+        out.append(b"\x01\x00")  # one 1-byte data sub-block
+        out.append(b"\x00")  # sub-block terminator
+    out.append(b"\x3b")  # trailer
+    return b"".join(out)
+
+
+def parse_gif_frames(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) by walking GIF blocks — skips the
+    global/local color tables and extension/image data sub-block
+    chains, counts image separators (0x2C). (-1, -1, -1) when not a
+    GIF; frames seen before any malformed tail still count."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return (-1, -1, -1)
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    if packed & 0x80:  # global color table
+        i += 3 * (1 << ((packed & 0x07) + 1))
+    frames = 0
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(b):
+            n = b[j]
+            j += 1
+            if n == 0:
+                return j
+            j += n
+        return j
+
+    while i < len(b):
+        tag = b[i]
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            i = skip_subblocks(i + 2)
+        elif tag == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                break
+            lpacked = b[i + 9]
+            i += 10
+            if lpacked & 0x80:  # local color table
+                i += 3 * (1 << ((lpacked & 0x07) + 1))
+            i += 1  # LZW minimum code size
+            i = skip_subblocks(i)
+            frames += 1
+        else:  # unknown block: stop rather than misparse
+            break
+    return (w, h, frames)
+
+
+def media_from_documents_gif(docs: Dataset) -> Dataset:
+    """Synthetic animated-GIF media table with doc_id-derived
+    dimensions and frame counts."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [
+            gif_bytes_frames(16 + (i % 64), 16 + (i * 3) % 64,
+                             1 + i % 5)
+            for i in ids
+        ]
+        meta = [
+            json.dumps({"kind": "video", "n_bytes": len(p)},
+                       sort_keys=True)
+            for p in payload
+        ]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["video"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def parse_gif_frame_counts(media: Dataset, *,
+                           batch_size: int = 256) -> Dataset:
+    """(item_id, width, height, n_frames) from GIF block walks —
+    the frame-indexing stage of a video-ish ingest (real parsing;
+    codec decode stays out of scope)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ws, hs, fs = [], [], []
+        for p in t["payload"].to_pylist():
+            w, h, nf = parse_gif_frames(p or b"")
+            ws.append(w)
+            hs.append(h)
+            fs.append(nf)
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames": pa.array(fs, pa.int32()),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)

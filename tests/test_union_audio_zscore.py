@@ -90,3 +90,25 @@ def test_zscore_outliers_matches_pandas():
     zmap = dict(zip(ev["event_id"], z))
     assert all(abs(r.z - zmap[r.event_id]) < 1e-9
                for r in got.itertuples())
+
+
+def test_gif_frame_walk():
+    from kgdata_ray.stages.multimodal import (
+        gif_bytes,
+        gif_bytes_frames,
+        parse_gif_frames,
+    )
+
+    for nf in (1, 3, 5):
+        b = gif_bytes_frames(40, 24, nf)
+        assert parse_gif_frames(b) == (40, 24, nf)
+    # frame-less GIF (no image descriptor) parses as 0 frames
+    assert parse_gif_frames(gif_bytes(20, 10)) == (20, 10, 0)
+    assert parse_gif_frames(b"not a gif") == (-1, -1, -1)
+    # extension blocks before the frames are skipped, not counted
+    import struct
+    ext = (b"GIF89a" + struct.pack("<HH", 8, 8) + b"\x00\x00\x00"
+           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + terminator
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8) + b"\x00"
+           + b"\x02\x01\x00\x00" + b"\x3b")
+    assert parse_gif_frames(ext) == (8, 8, 1)
