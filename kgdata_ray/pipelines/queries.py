@@ -1642,6 +1642,30 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_dedup_representatives(sf_dir: str) -> Dataset:
+    """Canonical-document selection per near-dup cluster: MinHash-LSH
+    pairs -> connected components -> join per-doc quality scores ->
+    keep each cluster's best doc (quality desc, doc_id asc) — the
+    final step of the dedup story (which survivor represents the
+    cluster). Certified against the golden union-find cluster parquet
+    joined with the SQL quality formula."""
+    from ..functions.agg import group_top_k
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..stages import textstats
+    from ..stages.dedup import dedup_clusters
+
+    clusters = dedup_clusters(q_minhash_pairs(sf_dir))
+    quality = textstats.quality_scores(_t(sf_dir, "documents"))
+    j = scrub_empty_blocks(clusters).join(
+        rename_cols(scrub_empty_blocks(quality), {"doc_id": "qd"}),
+        join_type="inner", num_partitions=8,
+        on=("node_id",), right_on=("qd",))
+    top = group_top_k(scrub_empty_blocks(j), "component_id",
+                      sort_cols=["quality", "node_id"],
+                      ascending=[False, True], k=1)
+    return top.select_columns(["component_id", "node_id", "quality"])
+
+
 def q_gif_frame_counts(sf_dir: str) -> Dataset:
     """REAL animated-GIF block-walk parsing over synthetic multi-frame
     payloads (stages/multimodal.py:parse_gif_frames) — width/height
@@ -2129,6 +2153,7 @@ def queries() -> dict[str, Callable]:
         "retention_cohorts": q_retention_cohorts,
         "gif_frame_counts": q_gif_frame_counts,
         "mode_event_type": q_mode_event_type,
+        "dedup_representatives": q_dedup_representatives,
     }
 
 
@@ -2940,6 +2965,37 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "minhash_clusters": f"""
             SELECT node_id, component_id
             FROM read_parquet('{d}/minhash_clusters.parquet')
+        """,
+        "dedup_representatives": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       greatest(CAST(length(regexp_extract_all(text,
+                           '\\S+')) AS DOUBLE), 1.0) AS n_tokens,
+                       CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                           AS DOUBLE) AS n_punct
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       round(
+                           0.4 * least(n_chars / 500.0, 1.0)
+                         + 0.3 * (1.0 - abs(least(n_punct / n_tokens,
+                               1.0) - 0.2))
+                         + 0.3 * (1.0 - least(abs(((n_chars - n_tokens
+                               + 1.0) / n_tokens) - 5.5) / 5.5, 1.0)),
+                       6) AS quality
+                FROM s
+            ), cl AS (
+                SELECT node_id, component_id
+                FROM read_parquet('{d}/minhash_clusters.parquet')
+            )
+            SELECT component_id, node_id, quality FROM (
+                SELECT cl.component_id, cl.node_id, q.quality,
+                       row_number() OVER (PARTITION BY cl.component_id
+                           ORDER BY q.quality DESC, cl.node_id ASC)
+                           AS rn
+                FROM cl JOIN q ON cl.node_id = q.doc_id
+            ) WHERE rn = 1
         """,
         "pii_scrub": _pii_scrub_sql(),
         "repetition_stats": """
