@@ -25,10 +25,13 @@ from ray.data import Dataset
 
 def funnel_stages(
     ds: Dataset, user_col: str, ts_col: str, type_col: str,
-    steps: Sequence[str],
+    steps: Sequence[str], *, max_gap=None,
 ) -> Dataset:
     """``(user_col, funnel_stage)`` — one row per distinct user, stage
-    in ``0..len(steps)``."""
+    in ``0..len(steps)``. With ``max_gap`` (a ``pd.Timedelta``), each
+    step must also land within that window of the previous step's
+    timestamp (conversion-window semantics: ``t_prev < t <=
+    t_prev + max_gap``)."""
     from .agg import grouped_blockwise
 
     steps = list(steps)
@@ -43,8 +46,10 @@ def funnel_stages(
         for s in steps:
             m = b[type_col] == s
             if not first:
-                m &= b[user_col].map(prev_t).notna() & (
-                    b[ts_col] > b[user_col].map(prev_t))
+                prev = b[user_col].map(prev_t)
+                m &= prev.notna() & (b[ts_col] > prev)
+                if max_gap is not None:
+                    m &= b[ts_col] <= prev + max_gap
             t = b[m].groupby(user_col)[ts_col].min()
             reached = users[user_col].map(t)
             stage = stage.where(
@@ -145,3 +150,48 @@ def retention_cohorts(
                                              batch_format="pandas")
     return partial_group_count(kept, ["cohort_week", "active_week"],
                                count_name="n_users")
+
+
+def event_gap_stats(
+    ds: Dataset, user_col: str, ts_col: str, tiebreak: str,
+) -> Dataset:
+    """Per-user inter-event-time statistics over the (ts, tiebreak)
+    order: ``(user, n_gaps, mean_gap_us, median_gap_us)``. Gaps are
+    exact int64 microseconds, the mean is one double division of exact
+    int sums and the median is the DuckDB-semantics discrete order
+    statistic (element at ceil(n/2)-1) — all bit-identical to any SQL
+    engine. One range shuffle on the user key."""
+    import numpy as np
+
+    from .agg import grouped_blockwise
+
+    def block(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values([user_col, ts_col, tiebreak],
+                          kind="mergesort")
+        us = b[user_col].to_numpy()
+        ts = b[ts_col].to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        gap = ts[1:] - ts[:-1]
+        same = us[1:] == us[:-1]
+        gu, gv = us[1:][same], gap[same]
+        out_u, out_n, out_m, out_md = [], [], [], []
+        change = np.flatnonzero(gu[1:] != gu[:-1]) + 1 if gu.size else \
+            np.array([], dtype=np.int64)
+        starts = np.concatenate(([0], change)) if gu.size else change
+        ends = np.concatenate((change, [gu.size])) if gu.size else change
+        for s, e in zip(starts, ends):
+            g = np.sort(gv[s:e])
+            n = e - s
+            out_u.append(gu[s])
+            out_n.append(n)
+            out_m.append(float(g.sum()) / n)
+            out_md.append(g[max(int(np.ceil(n / 2)) - 1, 0)])
+        return pa.table({
+            user_col: pa.array(np.array(out_u)),
+            "n_gaps": pa.array(np.array(out_n, dtype=np.int64)),
+            "mean_gap_us": pa.array(np.array(out_m, dtype=np.float64)),
+            "median_gap_us": pa.array(
+                np.array(out_md, dtype=np.int64)),
+        })
+
+    return grouped_blockwise(ds, [user_col], block)

@@ -1642,6 +1642,69 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+_FUNNEL_GAP_HOURS = 48
+
+
+def q_funnel_windowed(sf_dir: str) -> Dataset:
+    """Conversion-window funnel: view -> click -> purchase where each
+    step must land within 48 h of the previous step
+    (functions/funnel.py:funnel_stages with max_gap)."""
+    from ..functions.funnel import funnel_stages
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         _FUNNEL_STEPS,
+                         max_gap=pd.Timedelta(hours=_FUNNEL_GAP_HOURS))
+
+
+def q_event_gap_stats(sf_dir: str) -> Dataset:
+    """Per-user inter-event-time stats: exact int64 microsecond gaps,
+    mean from exact sums, discrete median
+    (functions/funnel.py:event_gap_stats)."""
+    from ..functions.funnel import event_gap_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return event_gap_stats(ev, "user_id", "ts", "event_id")
+
+
+_INCR_CUTOFF = "2024-01-26"
+
+
+def q_incremental_counts(sf_dir: str) -> Dataset:
+    """Incremental aggregation: per-type counts over a 'snapshot'
+    (events before the cutoff) merged with counts over the 'delta'
+    (events after) by unioning partials and re-summing — the
+    don't-recompute-the-world pattern of a 100-TB daily pipeline;
+    certified exactly equal to the full recount."""
+    from ..functions.agg import grouped_blockwise, partial_group_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    cutoff = pd.Timestamp(_INCR_CUTOFF)
+
+    def before(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["ts"] < cutoff, ["event_type"]]
+
+    def after(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["ts"] >= cutoff, ["event_type"]]
+
+    snap = partial_group_count(
+        ev.map_batches(before, batch_format="pandas"), "event_type",
+        count_name="n")
+    delta = partial_group_count(
+        ev.map_batches(after, batch_format="pandas"), "event_type",
+        count_name="n")
+
+    def resum(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("event_type", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return grouped_blockwise(snap.union(delta), ["event_type"], resum)
+
+
 def q_dedup_representatives(sf_dir: str) -> Dataset:
     """Canonical-document selection per near-dup cluster: MinHash-LSH
     pairs -> connected components -> join per-doc quality scores ->
@@ -2154,6 +2217,9 @@ def queries() -> dict[str, Callable]:
         "gif_frame_counts": q_gif_frame_counts,
         "mode_event_type": q_mode_event_type,
         "dedup_representatives": q_dedup_representatives,
+        "funnel_windowed": q_funnel_windowed,
+        "event_gap_stats": q_event_gap_stats,
+        "incremental_counts": q_incremental_counts,
     }
 
 
@@ -2774,6 +2840,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, n_chars FROM documents
                 WHERE doc_id % 2 = 1
             )
+        """,
+        "funnel_windowed": f"""
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+                     AND e.ts > s1.t1
+                     AND e.ts <= s1.t1
+                         + INTERVAL {_FUNNEL_GAP_HOURS} HOUR
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+                     AND e.ts > s2.t2
+                     AND e.ts <= s2.t2
+                         + INTERVAL {_FUNNEL_GAP_HOURS} HOUR
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "event_gap_stats": """
+            WITH o AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_ts
+                       FROM events),
+            g AS (SELECT user_id,
+                         epoch_us(ts) - epoch_us(prev_ts) AS gap
+                  FROM o WHERE prev_ts IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS median_gap_us
+            FROM g GROUP BY user_id
+        """,
+        "incremental_counts": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         "gif_frame_counts": """
             SELECT doc_id AS item_id,

@@ -199,3 +199,50 @@ def test_retention_cohorts_matches_pandas():
     got_map = {(r.cohort_week, r.active_week): r.n_users
                for r in got.itertuples()}
     assert got_map == {(c, w): n for (c, w), n in exp.items()}
+
+
+def test_funnel_windowed_hand_case():
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: click 3h after view, window 2h -> stops at view
+        (1, t, "view"), (1, t + 3 * h, "click"),
+        # user 2: click inside window, purchase outside -> stage 2
+        (2, t, "view"), (2, t + h, "click"), (2, t + 9 * h, "purchase"),
+        # user 3: everything inside -> 3
+        (3, t, "view"), (3, t + h, "click"), (3, t + 2 * h, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(rd.from_pandas(df), "user_id", "ts",
+                        "event_type", ["view", "click", "purchase"],
+                        max_gap=pd.Timedelta(hours=2)).to_pandas()
+    got = dict(zip(out.user_id, out.funnel_stage))
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_event_gap_stats_matches_pandas():
+    from kgdata_ray.functions.funnel import event_gap_stats
+
+    ev = _pdf("events")
+    got = event_gap_stats(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["user_id", "event_id", "ts"]),
+        "user_id", "ts", "event_id").to_pandas()
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    us = s["user_id"].to_numpy()
+    ts = s["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    gaps = pd.DataFrame({"u": us[1:], "g": ts[1:] - ts[:-1]})[
+        us[1:] == us[:-1]]
+
+    def disc_median(g):
+        v = np.sort(g.to_numpy())
+        return v[max(int(np.ceil(len(v) / 2)) - 1, 0)]
+
+    exp = gaps.groupby("u")["g"].agg(
+        n_gaps="size",
+        mean_gap_us=lambda g: float(g.sum()) / len(g),
+        median_gap_us=disc_median)
+    got_i = got.set_index("user_id").sort_index()
+    assert (got_i["n_gaps"] == exp["n_gaps"]).all()
+    assert np.allclose(got_i["mean_gap_us"], exp["mean_gap_us"])
+    assert (got_i["median_gap_us"] == exp["median_gap_us"]).all()
