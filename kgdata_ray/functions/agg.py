@@ -564,3 +564,24 @@ def group_percent_rank(
         return b
 
     return grouped_blockwise(ds, [key], block)
+
+
+def global_topk(
+    ds: Dataset, sort_cols: "Sequence[str]",
+    ascending: "Sequence[bool]", k: int,
+) -> Dataset:
+    """Global top-k WITHOUT a full sort: every batch emits its local
+    top-k (a combiner — top-k of top-ks is the top-k), survivors
+    collapse to one block for the exact final cut. Traffic is
+    O(batches * k) rows instead of the all-to-all range shuffle a
+    ``sort().limit()`` plan pays — the scale-right plan for
+    top-20-of-100-TB. ``sort_cols``/``ascending`` must pin ties."""
+    sc, asc = list(sort_cols), list(ascending)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(sc, ascending=asc,
+                             kind="mergesort").head(k)
+
+    part = ds.map_batches(local, batch_format="pandas")
+    return part.repartition(1).map_batches(local,
+                                           batch_format="pandas")

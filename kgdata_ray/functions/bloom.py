@@ -127,6 +127,9 @@ def bloom_join(
 
     from .joins import equi_join
 
+    # The build side is consumed three times (count, bloom pass, join
+    # build); it is the small side by contract, so materialize once.
+    right = right.materialize()
     bits, k = build_bloom(right, right_on or on,
                           bits_per_key=bits_per_key,
                           num_hashes=num_hashes,

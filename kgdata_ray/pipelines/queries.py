@@ -1642,6 +1642,20 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_topk_orders_pushdown(sf_dir: str) -> Dataset:
+    """Top-20 orders by total price via the combiner plan
+    (functions/agg.py:global_topk): per-batch local top-k then one
+    tiny final cut — O(batches*k) rows of traffic instead of the
+    full sort shuffle the `topk_orders` plan pays; same oracle."""
+    from ..functions.agg import global_topk
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return global_topk(orders, ["o_totalprice", "o_orderkey"],
+                       [False, True], 20)
+
+
 _FUNNEL_GAP_HOURS = 48
 
 
@@ -2220,6 +2234,7 @@ def queries() -> dict[str, Callable]:
         "funnel_windowed": q_funnel_windowed,
         "event_gap_stats": q_event_gap_stats,
         "incremental_counts": q_incremental_counts,
+        "topk_orders_pushdown": q_topk_orders_pushdown,
     }
 
 
@@ -2840,6 +2855,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, n_chars FROM documents
                 WHERE doc_id % 2 = 1
             )
+        """,
+        "topk_orders_pushdown": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         """,
         "funnel_windowed": f"""
             WITH u AS (SELECT DISTINCT user_id FROM events),
