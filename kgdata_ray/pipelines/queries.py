@@ -1642,6 +1642,24 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+_PACK_CAPACITY = 512
+
+
+def q_sequence_packing(sf_dir: str) -> Dataset:
+    """Pretraining sequence packing: documents laid head-to-tail in
+    doc_id order (BPE-ish token counts) and cut into 512-token bins,
+    documents spanning bins (stages/textstats.py:sequence_packing —
+    distributed prefix sum, one int per block to the driver)."""
+    from ..stages.textstats import sequence_packing, token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = token_counts(docs).select_columns(
+        ["doc_id", "n_tokens_bpe"])
+    return sequence_packing(toks, "doc_id", "n_tokens_bpe",
+                            capacity=_PACK_CAPACITY)
+
+
 def q_topk_orders_pushdown(sf_dir: str) -> Dataset:
     """Top-20 orders by total price via the combiner plan
     (functions/agg.py:global_topk): per-batch local top-k then one
@@ -2235,6 +2253,7 @@ def queries() -> dict[str, Callable]:
         "event_gap_stats": q_event_gap_stats,
         "incremental_counts": q_incremental_counts,
         "topk_orders_pushdown": q_topk_orders_pushdown,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -2859,6 +2878,21 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_pushdown": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "sequence_packing": f"""
+            WITH t AS ({_token_counts_sql()}),
+            c AS (SELECT doc_id, n_tokens_bpe AS n,
+                         COALESCE(sum(n_tokens_bpe) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS s
+                  FROM t)
+            SELECT doc_id, CAST(b AS BIGINT) AS bin_id
+            FROM c, LATERAL unnest(generate_series(
+                     CAST(s // {_PACK_CAPACITY} AS BIGINT),
+                     CAST((s + greatest(n, 1) - 1)
+                          // {_PACK_CAPACITY} AS BIGINT)
+                 )) AS g(b)
         """,
         "funnel_windowed": f"""
             WITH u AS (SELECT DISTINCT user_id FROM events),

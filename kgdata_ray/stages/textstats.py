@@ -567,3 +567,55 @@ def inverted_index(ds: Dataset, *, id_col: str = "doc_id",
                                     preserve_index=False)
 
     return grouped_blockwise(pairs, ["term"], block)
+
+
+def sequence_packing(ds: Dataset, id_col: str, tokens_col: str,
+                     *, capacity: int = 512) -> Dataset:
+    """GPT-style sequence packing layout: documents laid head-to-tail
+    in ``id_col`` order and cut into fixed-``capacity`` token bins —
+    documents MAY span bins (the standard pretraining packing);
+    output is one ``(id, bin_id)`` row per bin a document touches.
+
+    Distributed prefix sum (same shape as
+    ``functions/agg.py:zip_with_index``): range-partition sort by id,
+    per-block token sums to the driver (ONE int per block, never
+    rows), then each block lays out its documents with its offset and
+    emits bin rows fully vectorized."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.select_columns([id_col, tokens_col]).sort(id_col)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t[tokens_col]).as_py() or 0)
+
+    sums = ray.get([_sum.remote(r) for r in refs])
+    offsets = [0]
+    for s in sums[:-1]:
+        offsets.append(offsets[-1] + s)
+
+    @ray.remote
+    def _explode(t: pa.Table, off: int) -> pa.Table:
+        n = t[tokens_col].to_numpy().astype(np.int64)
+        starts = off + np.concatenate(
+            ([0], np.cumsum(n[:-1]))) if len(n) else np.array(
+            [], dtype=np.int64)
+        first = starts // capacity
+        last = (starts + np.maximum(n, 1) - 1) // capacity
+        reps = (last - first + 1).astype(np.int64)
+        total = int(reps.sum())
+        idx = np.arange(total, dtype=np.int64)
+        grp_start = np.repeat(np.cumsum(reps) - reps, reps)
+        bins = np.repeat(first, reps) + (idx - grp_start)
+        return pa.table({
+            id_col: pa.array(np.repeat(t[id_col].to_numpy(), reps)),
+            "bin_id": pa.array(bins, pa.int64()),
+        })
+
+    out_refs = [_explode.remote(r, o) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

@@ -61,3 +61,22 @@ def test_winsorize_matches_quantile_disc():
         e[["event_id", "x", "x_wins"]])
     # clipping must have changed at least one row at these quantiles
     assert (g["x"] != g["x_wins"]).any()
+
+
+def test_sequence_packing_hand_case():
+    from kgdata_ray.stages.textstats import sequence_packing
+
+    # capacity 10: doc1 (7 tok) -> bin 0; doc2 (6) spans bins 0-1;
+    # doc3 (0 tok, empty) sits at position 13 -> bin 1;
+    # doc4 (12) spans bins 1-2.
+    df = pd.DataFrame({"doc_id": [3, 1, 4, 2],
+                       "n": [0, 7, 12, 6]})
+    got = sequence_packing(rd.from_pandas(df), "doc_id", "n",
+                           capacity=10).to_pandas()
+    pairs = sorted(zip(got.doc_id, got.bin_id))
+    assert pairs == [(1, 0), (2, 0), (2, 1), (3, 1),
+                     (4, 1), (4, 2)]
+    # every bin index in a contiguous run per doc
+    for d in set(got.doc_id):
+        bs = sorted(got[got.doc_id == d].bin_id)
+        assert bs == list(range(bs[0], bs[-1] + 1))
