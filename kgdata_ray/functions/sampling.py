@@ -103,3 +103,74 @@ def stratified_sample(
                                     preserve_index=False)
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash; fits exact doubles
+
+
+def weighted_sample(
+    ds: Dataset, key_col: str, weight_col: str, k: int,
+) -> Dataset:
+    """Deterministic weighted sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006: draw u~U(0,1) per row, keep the k
+    smallest ``-ln(u)/w`` keys — inclusion probability proportional to
+    weight). The uniform comes from an engine-replicable multiplicative
+    hash of the key (exact integer arithmetic, then one division), so
+    any SQL engine draws the identical sample. Selection uses the
+    combiner top-k (no full sort)."""
+    import numpy as np
+
+    from .agg import global_topk
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        kk = b[key_col].to_numpy().astype(np.int64)
+        h = (kk * _KNUTH) % (1 << 32)
+        u = (h.astype(np.float64) + 1.0) / float(1 << 32)
+        b = b.copy()
+        b["_es_key"] = -np.log(u) / b[weight_col].to_numpy(
+            dtype=np.float64)
+        return b
+
+    withkey = ds.map_batches(keyed, batch_format="pandas")
+    top = global_topk(withkey, ["_es_key", key_col], [True, True], k)
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=["_es_key"])
+
+    return top.map_batches(strip, batch_format="pandas")
+
+
+def split_assign(
+    ds: Dataset, key_col: str, *, fractions: "Sequence[float]",
+    labels: "Sequence[str]", salt: str = "",
+) -> Dataset:
+    """Deterministic train/val/test split: each row gets the label of
+    the md5-prefix band its key falls into (same keyed-md5 contract as
+    :func:`hash_sample`, so splits are disjoint, exhaustive,
+    restart-safe and reproducible by any engine). ``fractions`` must
+    sum to 1."""
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    cuts = []
+    acc = 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cuts.append(hash_threshold(acc))
+    labels = list(labels)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashlib.md5((salt + str(x)).encode()).hexdigest()[:8]
+              for x in b[key_col]]
+        lab = []
+        for h in hs:
+            for i, c in enumerate(cuts):
+                if h < c:
+                    lab.append(labels[i])
+                    break
+            else:
+                lab.append(labels[-1])
+        b = b.copy()
+        b["split"] = lab
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -1642,6 +1642,37 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+_WS_K = 50
+_SPLIT_FRACS = (0.8, 0.1, 0.1)
+_SPLIT_SALT = "split"
+
+
+def q_weighted_sample_orders(sf_dir: str) -> Dataset:
+    """Deterministic weighted sample without replacement: 50 orders
+    with inclusion probability proportional to o_totalprice
+    (functions/sampling.py:weighted_sample — Efraimidis-Spirakis keys
+    from an engine-replicable multiplicative hash, combiner top-k)."""
+    from ..functions.sampling import weighted_sample
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", _WS_K)
+
+
+def q_train_val_test_split(sf_dir: str) -> Dataset:
+    """Deterministic 80/10/10 train/val/test assignment by keyed-md5
+    band (functions/sampling.py:split_assign) — disjoint, exhaustive,
+    restart-safe, reproducible by any engine."""
+    from ..functions.sampling import split_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return split_assign(docs, "doc_id", fractions=_SPLIT_FRACS,
+                        labels=["train", "val", "test"],
+                        salt=_SPLIT_SALT)
+
+
 _PACK_CAPACITY = 512
 
 
@@ -2254,6 +2285,8 @@ def queries() -> dict[str, Callable]:
         "incremental_counts": q_incremental_counts,
         "topk_orders_pushdown": q_topk_orders_pushdown,
         "sequence_packing": q_sequence_packing,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "train_val_test_split": q_train_val_test_split,
     }
 
 
@@ -2878,6 +2911,29 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_pushdown": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "weighted_sample_orders": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       -ln(((o_orderkey * 2654435761) % 4294967296
+                            + 1.0) / 4294967296.0)
+                           / o_totalprice AS es_key
+                FROM orders
+            ) ORDER BY es_key ASC, o_orderkey ASC LIMIT {_WS_K}
+        """,
+        "train_val_test_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5('{_SPLIT_SALT}' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{_hash_threshold(_SPLIT_FRACS[0])}'
+                        THEN 'train'
+                        WHEN substr(md5('{_SPLIT_SALT}' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{_hash_threshold(_SPLIT_FRACS[0]
+                                                + _SPLIT_FRACS[1])}'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "sequence_packing": f"""
             WITH t AS ({_token_counts_sql()}),

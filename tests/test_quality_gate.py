@@ -80,3 +80,34 @@ def test_sequence_packing_hand_case():
     for d in set(got.doc_id):
         bs = sorted(got[got.doc_id == d].bin_id)
         assert bs == list(range(bs[0], bs[-1] + 1))
+
+
+def test_weighted_sample_bias_and_determinism():
+    from kgdata_ray.functions.sampling import weighted_sample
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    a = weighted_sample(orders, "o_orderkey", "o_totalprice",
+                        40).to_pandas()
+    b = weighted_sample(orders, "o_orderkey", "o_totalprice",
+                        40).to_pandas()
+    assert sorted(a.o_orderkey) == sorted(b.o_orderkey)  # deterministic
+    full = pd.read_parquet(f"{SF}/orders.parquet",
+                           columns=["o_totalprice"])
+    # weighting by price must pull the sample mean above the population
+    assert a.o_totalprice.mean() > full.o_totalprice.mean()
+
+
+def test_split_assign_disjoint_exhaustive():
+    from kgdata_ray.functions.sampling import split_assign
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    out = split_assign(docs, "doc_id", fractions=[0.5, 0.25, 0.25],
+                       labels=["a", "b", "c"], salt="s").to_pandas()
+    n = pd.read_parquet(f"{SF}/documents.parquet").shape[0]
+    assert len(out) == n  # exhaustive
+    assert set(out["split"]) <= {"a", "b", "c"}
+    assert out["doc_id"].is_unique  # disjoint (one label per key)
+    frac_a = (out["split"] == "a").mean()
+    assert 0.3 < frac_a < 0.7
