@@ -1642,6 +1642,17 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_unigram_logprob(sf_dir: str) -> Dataset:
+    """Unigram-LM quality score per document (the cheap perplexity
+    stand-in of corpus curation;
+    stages/textstats.py:unigram_logprob_scores)."""
+    from ..stages.textstats import unigram_logprob_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_logprob_scores(docs)
+
+
 _WS_K = 50
 _SPLIT_FRACS = (0.8, 0.1, 0.1)
 _SPLIT_SALT = "split"
@@ -2287,6 +2298,7 @@ def queries() -> dict[str, Callable]:
         "sequence_packing": q_sequence_packing,
         "weighted_sample_orders": q_weighted_sample_orders,
         "train_val_test_split": q_train_val_test_split,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -2911,6 +2923,23 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_pushdown": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "unigram_logprob": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+')) AS term
+                    FROM documents)
+                WHERE term <> ''
+            ),
+            c AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+            SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(CAST(c.n AS DOUBLE) / tot.t)), 6)
+                       AS avg_neg_logp
+            FROM tk JOIN c USING (term) CROSS JOIN tot
+            GROUP BY tk.doc_id
         """,
         "weighted_sample_orders": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM (

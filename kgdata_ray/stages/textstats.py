@@ -619,3 +619,61 @@ def sequence_packing(ds: Dataset, id_col: str, tokens_col: str,
 
     out_refs = [_explode.remote(r, o) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def unigram_logprob_scores(ds: Dataset, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           ndigits: int = 6) -> Dataset:
+    """Unigram language-model quality score per document:
+    ``avg_neg_logp`` = mean over the doc's tokens of
+    ``-ln(count(token)/N)`` under the corpus's own unigram
+    distribution — the cheap stand-in for LM-perplexity filtering in
+    training-data curation (high score = rare-token-heavy = candidate
+    junk). Two passes: corpus counts (map-side combined, vocabulary-
+    sized result broadcast once), then one streaming scoring pass.
+    Scores round to ``ndigits`` so float summation order never shows.
+    Token-less documents drop out (they have no distribution)."""
+    import numpy as np
+    import ray
+
+    from ..functions.agg import partial_group_count
+    from ..functions.broadcast import get_broadcast
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        toks = (b[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True))
+        n = toks.str.len().to_numpy()
+        terms = np.concatenate(toks.to_numpy()) if len(b) else \
+            np.array([], dtype=object)
+        out = pd.DataFrame({"term": terms})
+        out = out[out["term"] != ""]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = partial_group_count(
+        ds.select_columns([text_col]).map_batches(
+            explode, batch_format="pandas"),
+        "term", count_name="n").to_pandas()
+    total = float(counts["n"].sum())
+    ref = ray.put(dict(zip(counts["term"], counts["n"])))
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        lut = get_broadcast(ref)
+        ids, nt, sc = [], [], []
+        toks = (b[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True))
+        for i, ts in zip(b[id_col], toks):
+            ts = [t for t in ts if t]
+            if not ts:
+                continue
+            p = np.array([lut[t] for t in ts], dtype=np.float64) / total
+            ids.append(i)
+            nt.append(len(ts))
+            sc.append(round(float(np.mean(-np.log(p))), ndigits))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "avg_neg_logp": pa.array(sc, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")

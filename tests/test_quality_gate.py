@@ -111,3 +111,30 @@ def test_split_assign_disjoint_exhaustive():
     assert out["doc_id"].is_unique  # disjoint (one label per key)
     frac_a = (out["split"] == "a").mean()
     assert 0.3 < frac_a < 0.7
+
+
+def test_unigram_logprob_matches_naive():
+    import math
+    import re as _re
+
+    from kgdata_ray.stages.textstats import unigram_logprob_scores
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = unigram_logprob_scores(
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])).to_pandas()
+    toks = {r.doc_id: [t for t in _re.split(
+        "[^a-z0-9]+", r.text.lower()) if t]
+        for r in docs.itertuples()}
+    counts: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    exp = {d: round(sum(-math.log(counts[t] / total) for t in ts)
+                    / len(ts), 6)
+           for d, ts in toks.items() if ts}
+    got_map = dict(zip(got.doc_id, got.avg_neg_logp))
+    assert set(got_map) == set(exp)
+    assert all(abs(got_map[d] - exp[d]) < 2e-6 for d in exp)
