@@ -266,7 +266,8 @@ BROADCAST_KEYS_MAX = 2_000_000
 
 def _key_set_filter(left: Dataset, right: Dataset, on: str,
                     right_on: Optional[str], keep_in: bool) -> Dataset:
-    keys_ref = ray.put(set(right.unique(right_on or on)))
+    # Ray's Dataset.unique returns None (not []) on an empty input
+    keys_ref = ray.put(set(right.unique(right_on or on) or []))
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         keys = get_broadcast(keys_ref)

@@ -246,3 +246,15 @@ def test_event_gap_stats_matches_pandas():
     assert (got_i["n_gaps"] == exp["n_gaps"]).all()
     assert np.allclose(got_i["mean_gap_us"], exp["mean_gap_us"])
     assert (got_i["median_gap_us"] == exp["median_gap_us"]).all()
+
+
+def test_anti_join_empty_right_side():
+    from kgdata_ray.functions.joins import anti_join, semi_join
+
+    cust = rd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    none = cust.filter(expr="c_custkey < 0")  # empty right side
+    kept = anti_join(cust, none, "c_custkey").to_pandas()
+    assert len(kept) == len(_pdf("customer"))  # nothing subtracted
+    gone = semi_join(cust, none, "c_custkey").to_pandas()
+    assert len(gone) == 0
