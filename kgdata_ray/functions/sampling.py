@@ -25,9 +25,16 @@ from ray.data import Dataset
 
 
 def hash_threshold(fraction: float) -> str:
-    """The 8-hex-char cut: rows with md5-prefix < this are kept."""
+    """The 8-hex-char cut: rows with md5-prefix < this are kept.
+
+    fraction=1.0 returns 'g', which is lexicographically greater than
+    every hex prefix (keep-all) — the naive ``format(16**8, '08x')``
+    would be the NINE-char '100000000', which string-compares LESS
+    than most 8-char prefixes and would silently drop ~87% of rows."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction out of [0,1]: {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(int(fraction * 16**8), "08x")
 
 

@@ -1642,6 +1642,87 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+_MTS_QUALITY = 0.5
+_MTS_EN_FRACTION = 0.5
+_MTS_TRAIN_FRACTION = 0.9
+_MTS_SALT_SAMPLE = "mts"
+_MTS_SALT_SPLIT = "mts2"
+
+
+def q_make_training_set(sf_dir: str) -> Dataset:
+    """Flagship end-to-end curation composition — 'make a training
+    set': quality filter -> exact content dedup -> per-language
+    rebalance (en halved) -> deterministic 90/10 train/val split ->
+    GPT-style sequence packing of the train stream into 512-token
+    bins. Output one row per (train doc, bin touched) plus val docs
+    with bin_id -1. Every stage is an already-certified operator; the
+    oracle replays the identical chain in SQL."""
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..functions.joins import equi_join
+    from ..functions.sampling import split_assign, stratified_sample
+    from ..stages.dedup import exact_dedup_ids
+    from ..stages.textstats import (
+        quality_score_batch,
+        sequence_packing,
+        token_counts_batch,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = quality_score_batch(b)
+        out["lang"] = b["lang"]
+        out["text"] = b["text"]
+        out["n_tokens_bpe"] = token_counts_batch(b)["n_tokens_bpe"]
+        return out
+
+    kept = docs.map_batches(score, batch_format="pandas").filter(
+        expr=f"quality >= {_MTS_QUALITY}")
+    reps = exact_dedup_ids(kept)
+    k2 = equi_join(
+        scrub_empty_blocks(kept.drop_columns(["text", "quality"])),
+        rename_cols(scrub_empty_blocks(reps), {"doc_id": "rep_id"}),
+        "doc_id", right_on="rep_id")
+    samp = stratified_sample(k2, "lang", "doc_id",
+                             {"en": _MTS_EN_FRACTION}, default=1.0,
+                             salt=_MTS_SALT_SAMPLE)
+    lab = split_assign(samp, "doc_id",
+                       fractions=[_MTS_TRAIN_FRACTION,
+                                  1.0 - _MTS_TRAIN_FRACTION],
+                       labels=["train", "val"], salt=_MTS_SALT_SPLIT)
+
+    def trains(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["split"] == "train",
+                     ["doc_id", "n_tokens_bpe"]]
+
+    def vals(b: pd.DataFrame) -> pa.Table:
+        v = b.loc[b["split"] == "val", ["doc_id"]].copy()
+        return pa.table({
+            "doc_id": pa.array(v["doc_id"].to_numpy(), pa.int64()),
+            "split": pa.array(["val"] * len(v), pa.string()),
+            "bin_id": pa.array([-1] * len(v), pa.int64()),
+        })
+
+    lab = lab.materialize()  # consumed twice (train packing + val rows)
+    packed = sequence_packing(
+        scrub_empty_blocks(
+            lab.map_batches(trains, batch_format="pandas")),
+        "doc_id", "n_tokens_bpe")
+
+    def tag_train(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(["train"] * len(t), pa.string()),
+            "bin_id": t["bin_id"],
+        })
+
+    train_rows = packed.map_batches(tag_train, batch_format="pyarrow")
+    val_rows = scrub_empty_blocks(
+        lab.map_batches(vals, batch_format="pandas"))
+    return train_rows.union(val_rows)
+
+
 def q_unigram_logprob(sf_dir: str) -> Dataset:
     """Unigram-LM quality score per document (the cheap perplexity
     stand-in of corpus curation;
@@ -2299,6 +2380,7 @@ def queries() -> dict[str, Callable]:
         "weighted_sample_orders": q_weighted_sample_orders,
         "train_val_test_split": q_train_val_test_split,
         "unigram_logprob": q_unigram_logprob,
+        "make_training_set": q_make_training_set,
     }
 
 
@@ -2924,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         """,
+        "make_training_set": _make_training_set_sql(),
         "unigram_logprob": """
             WITH tk AS (
                 SELECT doc_id, term FROM (
@@ -3297,6 +3380,81 @@ def _pii_scrub_sql() -> str:
                CAST(length(regexp_extract_all(text, '{phone}')) AS BIGINT)
                    AS n_phones
         FROM aug
+    """
+
+
+def _make_training_set_sql() -> str:
+    """The full curation chain replayed in SQL: quality filter ->
+    exact dedup -> per-language rebalance -> train/val split ->
+    cumsum sequence packing of the train stream."""
+    from ..functions.sampling import hash_threshold
+    from ..stages.textstats import BPE_PATTERN
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    cut_en = hash_threshold(_MTS_EN_FRACTION)
+    cut_train = hash_threshold(_MTS_TRAIN_FRACTION)
+    return f"""
+        WITH s AS (
+            SELECT doc_id, lang, text,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   greatest(CAST(length(regexp_extract_all(text,
+                       '\\S+')) AS DOUBLE), 1.0) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                       AS DOUBLE) AS n_punct
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, text,
+                   round(
+                       0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (1.0 - abs(least(n_punct / n_tokens, 1.0)
+                           - 0.2))
+                     + 0.3 * (1.0 - least(abs(((n_chars - n_tokens
+                           + 1.0) / n_tokens) - 5.5) / 5.5, 1.0)),
+                   6) AS quality
+            FROM s
+        ), kept AS (
+            SELECT doc_id, lang, text FROM scored
+            WHERE quality >= {_MTS_QUALITY}
+        ), reps AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+        ), k2 AS (
+            SELECT k.doc_id, k.lang, k.text
+            FROM kept k JOIN reps USING (doc_id)
+        ), samp AS (
+            SELECT * FROM k2
+            WHERE lang <> 'en'
+               OR substr(md5('{_MTS_SALT_SAMPLE}' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) < '{cut_en}'
+        ), lab AS (
+            SELECT doc_id, text,
+                   CASE WHEN substr(md5('{_MTS_SALT_SPLIT}' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{cut_train}'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM samp
+        ), tok AS (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '{bpe}'))
+                       AS BIGINT) AS n
+            FROM lab WHERE split = 'train'
+        ), c AS (
+            SELECT doc_id, n,
+                   COALESCE(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS s2
+            FROM tok
+        ), packed AS (
+            SELECT doc_id, CAST(b AS BIGINT) AS bin_id
+            FROM c, LATERAL unnest(generate_series(
+                     CAST(s2 // {_PACK_CAPACITY} AS BIGINT),
+                     CAST((s2 + greatest(n, 1) - 1)
+                          // {_PACK_CAPACITY} AS BIGINT)
+                 )) AS g(b)
+        )
+        SELECT doc_id, 'train' AS split, bin_id FROM packed
+        UNION ALL
+        SELECT doc_id, split, CAST(-1 AS BIGINT) AS bin_id
+        FROM lab WHERE split = 'val'
     """
 
 

@@ -138,3 +138,34 @@ def test_unigram_logprob_matches_naive():
     got_map = dict(zip(got.doc_id, got.avg_neg_logp))
     assert set(got_map) == set(exp)
     assert all(abs(got_map[d] - exp[d]) < 2e-6 for d in exp)
+
+
+def test_hash_threshold_one_keeps_everything():
+    from kgdata_ray.functions.sampling import (
+        hash_threshold,
+        stratified_sample,
+    )
+
+    # fraction=1.0 must compare greater than every 8-hex prefix; the
+    # naive 9-char '100000000' string-compares LESS than most prefixes
+    assert "ffffffff" < hash_threshold(1.0)
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = stratified_sample(docs, "lang", "doc_id", {}, default=1.0,
+                            salt="x").to_pandas()
+    n = pd.read_parquet(f"{SF}/documents.parquet").shape[0]
+    assert len(out) == n  # keep-all default really keeps all
+
+
+def test_make_training_set_shape():
+    import __ray_entry__ as E
+
+    out = E.queries()["make_training_set"](SF)
+    df = out.to_pandas()
+    assert list(df.columns) == ["doc_id", "split", "bin_id"]
+    assert set(df["split"]) <= {"train", "val"}
+    tr = df[df.split == "train"]
+    assert (df.loc[df.split == "val", "bin_id"] == -1).all()
+    # train bins form a contiguous range from 0
+    bins = sorted(tr.bin_id.unique())
+    assert bins[0] == 0 and bins == list(range(len(bins)))
