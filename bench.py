@@ -136,6 +136,7 @@ def bench_queries(sf_dir: str) -> dict:
         "funnel_stages": q.q_funnel_stages,
         "edit_distance_pairs": q.q_edit_distance_pairs,
         "inverted_index": q.q_inverted_index,
+        "make_training_set": q.q_make_training_set,
     }
     out = {}
     for name, fn in picks.items():

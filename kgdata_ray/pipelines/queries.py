@@ -1642,6 +1642,18 @@ def q_inverted_index(sf_dir: str) -> Dataset:
     return inverted_index(docs)
 
 
+def q_unigram_logprob_join(sf_dir: str) -> Dataset:
+    """The no-broadcast scale plan of :func:`q_unigram_logprob`: the
+    vocabulary count table stays distributed and scoring is one hash
+    join + grouped mean (for web-scale heavy-tailed vocabularies that
+    cannot ship to workers). Same oracle as the broadcast plan."""
+    from ..stages.textstats import unigram_logprob_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_logprob_scores(docs, plan="join")
+
+
 _MTS_QUALITY = 0.5
 _MTS_EN_FRACTION = 0.5
 _MTS_TRAIN_FRACTION = 0.9
@@ -2380,6 +2392,7 @@ def queries() -> dict[str, Callable]:
         "weighted_sample_orders": q_weighted_sample_orders,
         "train_val_test_split": q_train_val_test_split,
         "unigram_logprob": q_unigram_logprob,
+        "unigram_logprob_join": q_unigram_logprob_join,
         "make_training_set": q_make_training_set,
     }
 
@@ -3007,6 +3020,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
         """,
         "make_training_set": _make_training_set_sql(),
+        "unigram_logprob_join": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+')) AS term
+                    FROM documents)
+                WHERE term <> ''
+            ),
+            c AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+            SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(CAST(c.n AS DOUBLE) / tot.t)), 6)
+                       AS avg_neg_logp
+            FROM tk JOIN c USING (term) CROSS JOIN tot
+            GROUP BY tk.doc_id
+        """,
         "unigram_logprob": """
             WITH tk AS (
                 SELECT doc_id, term FROM (

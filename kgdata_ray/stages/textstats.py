@@ -623,7 +623,8 @@ def sequence_packing(ds: Dataset, id_col: str, tokens_col: str,
 
 def unigram_logprob_scores(ds: Dataset, *, id_col: str = "doc_id",
                            text_col: str = "text",
-                           ndigits: int = 6) -> Dataset:
+                           ndigits: int = 6,
+                           plan: str = "broadcast") -> Dataset:
     """Unigram language-model quality score per document:
     ``avg_neg_logp`` = mean over the doc's tokens of
     ``-ln(count(token)/N)`` under the corpus's own unigram
@@ -632,7 +633,15 @@ def unigram_logprob_scores(ds: Dataset, *, id_col: str = "doc_id",
     junk). Two passes: corpus counts (map-side combined, vocabulary-
     sized result broadcast once), then one streaming scoring pass.
     Scores round to ``ndigits`` so float summation order never shows.
-    Token-less documents drop out (they have no distribution)."""
+    Token-less documents drop out (they have no distribution).
+
+    ``plan="broadcast"`` ships the vocabulary dict to every worker —
+    the fast path while the vocab fits worker memory. A web-scale
+    heavy-tailed vocabulary (typos, URLs) does not, so
+    ``plan="join"`` keeps the count table distributed: explode
+    (doc, term), ONE hash join on the term, grouped mean per doc —
+    nothing vocabulary-sized ever leaves the cluster. Both plans are
+    pytest-asserted equal."""
     import numpy as np
     import ray
 
@@ -649,11 +658,17 @@ def unigram_logprob_scores(ds: Dataset, *, id_col: str = "doc_id",
         out = out[out["term"] != ""]
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    counts = partial_group_count(
+    counts_ds = partial_group_count(
         ds.select_columns([text_col]).map_batches(
             explode, batch_format="pandas"),
-        "term", count_name="n").to_pandas()
-    total = float(counts["n"].sum())
+        "term", count_name="n").materialize()
+    total = float(counts_ds.sum("n"))
+
+    if plan == "join":
+        return _unigram_join_plan(ds, counts_ds, total, id_col,
+                                  text_col, ndigits)
+
+    counts = counts_ds.to_pandas()
     ref = ray.put(dict(zip(counts["term"], counts["n"])))
 
     def score(b: pd.DataFrame) -> pa.Table:
@@ -677,3 +692,52 @@ def unigram_logprob_scores(ds: Dataset, *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def _unigram_join_plan(ds: Dataset, counts_ds: Dataset, total: float,
+                       id_col: str, text_col: str,
+                       ndigits: int) -> Dataset:
+    """Distributed scoring: (doc, term) explode -> hash join on term
+    -> grouped mean per doc. The count table never collects."""
+    import numpy as np
+
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+
+    def explode_ids(b: pd.DataFrame) -> pa.Table:
+        toks = (b[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True))
+        nn = toks.str.len().to_numpy()
+        ids = np.repeat(b[id_col].to_numpy(), nn)
+        terms = np.concatenate(toks.to_numpy()) if len(b) else \
+            np.array([], dtype=object)
+        out = pd.DataFrame({id_col: ids, "term": terms})
+        out = out[out["term"] != ""]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = scrub_empty_blocks(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode_ids, batch_format="pandas"))
+    j = pairs.join(counts_ds, join_type="inner", num_partitions=8,
+                   on=("term",), right_on=("term",))
+
+    def neg_logp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col],
+            "nlp": -np.log(b["n"].to_numpy(dtype=np.float64) / total),
+        })
+
+    scored = scrub_empty_blocks(j).map_batches(neg_logp,
+                                               batch_format="pandas")
+
+    def per_doc(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(id_col, sort=False)["nlp"]
+        out = pd.DataFrame({
+            "n_tokens": g.size().astype("int64"),
+            "avg_neg_logp": g.mean().round(ndigits),
+        }).reset_index()
+        return pa.Table.from_pandas(
+            out[[id_col, "n_tokens", "avg_neg_logp"]],
+            preserve_index=False)
+
+    return grouped_blockwise(scored, [id_col], per_doc)

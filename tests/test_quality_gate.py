@@ -169,3 +169,18 @@ def test_make_training_set_shape():
     # train bins form a contiguous range from 0
     bins = sorted(tr.bin_id.unique())
     assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_unigram_plans_agree():
+    from kgdata_ray.stages.textstats import unigram_logprob_scores
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = (unigram_logprob_scores(docs).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (unigram_logprob_scores(docs, plan="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_tokens"] == b["n_tokens"]).all()
+    assert np.allclose(a["avg_neg_logp"], b["avg_neg_logp"],
+                       atol=2e-6)
