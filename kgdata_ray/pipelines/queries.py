@@ -403,6 +403,16 @@ def q_fingerprint_docs(sf_dir: str) -> Dataset:
     return textstats.fingerprints(_t(sf_dir, "documents"))
 
 
+def q_segment_dedup(sf_dir: str) -> Dataset:
+    """C4-style corpus-wide span dedup (stages/dedup.py:segment_dedup):
+    3-word segments, globally-first occurrence wins, surviving text
+    reconstructed per doc. Oracle replays it with lateral
+    generate_series + min-encoded-key + string_agg."""
+    from ..stages.dedup import segment_dedup
+
+    return segment_dedup(_t(sf_dir, "documents"), seg_words=3)
+
+
 def q_knn(sf_dir: str) -> pd.DataFrame:
     emb = _t(sf_dir, "embeddings")
     out = knn_bruteforce(emb, query_ids=list(range(8)), k=5).to_pandas()
@@ -2188,6 +2198,22 @@ def q_audio_headers(sf_dir: str) -> Dataset:
     return parse_audio_headers(media_from_documents_wav(docs))
 
 
+def q_video_headers(sf_dir: str) -> Dataset:
+    """REAL MP4/ISO-BMFF box walking over synthetic structurally-valid
+    payloads (stages/multimodal.py:parse_mp4_header) — ftyp brand,
+    mvhd timescale/duration (both the 32-bit v0 and 64-bit v1
+    layouts), trak count; the oracle replays the doc_id-derived
+    parameter formulas in SQL."""
+    from ..stages.multimodal import (
+        media_from_documents_mp4,
+        parse_video_headers,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return parse_video_headers(media_from_documents_mp4(docs))
+
+
 _BLOOM_ACCTBAL = 6000.0
 _FUNNEL_STEPS = ("view", "click", "purchase")
 _STRAT_FRACTIONS = {"en": 0.25}
@@ -2278,6 +2304,7 @@ def queries() -> dict[str, Callable]:
         "doc_mentions": q_doc_mentions,
         "doc_stats": q_doc_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "segment_dedup": q_segment_dedup,
         "fingerprint_docs": q_fingerprint_docs,
         "knn_bruteforce": q_knn,
         "knn_distributed": q_knn_distributed,
@@ -2369,6 +2396,7 @@ def queries() -> dict[str, Callable]:
         "zscore_outliers": q_zscore_outliers,
         "union_by_name": q_union_by_name,
         "audio_headers": q_audio_headers,
+        "video_headers": q_video_headers,
         "merge_upserts": q_merge_upserts,
         "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
         "inverted_index": q_inverted_index,
@@ -2533,6 +2561,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "segment_dedup": """
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents),
+            segs AS (
+                SELECT doc_id, i AS seg_idx,
+                       array_to_string(w[(i-1)*3+1 : i*3], ' ') AS seg
+                FROM words, LATERAL unnest(generate_series(
+                     1, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS g(i)
+            ),
+            winners AS (
+                SELECT seg, min(doc_id * 1048576 + seg_idx) AS win_key
+                FROM segs GROUP BY seg
+            ),
+            kept AS (
+                SELECT CAST(win_key // 1048576 AS BIGINT) AS doc_id,
+                       CAST(win_key % 1048576 AS BIGINT) AS seg_idx, seg
+                FROM winners
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_total
+                       FROM segs GROUP BY doc_id)
+            SELECT k.doc_id,
+                   string_agg(k.seg, ' ' ORDER BY k.seg_idx)
+                       AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(any_value(t.n_total) AS BIGINT) AS n_total
+            FROM kept k JOIN totals t USING (doc_id)
+            GROUP BY k.doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
@@ -3263,6 +3319,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(100 + doc_id % 400 AS DOUBLE) * 1000.0
                    / CAST(CASE doc_id % 4 WHEN 0 THEN 8000
                           WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                          ELSE 44100 END AS DOUBLE) AS duration_ms
+            FROM documents
+        """,
+        "video_headers": """
+            SELECT doc_id AS item_id,
+                   'isom' AS brand,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 600
+                        WHEN 1 THEN 1000 WHEN 2 THEN 90000
+                        ELSE 44100 END AS INTEGER) AS timescale,
+                   CAST(1000 + doc_id % 9000 AS BIGINT)
+                       AS duration_ticks,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+                   CAST(1000 + doc_id % 9000 AS DOUBLE) * 1000.0
+                   / CAST(CASE doc_id % 4 WHEN 0 THEN 600
+                          WHEN 1 THEN 1000 WHEN 2 THEN 90000
                           ELSE 44100 END AS DOUBLE) AS duration_ms
             FROM documents
         """,

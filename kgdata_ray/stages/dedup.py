@@ -809,3 +809,97 @@ def dedup_clusters(pairs: Dataset, *, id_a: str = "id_a", id_b: str = "id_b") ->
     from .canonicalize import connected_components
 
     return connected_components(pairs, src_col=id_a, dst_col=id_b)
+
+
+# --------------------------------------------------------------------------
+# Segment-level (C4-style span) dedup: drop repeated fixed-size word
+# windows corpus-wide, keep the globally-first occurrence.
+
+_SEG_STRIDE = 1 << 20  # max segments per doc; doc_id < 2^43 stays exact
+
+
+def segment_dedup(
+    docs: Dataset,
+    *,
+    seg_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Corpus-wide segment dedup (C4/CCNet line-dedup adapted to
+    single-line corpora): chunk each document into consecutive
+    ``seg_words``-word segments, keep each distinct segment only at its
+    globally-first occurrence (min ``(doc_id, seg_idx)``), and
+    reconstruct the surviving text per document.
+
+    Returns ``(doc_id, clean_text, n_kept, n_total)``; documents whose
+    every segment was seen earlier disappear from the output.
+
+    Scale: the winning occurrence is the min of an encoded int64 key
+    (``doc_id * 2^20 + seg_idx``), so a per-block pandas combiner
+    shrinks hot segments to one row per block BEFORE the segment-key
+    shuffle; the second shuffle regroups winners by doc (bounded by the
+    output size). Exactness rides on the segment *string* being the
+    shuffle key — at 100 TB swap in a 128-bit content hash as the key
+    and keep the string only on the winner rows.
+    """
+
+    from ..functions.agg import grouped_blockwise
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        segs: list[str] = []
+        totals: list[int] = []
+        for did, txt in zip(b[id_col].to_numpy(), b[text_col]):
+            w = txt.split(" ")
+            n = (len(w) + seg_words - 1) // seg_words
+            for i in range(n):
+                ids.append(did)
+                idxs.append(i + 1)  # 1-based, matches the SQL oracle
+                segs.append(" ".join(w[i * seg_words:(i + 1) * seg_words]))
+                totals.append(n)
+        out = pd.DataFrame(
+            {
+                "seg": segs,
+                "key": np.asarray(ids, np.int64) * _SEG_STRIDE
+                + np.asarray(idxs, np.int64),
+                "n_total": np.asarray(totals, np.int64),
+            }
+        )
+        # per-block combiner: one (min-key) row per distinct segment
+        out = out.sort_values("key", kind="stable").drop_duplicates(
+            "seg", keep="first"
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pick_winner(b: pd.DataFrame) -> pa.Table:
+        out = b.sort_values("key", kind="stable").drop_duplicates(
+            "seg", keep="first"
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out["key"].to_numpy() // _SEG_STRIDE,
+                                 pa.int64()),
+                "seg_idx": pa.array(out["key"].to_numpy() % _SEG_STRIDE,
+                                    pa.int64()),
+                "seg": pa.array(out["seg"], pa.string()),
+                "n_total": pa.array(out["n_total"], pa.int64()),
+            }
+        )
+
+    def reconstruct(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values([id_col, "seg_idx"], kind="stable")
+        g = b.groupby(id_col, sort=True)
+        out = g.agg(
+            clean_text=("seg", " ".join),
+            n_kept=("seg", "size"),
+            n_total=("n_total", "first"),
+        ).reset_index()
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    segs = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+    winners = grouped_blockwise(segs, ["seg"], pick_winner)
+    return grouped_blockwise(winners, [id_col], reconstruct)

@@ -541,3 +541,168 @@ def parse_gif_frame_counts(media: Dataset, *,
 
     return media.map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF: REAL top-level box walk (ftyp brand, mvhd
+# timescale/duration incl. the 64-bit version-1 layout, trak count).
+# Mirrors the reference's "parse container metadata, stub the codec"
+# split (kgdata parses dump container formats, not media codecs).
+
+_MP4_TIMESCALES = (600, 1000, 90000, 44100)
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def mp4_bytes(timescale: int, duration: int, n_tracks: int,
+              *, mvhd_version: int = 0) -> bytes:
+    """Minimal structurally-valid ISO-BMFF stream: ftyp + moov(mvhd +
+    n_tracks x trak(tkhd)) + mdat filler. Big-endian sizes like the
+    spec; ``mvhd_version=1`` emits the 64-bit creation/duration
+    layout so parsers must honour the version byte."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomiso2mp41")
+    if mvhd_version == 0:
+        mvhd_payload = (bytes([0, 0, 0, 0])
+                        + struct.pack(">IIII", 0, 0, timescale, duration)
+                        + struct.pack(">I", 0x00010000)   # rate 1.0
+                        + struct.pack(">H", 0x0100)        # volume 1.0
+                        + bytes(10)                        # reserved
+                        + bytes(36)                        # matrix
+                        + bytes(24)                        # pre_defined
+                        + struct.pack(">I", n_tracks + 1))
+    else:
+        mvhd_payload = (bytes([1, 0, 0, 0])
+                        + struct.pack(">QQIQ", 0, 0, timescale, duration)
+                        + struct.pack(">I", 0x00010000)
+                        + struct.pack(">H", 0x0100)
+                        + bytes(10) + bytes(36) + bytes(24)
+                        + struct.pack(">I", n_tracks + 1))
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd_payload = (bytes([0, 0, 0, 7])
+                        + struct.pack(">IIII", 0, 0, tid, 0)
+                        + struct.pack(">I", duration)
+                        + bytes(8)                        # reserved
+                        + struct.pack(">HHHH", 0, 0, 0, 0)
+                        + bytes(36)                       # matrix
+                        + struct.pack(">II", 640 << 16, 480 << 16))
+        traks += _box(b"trak", _box(b"tkhd", tkhd_payload))
+    moov = _box(b"moov", _box(b"mvhd", mvhd_payload) + traks)
+    mdat = _box(b"mdat", bytes((i * 11) & 0xFF for i in range(32)))
+    return ftyp + moov + mdat
+
+
+def parse_mp4_header(b: bytes) -> tuple[str, int, int, int]:
+    """(brand, timescale, duration_ticks, n_tracks) from a top-level
+    ISO-BMFF box walk; ('', -1, -1, -1) when the stream has no valid
+    ftyp. Handles 64-bit largesize boxes (size==1), size==0
+    box-extends-to-EOF, and both mvhd versions."""
+
+    def walk(buf: bytes, lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", buf[i:i + 4])[0]
+            tag = buf[i + 4:i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+                body = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return
+            yield tag, body, i + size
+            i += size
+
+    brand, ts, dur, n_tracks = "", -1, -1, -1
+    saw_ftyp = False
+    for tag, body, end in walk(b, 0, len(b)):
+        if tag == b"ftyp" and end - body >= 4:
+            brand = b[body:body + 4].decode("ascii", "replace")
+            saw_ftyp = True
+        elif tag == b"moov":
+            n_tracks = 0
+            for ctag, cbody, cend in walk(b, body, end):
+                if ctag == b"trak":
+                    n_tracks += 1
+                elif ctag == b"mvhd" and cend - cbody >= 4:
+                    version = b[cbody]
+                    if version == 1 and cend - cbody >= 32:
+                        ts = struct.unpack(
+                            ">I", b[cbody + 20:cbody + 24])[0]
+                        dur = struct.unpack(
+                            ">Q", b[cbody + 24:cbody + 32])[0]
+                    elif version == 0 and cend - cbody >= 24:
+                        ts, dur = struct.unpack(
+                            ">II", b[cbody + 12:cbody + 20])
+    if not saw_ftyp:
+        return ("", -1, -1, -1)
+    return (brand, ts, dur, n_tracks)
+
+
+def media_from_documents_mp4(docs: Dataset) -> Dataset:
+    """Synthetic video table with doc_id-derived, structurally-valid
+    MP4 payloads (timescale/duration/track-count vary per id; every
+    5th id uses the 64-bit mvhd-v1 layout so both parse paths run)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [
+            mp4_bytes(_MP4_TIMESCALES[i % 4], 1000 + i % 9000,
+                      1 + i % 3, mvhd_version=1 if i % 5 == 0 else 0)
+            for i in ids
+        ]
+        meta = [
+            json.dumps({"kind": "video", "n_bytes": len(p)},
+                       sort_keys=True)
+            for p in payload
+        ]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["video"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def parse_video_headers(media: Dataset, *,
+                        batch_size: int = 256) -> Dataset:
+    """(item_id, brand, timescale, duration_ticks, n_tracks,
+    duration_ms) from ISO-BMFF box walks — stateless plain task,
+    binary-safe Arrow in/out. duration_ms = ticks * 1000.0 /
+    timescale (exact IEEE ops on exact ints)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        brands, tss, durs, nts, ms = [], [], [], [], []
+        for p in t["payload"].to_pylist():
+            brand, ts, dur, nt = parse_mp4_header(p or b"")
+            brands.append(brand)
+            tss.append(ts)
+            durs.append(dur)
+            nts.append(nt)
+            ms.append(dur * 1000.0 / ts if ts > 0 and dur >= 0 else -1.0)
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "brand": pa.array(brands, pa.string()),
+                "timescale": pa.array(tss, pa.int32()),
+                "duration_ticks": pa.array(durs, pa.int64()),
+                "n_tracks": pa.array(nts, pa.int32()),
+                "duration_ms": pa.array(ms, pa.float64()),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)

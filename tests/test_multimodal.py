@@ -106,3 +106,49 @@ def test_media_headers_roundtrip():
     assert (out["format"] == "png").all()
     assert (out["width"] == 16 + out["item_id"] % 512).all()
     assert (out["height"] == 16 + (out["item_id"] * 7) % 512).all()
+
+
+def test_mp4_parse_roundtrip_and_edges():
+    import struct
+
+    from kgdata_ray.stages.multimodal import mp4_bytes, parse_mp4_header
+
+    for v in (0, 1):
+        assert parse_mp4_header(mp4_bytes(90000, 4321, 2, mvhd_version=v)) \
+            == ("isom", 90000, 4321, 2)
+    assert parse_mp4_header(b"") == ("", -1, -1, -1)
+    assert parse_mp4_header(b"1234notamp4") == ("", -1, -1, -1)
+    # 64-bit largesize moov box (size field == 1)
+    b = mp4_bytes(600, 10, 1)
+    i, out = 0, b""
+    while i < len(b):
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        tag = b[i + 4:i + 8]
+        if tag == b"moov":
+            out += (struct.pack(">I", 1) + tag
+                    + struct.pack(">Q", size + 8) + b[i + 8:i + size])
+        else:
+            out += b[i:i + size]
+        i += size
+    assert parse_mp4_header(out) == ("isom", 600, 10, 1)
+    # size==0 box extends to EOF
+    b2 = mp4_bytes(1000, 99, 3)
+    b2 = b2[:-40] + struct.pack(">I", 0) + b"free" + b"x" * 28
+    assert parse_mp4_header(b2) == ("isom", 1000, 99, 3)
+    # truncated mvhd payload must not crash
+    assert parse_mp4_header(mp4_bytes(600, 10, 1)[:40])[0] == "isom"
+
+
+def test_video_headers_dataset():
+    import ray.data as rd
+
+    from kgdata_ray.stages.multimodal import (
+        media_from_documents_mp4,
+        parse_video_headers,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = parse_video_headers(media_from_documents_mp4(docs)).to_pandas()
+    assert (out["brand"] == "isom").all()
+    assert (out["duration_ticks"] == 1000 + out["item_id"] % 9000).all()
+    assert (out["n_tracks"] == 1 + out["item_id"] % 3).all()
