@@ -272,3 +272,109 @@ def heavy_hitters(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return summed.repartition(1).map_batches(cut, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch
+
+CMS_D = 4       # hash rows
+CMS_W = 4096    # counters per row
+
+
+def cms_slots(h: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, n) counter indices for pre-hashed items: row j rehashes the
+    64-bit item hash with a per-row splitmix64 salt, mod w."""
+    out = np.empty((d, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            out[j] = (splitmix64(h + np.uint64(j + 1) * _SM64_INC)
+                      % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_token_counts(
+    ds: Dataset, *, text_col: str = "text", d: int = CMS_D, w: int = CMS_W,
+    salt_buckets: int = 64,
+) -> Dataset:
+    """Count-Min-Sketch estimated frequency per distinct corpus token:
+    (term, est_count) with est_count >= true count always (one-sided
+    error <= 2N/w per row, min over d rows).
+
+    Deterministic by construction: each batch contributes an additive
+    d x w int64 partial; integer addition is associative + commutative,
+    so the merged sketch — and every estimate — is independent of
+    batching and task order (golden-oracle-checkable, the HLL
+    argument). Merge is two-level so no single task ever sums more
+    than ``salt_buckets`` + #blocks/``salt_buckets`` partials of
+    d*w*8 bytes each; the token stream itself is never shuffled. The
+    distinct-term table (the query set) is exact via per-batch unique
+    + a term shuffle of unique terms only.
+    """
+    from ..stages.textstats import WORD_SPLIT_PATTERN
+    from .agg import grouped_blockwise
+
+    nbytes = d * w * 8
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        toks = (
+            b[text_col].str.lower()
+            .str.split(WORD_SPLIT_PATTERN, regex=True)
+            .explode()
+        )
+        toks = toks[toks.notna() & (toks != "")]
+        sk = np.zeros((d, w), dtype=np.int64)
+        if len(toks):
+            slots = cms_slots(hash64_strs(toks.tolist()), d, w)
+            for j in range(d):
+                np.add.at(sk[j], slots[j], 1)
+        blob = sk.tobytes()
+        salt = int(splitmix64(np.array([len(blob) + int(sk.sum())],
+                                       dtype=np.uint64))[0]
+                   % salt_buckets)
+        return pa.table({"salt": pa.array([salt], pa.int64()),
+                         "sketch": pa.array([blob], pa.binary())})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def merge(key_out):
+        def fn(b: pd.DataFrame) -> pa.Table:
+            stacked = np.stack(
+                [np.frombuffer(r, dtype=np.int64) for r in b["sketch"]]
+            )
+            blob = stacked.sum(axis=0, dtype=np.int64).tobytes()
+            return pa.table({key_out: pa.array([0], pa.int64()),
+                             "sketch": pa.array([blob], pa.binary())})
+        return fn
+
+    level1 = grouped_blockwise(parts, ["salt"], merge("k"))
+    final = grouped_blockwise(level1, ["k"], merge("k"))
+
+    row = final.take(1)  # one d*w*8-byte row — the whole sketch
+    sketch = np.frombuffer(row[0]["sketch"], dtype=np.int64).reshape(d, w)
+    sk_ref = ray.put(sketch)
+
+    def uniq(b: pd.DataFrame) -> pa.Table:
+        toks = (
+            b[text_col].str.lower()
+            .str.split(WORD_SPLIT_PATTERN, regex=True)
+            .explode()
+        )
+        toks = toks[toks.notna() & (toks != "")]
+        return pa.table({"term": pa.array(toks.unique().astype(str))})
+
+    terms = ds.select_columns([text_col]).map_batches(
+        uniq, batch_format="pandas"
+    )
+
+    def distinct_and_answer(b: pd.DataFrame) -> pa.Table:
+        t = np.sort(b["term"].unique().astype(str))
+        sk = ray.get(sk_ref)
+        assert sk.nbytes == nbytes
+        slots = cms_slots(hash64_strs(list(t)), d, w)
+        est = sk[np.arange(d)[:, None], slots].min(axis=0)
+        return pa.table({"term": pa.array(t, pa.string()),
+                         "est_count": pa.array(est, pa.int64())})
+
+    return grouped_blockwise(terms, ["term"], distinct_and_answer)

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 4
+SKETCH_ORACLE_VERSION = 5
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -515,6 +515,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                              ev["user_id"].to_pylist()),
         out / "hll_ndistinct.parquet",
     )
+    pq.write_table(golden_cms_token_counts(texts),
+                   out / "cms_token_counts.parquet")
     (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
 
     if _matches(marker_path, want):  # another process won the race
@@ -536,6 +538,57 @@ def _matches(marker: Path, want: dict) -> bool:
         return json.loads(marker.read_text()) == want
     except (ValueError, OSError):
         return False
+
+
+def _sm64(x: int) -> int:
+    """Scalar splitmix64 finalizer (same public-domain constants as
+    the engine's vectorized kernel)."""
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _hash64_str(s: str) -> int:
+    """Scalar spec twin of the engine's hash64_strs: position-weighted
+    byte polynomial (multiplier 1099511628211 mod 2^64), splitmix64
+    finalized."""
+    h = 0
+    for c in s.encode("utf-8"):
+        h = (h * 1099511628211 + c) & 0xFFFFFFFFFFFFFFFF
+    return _sm64(h)
+
+
+def golden_cms_token_counts(texts, *, d=4, w=4096) -> pa.Table:
+    """Sequential same-spec Count-Min Sketch over the whole lowercased
+    [a-z0-9]+ token stream; answers every distinct token. Scalar dict
+    counting + per-unique-token slot addition (additive accumulation
+    is order-free, so this equals the engine's per-batch partials)."""
+    import re as _re
+
+    counts: dict = {}
+    for t in texts:
+        for tok in _re.split("[^a-z0-9]+", t.lower()):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    sketch = np.zeros((d, w), dtype=np.int64)
+    slots = {}
+    for tok, n in counts.items():
+        h = _hash64_str(tok)
+        ss = [_sm64((h + (j + 1) * 0x9E3779B97F4A7C15)
+                    & 0xFFFFFFFFFFFFFFFF) % w for j in range(d)]
+        slots[tok] = ss
+        for j in range(d):
+            sketch[j, ss[j]] += n
+    terms = sorted(counts)
+    est = [int(min(sketch[j, slots[t][j]] for j in range(d)))
+           for t in terms]
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "est_count": pa.array(est, pa.int64()),
+        }
+    )
 
 
 def golden_comention_edges(triples_rows) -> list[tuple[str, str]]:

@@ -564,6 +564,18 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_cms_token_counts(sf_dir: str) -> Dataset:
+    """Count-Min-Sketch estimated frequency per distinct token
+    (functions/sketches.py:cms_token_counts): additive d x w int64
+    partials per batch, two-level salted merge, broadcast final
+    sketch answers the exact distinct-term table. Deterministic
+    (additive merge is batching/order independent) so the oracle is a
+    sequential same-spec golden parquet (oracle_sketch.py)."""
+    from ..functions.sketches import cms_token_counts
+
+    return cms_token_counts(_t(sf_dir, "documents"))
+
+
 def q_media_features(sf_dir: str) -> Dataset:
     """Fake-decode features, flattened to scalar columns
     (item_id, kind, digest, feat_0..feat_7) so the driver can
@@ -2385,6 +2397,7 @@ def queries() -> dict[str, Callable]:
         "kg_prop_connections": q_kg_prop_connections,
         "hll_ndistinct": q_hll_ndistinct,
         "heavy_hitters": q_heavy_hitters,
+        "cms_token_counts": q_cms_token_counts,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -3363,6 +3376,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "simhash_pairs": f"""
             SELECT id_a, id_b, hamming
             FROM read_parquet('{d}/simhash_pairs.parquet')
+        """,
+        "cms_token_counts": f"""
+            SELECT term, est_count
+            FROM read_parquet('{d}/cms_token_counts.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

@@ -43,6 +43,7 @@ def _assert_equal(res, golden_path):
         (Q.q_knn_ivf, "knn_ivf.parquet"),
         (Q.q_media_features, "media_features.parquet"),
         (Q.q_minhash_clusters, "minhash_clusters.parquet"),
+        (Q.q_cms_token_counts, "cms_token_counts.parquet"),
     ],
 )
 def test_sketch_query_matches_golden(golden_dir, query, golden):
@@ -52,3 +53,23 @@ def test_sketch_query_matches_golden(golden_dir, query, golden):
 def test_kg_pagerank_matches_golden_power_iteration():
     d = ensure_oracle_tables(0.001)
     _assert_equal(Q.q_kg_pagerank(SF), f"{d}/pagerank.parquet")
+
+
+def test_cms_estimates_are_one_sided(golden_dir):
+    # CMS guarantee: est >= true count, always; and the overwhelming
+    # majority of the (small) sf0.001 vocabulary is exact at w=4096
+    import duckdb
+
+    est = pq.read_table(f"{golden_dir}/cms_token_counts.parquet").to_pandas()
+    con = duckdb.connect()
+    true = con.execute(f"""
+        SELECT term, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                   AS term
+            FROM read_parquet('{SF}/documents.parquet')
+        ) WHERE term <> '' GROUP BY term
+    """).df()
+    m = est.merge(true, on="term", how="outer")
+    assert m["n"].notna().all() and m["est_count"].notna().all()
+    assert (m["est_count"] >= m["n"]).all()
+    assert (m["est_count"] == m["n"]).mean() > 0.9
