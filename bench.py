@@ -137,6 +137,8 @@ def bench_queries(sf_dir: str) -> dict:
         "edit_distance_pairs": q.q_edit_distance_pairs,
         "inverted_index": q.q_inverted_index,
         "make_training_set": q.q_make_training_set,
+        # round-3 session-4 additions
+        "segment_dedup": q.q_segment_dedup,
     }
     out = {}
     for name, fn in picks.items():

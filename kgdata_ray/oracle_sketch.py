@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 5
+SKETCH_ORACLE_VERSION = 6
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -517,6 +517,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     )
     pq.write_table(golden_cms_token_counts(texts),
                    out / "cms_token_counts.parquet")
+    pq.write_table(golden_kmeans(vec_ids, vecs),
+                   out / "kmeans_clusters.parquet")
     (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
 
     if _matches(marker_path, want):  # another process won the race
@@ -587,6 +589,39 @@ def golden_cms_token_counts(texts, *, d=4, w=4096) -> pa.Table:
         {
             "term": pa.array(terms, pa.string()),
             "est_count": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def golden_kmeans(vec_ids, vecs, *, k=16, n_iter=5,
+                  scale=1 << 20) -> pa.Table:
+    """Sequential fixed-point Lloyd k-means, same integer spec as the
+    engine (floor-quantized vectors, exact integer distances, centroid
+    = elementwise sum // count): bit-identical by construction."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    fx = np.floor(
+        np.vstack([np.asarray(v, np.float64) for v in vecs]) * scale
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, fx = ids[order], fx[order]
+    cents = fx[np.searchsorted(ids, np.arange(k))].copy()
+
+    def assign(m, c):
+        xx = (m * m).sum(axis=1)[:, None]
+        cc = (c * c).sum(axis=1)[None, :]
+        return (xx + cc - 2 * (m @ c.T)).argmin(axis=1)
+
+    for _ in range(n_iter):
+        a = assign(fx, cents)
+        for cl in range(k):
+            sel = fx[a == cl]
+            if len(sel):
+                cents[cl] = sel.sum(axis=0) // len(sel)
+    a = assign(fx, cents)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
         }
     )
 

@@ -564,6 +564,18 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_kmeans_clusters(sf_dir: str) -> Dataset:
+    """Distributed fixed-point Lloyd k-means over the embeddings table
+    (stages/similarity.py:kmeans_embeddings): k=16, 5 iterations,
+    everything int64 fixed-point so the result is bit-identical under
+    any batching/order — certified against the sequential same-spec
+    golden (oracle_sketch.golden_kmeans). The SemDeDup-style
+    cluster-assignment step of embedding-based corpus curation."""
+    from ..stages.similarity import kmeans_embeddings
+
+    return kmeans_embeddings(_t(sf_dir, "embeddings"))
+
+
 def q_cms_token_counts(sf_dir: str) -> Dataset:
     """Count-Min-Sketch estimated frequency per distinct token
     (functions/sketches.py:cms_token_counts): additive d x w int64
@@ -2398,6 +2410,7 @@ def queries() -> dict[str, Callable]:
         "hll_ndistinct": q_hll_ndistinct,
         "heavy_hitters": q_heavy_hitters,
         "cms_token_counts": q_cms_token_counts,
+        "kmeans_clusters": q_kmeans_clusters,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -3380,6 +3393,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "cms_token_counts": f"""
             SELECT term, est_count
             FROM read_parquet('{d}/cms_token_counts.parquet')
+        """,
+        "kmeans_clusters": f"""
+            SELECT vec_id, cluster
+            FROM read_parquet('{d}/kmeans_clusters.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

@@ -465,3 +465,118 @@ def grouped_vector_sums(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_blockwise(parts, [group_col, "pos"], final)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point Lloyd k-means (SemDeDup-style embedding clustering)
+
+KMEANS_SCALE = 1 << 20
+
+
+def _fx_assign(fx: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin cluster per row over EXACT integer squared distances
+    (expansion form; int64 matmul has no float rounding, ties go to
+    the lowest cluster id via argmin's first-min rule)."""
+    xx = (fx * fx).sum(axis=1)[:, None]
+    cc = (cents * cents).sum(axis=1)[None, :]
+    d2 = xx + cc - 2 * (fx @ cents.T)
+    return d2.argmin(axis=1)
+
+
+def kmeans_embeddings(
+    ds: Dataset, *, k: int = 16, n_iter: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> Dataset:
+    """Distributed Lloyd k-means over an embedding column:
+    (vec_id, cluster) after ``n_iter`` iterations from deterministic
+    seeds (the vectors of the ``k`` smallest ids).
+
+    Every quantity is fixed-point int64 — vectors quantized once to
+    ``floor(v * scale)``, distances by integer expansion, centroid
+    update ``element-wise sum // count`` — so there is NO float
+    reduction anywhere: results are bit-identical under any batching,
+    task order, or cluster size, and a sequential same-spec golden
+    oracle certifies them (oracle_sketch.golden_kmeans).
+
+    Scale shape: per iteration one map_batches pass emits k x dim
+    fixed-point partial sums (map-side combine) and a tiny
+    grouped merge + driver collect of k*dim rows recomputes
+    centroids — the vectors themselves are never shuffled; the
+    centroid broadcast is ray.put once per iteration. At 100 TB this
+    is n_iter streaming passes over the corpus; cache the quantized
+    dataset (materialize) when memory allows to skip re-decode.
+    """
+    from ..functions.agg import grouped_blockwise
+
+    seeds = ds.filter(
+        lambda r: r[id_col] < k
+    ).take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    cents = np.floor(
+        np.vstack([np.asarray(r[vec_col], np.float64) for r in seeds])
+        * scale
+    ).astype(np.int64)
+    if cents.shape[0] < k:
+        raise ValueError(f"need ids 0..{k - 1} as seeds")
+
+    quant = ds.select_columns([id_col, vec_col])
+
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+
+        def partial(b: pd.DataFrame, _c_ref=c_ref) -> pa.Table:
+            c = ray.get(_c_ref)
+            fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+            a = _fx_assign(fx, c)
+            rows_c, rows_p, rows_s, rows_n = [], [], [], []
+            for cl in np.unique(a):
+                m = fx[a == cl]
+                rows_c.append(np.full(fx.shape[1], cl, np.int64))
+                rows_p.append(np.arange(fx.shape[1], dtype=np.int64))
+                rows_s.append(m.sum(axis=0))
+                rows_n.append(np.full(fx.shape[1], m.shape[0], np.int64))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.concatenate(rows_c), pa.int64()),
+                    "pos": pa.array(np.concatenate(rows_p), pa.int64()),
+                    "sum_fx": pa.array(np.concatenate(rows_s), pa.int64()),
+                    "n": pa.array(np.concatenate(rows_n), pa.int64()),
+                }
+            )
+
+        parts = quant.map_batches(partial, batch_format="pandas")
+
+        def merge(b: pd.DataFrame) -> pa.Table:
+            out = (
+                b.groupby(["cluster", "pos"], sort=False)[["sum_fx", "n"]]
+                .sum().reset_index()
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        summed = grouped_blockwise(parts, ["cluster", "pos"], merge)
+        stats = summed.to_pandas()  # k x dim rows — tiny by design
+        new_cents = cents.copy()
+        for cl, grp in stats.groupby("cluster"):
+            grp = grp.sort_values("pos")
+            s = grp["sum_fx"].to_numpy(np.int64)
+            n = int(grp["n"].iloc[0])
+            if n > 0:
+                # floor-div on possibly-negative sums: python-style
+                # floor semantics on both engine and golden sides
+                new_cents[int(cl)] = s // n
+        cents = new_cents
+
+    c_ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame, _c_ref=c_ref) -> pa.Table:
+        c = ray.get(_c_ref)
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                "cluster": pa.array(_fx_assign(fx, c), pa.int64()),
+            }
+        )
+
+    return quant.map_batches(assign, batch_format="pandas")
