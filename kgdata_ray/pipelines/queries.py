@@ -564,6 +564,18 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_span_dedup(sf_dir: str) -> Dataset:
+    """Exact substring/span dedup over OVERLAPPING 3-word windows
+    (stages/dedup.py:span_dedup): any window occurrence whose text
+    appeared at a smaller (doc_id, pos) is a duplicate and its covered
+    word positions are dropped; surviving text reconstructed per doc.
+    Oracle replays via a window-min over partitioned window text plus
+    a coverage anti join."""
+    from ..stages.dedup import span_dedup
+
+    return span_dedup(_t(sf_dir, "documents"), window_words=3)
+
+
 def q_kmeans_clusters(sf_dir: str) -> Dataset:
     """Distributed fixed-point Lloyd k-means over the embeddings table
     (stages/similarity.py:kmeans_embeddings): k=16, 5 iterations,
@@ -2411,6 +2423,7 @@ def queries() -> dict[str, Callable]:
         "heavy_hitters": q_heavy_hitters,
         "cms_token_counts": q_cms_token_counts,
         "kmeans_clusters": q_kmeans_clusters,
+        "span_dedup": q_span_dedup,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -2587,6 +2600,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "span_dedup": """
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents),
+            wins AS (
+                SELECT doc_id, i AS p,
+                       array_to_string(w[i : i+2], ' ') AS win
+                FROM words, LATERAL unnest(generate_series(
+                     1, len(w) - 2)) AS g(i)
+            ),
+            marked AS (
+                SELECT doc_id, p,
+                       min(doc_id * 1048576 + p)
+                           OVER (PARTITION BY win) AS win_key
+                FROM wins
+            ),
+            dups AS (SELECT doc_id, p FROM marked
+                     WHERE doc_id * 1048576 + p <> win_key),
+            covered AS (
+                SELECT DISTINCT doc_id, p + j AS pos
+                FROM dups, LATERAL unnest(generate_series(0, 2)) AS h(j)
+            ),
+            positions AS (
+                SELECT t.doc_id, i AS pos, t.w[i] AS word,
+                       len(t.w) AS n_words
+                FROM words t, LATERAL unnest(generate_series(
+                     1, len(t.w))) AS g(i)
+            ),
+            kept AS (
+                SELECT p.* FROM positions p
+                LEFT JOIN covered c
+                  ON c.doc_id = p.doc_id AND c.pos = p.pos
+                WHERE c.doc_id IS NULL
+            )
+            SELECT doc_id,
+                   string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(any_value(n_words) AS BIGINT) AS n_words
+            FROM kept GROUP BY doc_id
         """,
         "segment_dedup": """
             WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -903,3 +903,148 @@ def segment_dedup(
     )
     winners = grouped_blockwise(segs, ["seg"], pick_winner)
     return grouped_blockwise(winners, [id_col], reconstruct)
+
+
+def span_dedup(
+    docs: Dataset,
+    *,
+    window_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Exact substring (span) dedup in the style of the
+    deduplicating-training-data literature: every OVERLAPPING
+    ``window_words``-word window is a candidate span; a window
+    occurrence whose text appeared at any smaller ``(doc_id, pos)``
+    anywhere in the corpus (including earlier in the same document)
+    is a duplicate, and all word positions it covers are dropped.
+    Returns ``(doc_id, clean_text, n_kept, n_words)`` for documents
+    with at least one surviving word.
+
+    Unlike :func:`segment_dedup` (aligned segments, whole-segment
+    drop), this catches duplicated text at ANY offset — the operator a
+    100 TB curation pipeline runs against boilerplate/template spam.
+
+    Scale shape: the window shuffle carries one row per block-distinct
+    window (a block-local non-minimum is provably a global duplicate,
+    so it short-circuits to the dup list without shuffling); dup start
+    positions — output-sized, not corpus-sized — then join the
+    document table through a single tagged-union shuffle on doc_id,
+    and coverage expansion + position dedup happen inside the per-doc
+    reconstruct, never materializing a corpus-wide position table.
+    """
+
+    from ..functions.agg import grouped_blockwise
+
+    L = window_words
+
+    def explode(b: pd.DataFrame) -> list[pa.Table]:
+        ids: list[int] = []
+        ps: list[int] = []
+        wins: list[str] = []
+        for did, txt in zip(b[id_col].to_numpy(), b[text_col]):
+            w = txt.split(" ")
+            for i in range(len(w) - L + 1):
+                ids.append(did)
+                ps.append(i + 1)  # 1-based, matches the SQL oracle
+                wins.append(" ".join(w[i:i + L]))
+        df = pd.DataFrame(
+            {
+                "win": wins,
+                "key": np.asarray(ids, np.int64) * _SEG_STRIDE
+                + np.asarray(ps, np.int64),
+            }
+        )
+        df = df.sort_values("key", kind="stable")
+        first = ~df.duplicated("win", keep="first")
+        cand = pa.table(
+            {
+                "win": pa.array(df.loc[first, "win"], pa.string()),
+                "key": pa.array(df.loc[first, "key"], pa.int64()),
+            }
+        )
+        local_dup = df.loc[~first, "key"].to_numpy()
+        dups = pa.table(
+            {
+                id_col: pa.array(local_dup // _SEG_STRIDE, pa.int64()),
+                "p": pa.array(local_dup % _SEG_STRIDE, pa.int64()),
+            }
+        )
+        return [cand, dups]
+
+    # two outputs per block: distinct-window candidates (shuffled) and
+    # provably-duplicate local occurrences (short-circuited)
+    exploded = docs.select_columns([id_col, text_col]).map_batches(
+        lambda b: explode(b)[0], batch_format="pandas"
+    )
+    local_dups = docs.select_columns([id_col, text_col]).map_batches(
+        lambda b: explode(b)[1], batch_format="pandas"
+    )
+
+    def losers(b: pd.DataFrame) -> pa.Table:
+        df = b.sort_values("key", kind="stable")
+        lose = df.loc[df.duplicated("win", keep="first"), "key"].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(lose // _SEG_STRIDE, pa.int64()),
+                "p": pa.array(lose % _SEG_STRIDE, pa.int64()),
+            }
+        )
+
+    global_dups = grouped_blockwise(exploded, ["win"], losers)
+    dups = local_dups.union(global_dups)
+
+    def tag_docs(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                text_col: pa.array(b[text_col], pa.string()),
+                "p": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_dups(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                text_col: pa.array([None] * len(b), pa.string()),
+                "p": pa.array(b["p"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pandas"
+    ).union(dups.map_batches(tag_dups, batch_format="pandas"))
+
+    def reconstruct(b: pd.DataFrame) -> pa.Table:
+        out_id: list[int] = []
+        out_text: list[str] = []
+        out_kept: list[int] = []
+        out_words: list[int] = []
+        for did, grp in b.groupby(id_col, sort=True):
+            texts = grp.loc[grp["p"] < 0, text_col]
+            if not len(texts):  # dup rows for a doc outside this table
+                continue
+            w = texts.iloc[0].split(" ")
+            starts = grp.loc[grp["p"] > 0, "p"].to_numpy(np.int64)
+            covered = np.zeros(len(w) + 1, dtype=bool)
+            for s in np.unique(starts):
+                covered[s:s + L] = True
+            keep = ~covered[1:len(w) + 1]
+            if keep.any():
+                out_id.append(did)
+                out_text.append(
+                    " ".join(x for x, k in zip(w, keep) if k)
+                )
+                out_kept.append(int(keep.sum()))
+                out_words.append(len(w))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+                "n_words": pa.array(out_words, pa.int64()),
+            }
+        )
+
+    return grouped_blockwise(tagged, [id_col], reconstruct)
