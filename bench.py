@@ -139,6 +139,9 @@ def bench_queries(sf_dir: str) -> dict:
         "make_training_set": q.q_make_training_set,
         # round-3 session-4 additions
         "segment_dedup": q.q_segment_dedup,
+        "span_dedup": q.q_span_dedup,
+        "kmeans_clusters": q.q_kmeans_clusters,
+        "cms_token_counts": q.q_cms_token_counts,
     }
     out = {}
     for name, fn in picks.items():

@@ -526,3 +526,80 @@ def winsorize_by_group(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def histogram_quantile_sketch(
+    ds: Dataset, group_col: str, value_col: str, *,
+    lo: float = 0.0, hi: float = 110_000.0, bins: int = 512,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> Dataset:
+    """Mergeable approximate per-group quantiles from a fixed-bin
+    histogram sketch: (group, q, est) with error bounded by one bin
+    width. Completes the sketch family (CMS = frequency, HLL =
+    cardinality, this = quantiles) for columns whose exact
+    distributed sort would be an all-to-all at 100 TB.
+
+    Deterministic by construction: each batch contributes int64 bin
+    counts (``floor((clip(v) - lo) / width)``) and integer addition is
+    order-free, so the merged histogram — and the interpolation
+    formula below, evaluated on exact int64 counts in IEEE doubles —
+    is bit-reproducible and certified by a plain SQL oracle (window
+    cumsum + first-bin-at-or-above ``q*n`` + identical linear
+    interpolation, both sides rounded to 6 dp).
+
+    Scale shape: the shuffle moves (group, bin, count) partials —
+    O(groups x bins) per block ceiling, map-side combined — never the
+    values; one small grouped merge computes every quantile.
+    """
+    from .agg import grouped_blockwise
+
+    width = (hi - lo) / bins
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        v = b[value_col].to_numpy(np.float64)
+        idx = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(
+            np.int64
+        )
+        df = pd.DataFrame({group_col: b[group_col].to_numpy(), "b": idx})
+        out = (
+            df.groupby([group_col, "b"], sort=False)
+            .size().rename("c").reset_index()
+        )
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    qs_arr = np.asarray(list(qs), np.float64)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        g_out, q_out, est_out = [], [], []
+        for g, grp in b.groupby(group_col, sort=True):
+            agg = grp.groupby("b", sort=True)["c"].sum()
+            bs = agg.index.to_numpy(np.int64)
+            cs = agg.to_numpy(np.int64)
+            cum = np.cumsum(cs)
+            n = int(cum[-1])
+            for q in qs_arr:
+                t = q * n
+                i = int(np.searchsorted(cum, t, side="left"))
+                if i >= len(bs):
+                    i = len(bs) - 1
+                bstar = int(bs[i])
+                c = int(cs[i])
+                cumprev = int(cum[i] - c)
+                est = lo + width * (bstar + (t - cumprev) / c)
+                g_out.append(g)
+                q_out.append(float(q))
+                est_out.append(round(est, 6))
+        return pa.table(
+            {
+                group_col: pa.array(g_out),
+                "q": pa.array(q_out, pa.float64()),
+                "est": pa.array(est_out, pa.float64()),
+            }
+        )
+
+    return grouped_blockwise(parts, [group_col], final)

@@ -564,6 +564,19 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_quantile_sketch(sf_dir: str) -> Dataset:
+    """Mergeable fixed-bin histogram quantile sketch per l_returnflag
+    (functions/stats.py:histogram_quantile_sketch): additive int64
+    bin counts (order-free merge), identical IEEE interpolation on
+    both sides; the bin width 110000/512 is exactly representable, so
+    the SQL-replayed formula is bit-equal."""
+    from ..functions.stats import histogram_quantile_sketch
+
+    return histogram_quantile_sketch(
+        _t(sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
 def q_span_dedup(sf_dir: str) -> Dataset:
     """Exact substring/span dedup over OVERLAPPING 3-word windows
     (stages/dedup.py:span_dedup): any window occurrence whose text
@@ -2424,6 +2437,7 @@ def queries() -> dict[str, Callable]:
         "cms_token_counts": q_cms_token_counts,
         "kmeans_clusters": q_kmeans_clusters,
         "span_dedup": q_span_dedup,
+        "quantile_sketch": q_quantile_sketch,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -2600,6 +2614,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "quantile_sketch": """
+            WITH binned AS (
+                SELECT l_returnflag AS g,
+                       CAST(LEAST(GREATEST(floor(
+                            (l_extendedprice - 0.0) / (110000.0 / 512)),
+                            0), 511) AS BIGINT) AS b
+                FROM lineitem
+            ),
+            counts AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c
+                       FROM binned GROUP BY g, b),
+            cum AS (
+                SELECT g, b, c,
+                       CAST(sum(c) OVER (PARTITION BY g ORDER BY b)
+                            AS BIGINT) AS cum,
+                       CAST(sum(c) OVER (PARTITION BY g)
+                            AS BIGINT) AS n
+                FROM counts
+            ),
+            qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            hit AS (
+                SELECT g, q, min(b) AS bstar
+                FROM cum, qs WHERE cum >= q * n GROUP BY g, q
+            )
+            SELECT h.g AS l_returnflag, h.q AS q,
+                   round(0.0 + (110000.0 / 512)
+                         * (h.bstar
+                            + (h.q * c2.n - (c2.cum - c2.c)) / c2.c),
+                         6) AS est
+            FROM hit h JOIN cum c2 ON c2.g = h.g AND c2.b = h.bstar
         """,
         "span_dedup": """
             WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

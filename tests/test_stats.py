@@ -217,3 +217,37 @@ def test_global_quantiles_interpolated_matches_duckdb():
     # also equals numpy's 'linear' interpolation (rounded)
     np_ref = np.round(np.quantile(df["v"].to_numpy(), QS), 6)
     np.testing.assert_array_equal(got["v"].to_numpy(), np_ref)
+
+
+def test_histogram_quantile_sketch_accuracy():
+    # sketch estimate must be within one bin width of the exact
+    # continuous quantile (the sketch's stated error bound)
+    import duckdb
+    import ray.data as rd
+
+    from kgdata_ray.functions.stats import histogram_quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    got = histogram_quantile_sketch(
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+        "l_returnflag", "l_extendedprice",
+    ).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT l_returnflag, 0.5 AS q,
+               quantile_cont(l_extendedprice, 0.5) AS ex
+        FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, 0.9,
+               quantile_cont(l_extendedprice, 0.9)
+        FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, 0.99,
+               quantile_cont(l_extendedprice, 0.99)
+        FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1
+    """).df()
+    exact["q"] = exact["q"].astype("float64")
+    m = got.merge(exact, on=["l_returnflag", "q"])
+    assert len(m) == len(got) == 9
+    width = 110_000.0 / 512
+    assert (abs(m["est"] - m["ex"]) <= width).all()
