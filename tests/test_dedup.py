@@ -224,3 +224,41 @@ def test_dedup_clusters():
         for r in dedup_clusters(pairs).take_all()
     }
     assert lab == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_segment_and_span_dedup_batching_invariance():
+    """Identical output under pathological 4 KiB blocks + shuffled row
+    order: the winner rule is a global min over (doc_id, seg/pos), so
+    neither batching nor input order may leak into the result (the
+    round-2 ADVICE failure mode for the block-cross kernel)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from kgdata_ray.stages.dedup import segment_dedup, span_dedup
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    base_seg = norm(segment_dedup(rd.read_parquet(path)))
+    base_span = norm(span_dedup(rd.read_parquet(path)))
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024
+    try:
+        shuffled = rd.read_parquet(path).random_shuffle(seed=7)
+        got_seg = norm(segment_dedup(shuffled))
+        shuffled2 = rd.read_parquet(path).random_shuffle(seed=7)
+        got_span = norm(span_dedup(shuffled2))
+    finally:
+        ctx.target_max_block_size = old
+
+    pd.testing.assert_frame_equal(base_seg, got_seg)
+    pd.testing.assert_frame_equal(base_span, got_span)
