@@ -17,8 +17,10 @@ MD5 of the decimal string rendering is bit-identical across engines
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
@@ -181,3 +183,89 @@ def split_assign(
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def temperature_mix(
+    ds: Dataset, source_col: str, id_col: str, *,
+    rate: float = 0.5, alpha: float = 0.5, salt: str = "mix",
+    max_sources: int = 100_000,
+) -> Dataset:
+    """Temperature-weighted source rebalancing (the GPT-3-style
+    dataset-mixing step): sample ``rate`` of the corpus overall, with
+    per-source keep fractions proportional to ``n_s**alpha / n_s`` —
+    alpha < 1 upweights small sources relative to their raw share;
+    alpha = 0 is equal-share balancing, alpha = 1 is plain sampling.
+
+    Two passes: a tiny per-source count aggregation (partial counts
+    per block, driver-merged — bounded by ``max_sources``), then the
+    same keyed-md5 threshold filter as :func:`hash_sample`, one cut
+    per source. Fractions are quantized to 1e-6 (identical half-up
+    expression in the SQL oracle) so the float normalization sum can
+    never flip a cut by an ulp. Deterministic, restart-safe,
+    shuffle-free on the data path.
+    """
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        vc = b[source_col].value_counts()
+        return pa.table(
+            {
+                source_col: pa.array(vc.index.astype(str)),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts: dict[str, int] = {}
+    part_ds = ds.select_columns([source_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    for bt in part_ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        for s, n in zip(bt[source_col].to_pylist(), bt["n"].to_pylist()):
+            counts[s] = counts.get(s, 0) + n
+        if len(counts) > max_sources:
+            raise ValueError(
+                f"more than {max_sources} sources; use a distributed "
+                f"cut join instead of the driver merge"
+            )
+
+    total = sum(counts.values())
+
+    # alpha=0.5 goes through IEEE sqrt (correctly rounded, so SQL's
+    # sqrt() is bit-equal); pow(x, a) for other alphas is only
+    # library-equal, which the 1e-6 quantization below absorbs
+    def w(n: int) -> float:
+        return math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
+
+    # fixed (sorted) accumulation order + 1e-6 quantization: the SQL
+    # oracle's unordered sum can differ by an ulp at most, which the
+    # shared rounding absorbs
+    z = 0.0
+    for s in sorted(counts):
+        z += w(counts[s])
+    zq = math.floor(z * 1_000_000.0 + 0.5)
+
+    cuts: dict[str, str] = {}
+    keep_all: set[str] = set()
+    for s, n in counts.items():
+        f = min(1.0, rate * total * w(n)
+                / (zq / 1_000_000.0) / n)
+        q = math.floor(f * 1_000_000.0 + 0.5)
+        if q >= 1_000_000:
+            keep_all.add(s)
+        else:
+            cut = int(q / 1_000_000.0 * 4294967296.0)
+            cuts[s] = format(cut, "08x")
+
+    def filt(b: pd.DataFrame) -> pa.Table:
+        srcs = b[source_col].astype(str)
+        ids = b[id_col].astype(str)
+        keep = [
+            s in keep_all
+            or hashlib.md5((salt + k).encode()).hexdigest()[:8]
+            < cuts.get(s, "0")
+            for s, k in zip(srcs, ids)
+        ]
+        return pa.Table.from_pandas(b[pd.Series(keep, index=b.index)],
+                                    preserve_index=False)
+
+    return ds.map_batches(filt, batch_format="pandas")

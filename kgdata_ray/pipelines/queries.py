@@ -564,6 +564,17 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_temperature_mix(sf_dir: str) -> Dataset:
+    """Temperature-weighted (alpha=0.5) source rebalancing at overall
+    rate 0.5 (functions/sampling.py:temperature_mix): per-source keep
+    fractions ~ n^alpha / n, quantized to 1e-6, keyed-md5 threshold
+    filter. The oracle recomputes the identical cuts from per-source
+    counts in SQL."""
+    from ..functions.sampling import temperature_mix
+
+    return temperature_mix(_t(sf_dir, "documents"), "source", "doc_id")
+
+
 def q_quantile_sketch(sf_dir: str) -> Dataset:
     """Mergeable fixed-bin histogram quantile sketch per l_returnflag
     (functions/stats.py:histogram_quantile_sketch): additive int64
@@ -2438,6 +2449,7 @@ def queries() -> dict[str, Callable]:
         "kmeans_clusters": q_kmeans_clusters,
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
+        "temperature_mix": q_temperature_mix,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -2614,6 +2626,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "temperature_mix": """
+            WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM src),
+            z AS (SELECT floor(sum(sqrt(CAST(n AS DOUBLE)))
+                               * 1000000.0 + 0.5) AS zq FROM src),
+            cuts AS (
+                SELECT s.source,
+                       floor(LEAST(1.0,
+                             0.5 * t.total * sqrt(CAST(s.n AS DOUBLE))
+                             / (z.zq / 1000000.0) / s.n)
+                             * 1000000.0 + 0.5) AS q
+                FROM src s, tot t, z
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d JOIN cuts c USING (source)
+            WHERE c.q >= 1000000
+               OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < lower(lpad(to_hex(CAST(floor(c.q / 1000000.0
+                        * 4294967296.0) AS BIGINT)), 8, '0'))
         """,
         "quantile_sketch": """
             WITH binned AS (
