@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 6
+SKETCH_ORACLE_VERSION = 7
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -519,6 +519,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "cms_token_counts.parquet")
     pq.write_table(golden_kmeans(vec_ids, vecs),
                    out / "kmeans_clusters.parquet")
+    pq.write_table(golden_pq_codes(vec_ids, vecs),
+                   out / "pq_codes.parquet")
     (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
 
     if _matches(marker_path, want):  # another process won the race
@@ -624,6 +626,46 @@ def golden_kmeans(vec_ids, vecs, *, k=16, n_iter=5,
             "cluster": pa.array(a.astype(np.int64), pa.int64()),
         }
     )
+
+
+def golden_pq_codes(vec_ids, vecs, *, m=4, k=16, n_iter=3,
+                    train_prefix=2048, scale=1 << 20) -> pa.Table:
+    """Sequential same-spec product quantization: codebooks by
+    fixed-point Lloyd on the id-prefix sample per contiguous subspace,
+    then integer nearest-code assignment with summed squared error."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    fx = np.floor(
+        np.vstack([np.asarray(v, np.float64) for v in vecs])[order]
+        * scale
+    ).astype(np.int64)
+    d_sub = fx.shape[1] // m
+    train = fx[ids < train_prefix]
+
+    def assign(mat, c):
+        xx = (mat * mat).sum(axis=1)[:, None]
+        cc = (c * c).sum(axis=1)[None, :]
+        return xx + cc - 2 * (mat @ c.T)
+
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    err = np.zeros(len(fx), dtype=np.int64)
+    for j in range(m):
+        sub_t = train[:, j * d_sub:(j + 1) * d_sub]
+        cents = sub_t[:k].copy()
+        for _ in range(n_iter):
+            a = assign(sub_t, cents).argmin(axis=1)
+            for cl in range(k):
+                sel = sub_t[a == cl]
+                if len(sel):
+                    cents[cl] = sel.sum(axis=0) // len(sel)
+        sub = fx[:, j * d_sub:(j + 1) * d_sub]
+        d2 = assign(sub, cents)
+        code = d2.argmin(axis=1)
+        err += d2[np.arange(len(sub)), code]
+        cols[f"code_{j}"] = pa.array(code.astype(np.int64), pa.int64())
+    cols["err_fx"] = pa.array(err, pa.int64())
+    return pa.table(cols)
 
 
 def golden_comention_edges(triples_rows) -> list[tuple[str, str]]:

@@ -564,6 +564,16 @@ def q_heavy_hitters(sf_dir: str) -> Dataset:
     return heavy_hitters(_t(sf_dir, "documents"), k=200)
 
 
+def q_pq_codes(sf_dir: str) -> Dataset:
+    """Product-quantization encoding of the embeddings table
+    (stages/similarity.py:pq_codes): fixed-point codebooks trained on
+    the bounded id-prefix sample, one distributed shuffle-free
+    assignment pass; bit-exact vs the sequential same-spec golden."""
+    from ..stages.similarity import pq_codes
+
+    return pq_codes(_t(sf_dir, "embeddings"))
+
+
 def q_temperature_mix(sf_dir: str) -> Dataset:
     """Temperature-weighted (alpha=0.5) source rebalancing at overall
     rate 0.5 (functions/sampling.py:temperature_mix): per-source keep
@@ -2450,6 +2460,7 @@ def queries() -> dict[str, Callable]:
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
         "temperature_mix": q_temperature_mix,
+        "pq_codes": q_pq_codes,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
@@ -3526,6 +3537,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "kmeans_clusters": f"""
             SELECT vec_id, cluster
             FROM read_parquet('{d}/kmeans_clusters.parquet')
+        """,
+        "pq_codes": f"""
+            SELECT vec_id, code_0, code_1, code_2, code_3, err_fx
+            FROM read_parquet('{d}/pq_codes.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

@@ -580,3 +580,81 @@ def kmeans_embeddings(
         )
 
     return quant.map_batches(assign, batch_format="pandas")
+
+
+def _fx_lloyd(fx: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    """Sequential fixed-point Lloyd on pre-quantized rows (seeds = the
+    first k rows in id order): the same integer update rules as
+    :func:`kmeans_embeddings`, used for bounded codebook training."""
+    cents = fx[:k].copy()
+    for _ in range(n_iter):
+        a = _fx_assign(fx, cents)
+        for cl in range(k):
+            sel = fx[a == cl]
+            if len(sel):
+                cents[cl] = sel.sum(axis=0) // len(sel)
+    return cents
+
+
+def pq_codes(
+    ds: Dataset, *, m: int = 4, k: int = 16, n_iter: int = 3,
+    train_prefix: int = 2048, id_col: str = "vec_id",
+    vec_col: str = "embedding", scale: int = KMEANS_SCALE,
+) -> Dataset:
+    """Product-quantization encoding of an embedding column:
+    (vec_id, code_0..code_{m-1}, err_fx) — each vector's m contiguous
+    subvectors mapped to their nearest per-subspace codebook entry,
+    plus the total integer squared reconstruction error.
+
+    This is the storage/scale path for ANN over 100 TB embedding
+    stores: codebooks are trained on a BOUNDED deterministic sample
+    (ids < ``train_prefix``, the sampled-codebook standard practice —
+    driver-side, ~train_prefix x dim ints), then a single distributed
+    map_batches pass assigns codes; nothing else is collected and no
+    shuffle is needed at all. Every quantity is fixed-point int64
+    (same update rules as :func:`kmeans_embeddings`), so results are
+    bit-identical under any batching/order and certified by a
+    sequential same-spec golden (oracle_sketch.golden_pq_codes).
+    """
+    sample = ds.filter(
+        lambda r, _p=train_prefix: r[id_col] < _p
+    ).take_all()
+    sample.sort(key=lambda r: r[id_col])
+    fx = np.floor(
+        np.vstack([np.asarray(r[vec_col], np.float64) for r in sample])
+        * scale
+    ).astype(np.int64)
+    if fx.shape[0] < k:
+        raise ValueError(f"need at least k={k} training vectors")
+    dim = fx.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = [
+        _fx_lloyd(fx[:, j * d_sub:(j + 1) * d_sub], k, n_iter)
+        for j in range(m)
+    ]
+    books_ref = ray.put(books)
+
+    def assign(b: pd.DataFrame, _ref=books_ref) -> pa.Table:
+        bks = ray.get(_ref)
+        vfx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        cols = {id_col: pa.array(b[id_col].to_numpy(np.int64),
+                                 pa.int64())}
+        err = np.zeros(len(b), dtype=np.int64)
+        for j in range(m):
+            sub = vfx[:, j * d_sub:(j + 1) * d_sub]
+            c = bks[j]
+            xx = (sub * sub).sum(axis=1)[:, None]
+            cc = (c * c).sum(axis=1)[None, :]
+            d2 = xx + cc - 2 * (sub @ c.T)
+            code = d2.argmin(axis=1)
+            err += d2[np.arange(len(sub)), code]
+            cols[f"code_{j}"] = pa.array(code.astype(np.int64),
+                                         pa.int64())
+        cols["err_fx"] = pa.array(err, pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas"
+    )

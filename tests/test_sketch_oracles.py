@@ -45,6 +45,7 @@ def _assert_equal(res, golden_path):
         (Q.q_minhash_clusters, "minhash_clusters.parquet"),
         (Q.q_cms_token_counts, "cms_token_counts.parquet"),
         (Q.q_kmeans_clusters, "kmeans_clusters.parquet"),
+        (Q.q_pq_codes, "pq_codes.parquet"),
     ],
 )
 def test_sketch_query_matches_golden(golden_dir, query, golden):
