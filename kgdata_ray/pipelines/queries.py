@@ -1661,6 +1661,17 @@ def q_kg_adamic_adar(sf_dir: str) -> Dataset:
     return adamic_adar(co_mention_edges(q_kg_triples(sf_dir)))
 
 
+def q_kg_random_walks(sf_dir: str) -> Dataset:
+    """Deterministic node2vec-style walk corpus over the entity->entity
+    triple graph (stages/graph.py:random_walks): one 4-hop walk per
+    node with out-edges, derandomized neighbor choice over the sorted
+    neighbor list; certified by a recursive-CTE oracle replaying the
+    identical index arithmetic."""
+    from ..stages.graph import random_walks
+
+    return random_walks(q_kg_triples(sf_dir))
+
+
 def q_kg_pmi_pairs(sf_dir: str) -> Dataset:
     """PMI between co-mentioned entities (stages/graph.py:pmi_pairs):
     conversation-bounded pair generation, map-side-combined counts,
@@ -2468,6 +2479,7 @@ def queries() -> dict[str, Callable]:
         "percent_rank_events": q_percent_rank_events,
         "edit_distance_pairs": q_edit_distance_pairs,
         "kg_adamic_adar": q_kg_adamic_adar,
+        "kg_random_walks": q_kg_random_walks,
         "kg_pmi_pairs": q_kg_pmi_pairs,
         "zscore_outliers": q_zscore_outliers,
         "union_by_name": q_union_by_name,
@@ -3998,6 +4010,31 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM e0 e1
             JOIN e0 e2 ON e1.v = e2.u
             JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "kg_random_walks": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS node, obj AS nbr FROM {golden}
+                WHERE subj LIKE 'E%' AND obj LIKE 'E%'
+            ),
+            adj AS (
+                SELECT node, list(nbr ORDER BY nbr) AS nbrs,
+                       CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY node
+            ),
+            walks AS (
+                SELECT node AS start,
+                       CAST(substr(node, 2) AS BIGINT) AS snum,
+                       CAST(0 AS BIGINT) AS step, node
+                FROM adj
+                UNION ALL
+                SELECT w.start, w.snum, w.step + 1,
+                       a.nbrs[CAST(1 + (w.snum * 1000003
+                              + (w.step + 1) * 10007) % a.deg
+                              AS BIGINT)]
+                FROM walks w JOIN adj a ON a.node = w.node
+                WHERE w.step < 4
+            )
+            SELECT start, step, node FROM walks
         """,
         "kg_adamic_adar": f"""
             WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Union
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -777,3 +778,150 @@ def neighborhood_jaccard(edges: Dataset, *, max_group: int = 5000,
 
     return scrub_empty_blocks(j).map_batches(
         score, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Deterministic random walks (node2vec-style sampling, derandomized)
+
+
+def random_walks(
+    triples: Dataset, *, steps: int = 4,
+    subj_col: str = "subj", obj_col: str = "obj",
+) -> Dataset:
+    """One deterministic walk of ``steps`` hops from every node with
+    out-edges over the entity->entity triple graph:
+    (start, step, node), step 0 = the start itself; a walk ends early
+    at a sink. The "random" neighbor choice is derandomized to
+    ``1 + (start_num * 1000003 + step * 10007) % degree`` over the
+    SORTED distinct neighbor list — reproducible across any engine,
+    so a recursive-CTE SQL oracle certifies it exactly (the walk
+    corpus feeding node2vec/DeepWalk-style embedding trainers).
+
+    Scale shape: adjacency is built by one grouped shuffle (neighbor
+    lists packed as strings — ids contain no spaces — to stay clear
+    of Arrow's no-list-join-payload limit); each hop is one
+    tagged-union shuffle on the current node co-grouping frontier
+    rows with their adjacency row (the grouped_blockwise guarantee
+    makes the in-block merge a correct join). Iterative by nature:
+    ``steps`` shuffles, frontier never exceeds #nodes rows.
+    """
+    import pandas as pd
+
+    from ..functions.agg import grouped_blockwise
+
+    def entity_edges(b: pd.DataFrame) -> pa.Table:
+        s = b[subj_col].astype(str)
+        o = b[obj_col].astype(str)
+        keep = s.str.startswith("E") & o.str.startswith("E")
+        return pa.table(
+            {
+                "node": pa.array(s[keep], pa.string()),
+                "nbr": pa.array(o[keep], pa.string()),
+            }
+        )
+
+    edges = triples.select_columns([subj_col, obj_col]).map_batches(
+        entity_edges, batch_format="pandas"
+    )
+
+    def build_adj(b: pd.DataFrame) -> pa.Table:
+        nodes, packed, degs = [], [], []
+        for node, grp in b.groupby("node", sort=True):
+            nbrs = sorted(set(grp["nbr"]))
+            nodes.append(node)
+            packed.append(" ".join(nbrs))
+            degs.append(len(nbrs))
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "nbrs": pa.array(packed, pa.string()),
+                "deg": pa.array(degs, pa.int64()),
+            }
+        )
+
+    adj = grouped_blockwise(edges, ["node"], build_adj)
+
+    def start_frontier(b: pd.DataFrame) -> pa.Table:
+        snum = b["node"].str[1:].astype("int64")
+        return pa.table(
+            {
+                "start": pa.array(b["node"], pa.string()),
+                "snum": pa.array(snum.to_numpy(np.int64), pa.int64()),
+                "step": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "node": pa.array(b["node"], pa.string()),
+            }
+        )
+
+    frontier = adj.map_batches(start_frontier, batch_format="pandas")
+    out_steps = [frontier]
+
+    def tag_adj(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "node": pa.array(b["node"], pa.string()),
+                "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+                "start": pa.array([None] * n, pa.string()),
+                "snum": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "nbrs": pa.array(b["nbrs"], pa.string()),
+                "deg": pa.array(b["deg"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pandas")
+
+    for step in range(1, steps + 1):
+
+        def tag_frontier(b: pd.DataFrame) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "node": pa.array(b["node"], pa.string()),
+                    "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "start": pa.array(b["start"], pa.string()),
+                    "snum": pa.array(b["snum"].to_numpy(np.int64),
+                                     pa.int64()),
+                    "nbrs": pa.array([None] * n, pa.string()),
+                    "deg": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
+            )
+
+        tagged = adj_tagged.union(
+            frontier.map_batches(tag_frontier, batch_format="pandas")
+        )
+
+        def hop(b: pd.DataFrame, _step=step) -> pa.Table:
+            a = b[b["kind"] == 1][["node", "nbrs", "deg"]]
+            f = b[b["kind"] == 0][["node", "start", "snum"]]
+            if not len(a) or not len(f):
+                return pa.table(
+                    {
+                        "start": pa.array([], pa.string()),
+                        "snum": pa.array([], pa.int64()),
+                        "step": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.string()),
+                    }
+                )
+            m = f.merge(a, on="node", how="inner")
+            idx = (m["snum"].to_numpy(np.int64) * 1000003
+                   + _step * 10007) % m["deg"].to_numpy(np.int64)
+            nxt = [nb.split(" ")[i]
+                   for nb, i in zip(m["nbrs"], idx)]
+            return pa.table(
+                {
+                    "start": pa.array(m["start"], pa.string()),
+                    "snum": pa.array(m["snum"].to_numpy(np.int64),
+                                     pa.int64()),
+                    "step": pa.array(
+                        np.full(len(m), _step, np.int64), pa.int64()),
+                    "node": pa.array(nxt, pa.string()),
+                }
+            )
+
+        frontier = grouped_blockwise(tagged, ["node"], hop)
+        out_steps.append(frontier)
+
+    result = out_steps[0]
+    for ds in out_steps[1:]:
+        result = result.union(ds)
+    return result.select_columns(["start", "step", "node"])
