@@ -142,6 +142,8 @@ def bench_queries(sf_dir: str) -> dict:
         "span_dedup": q.q_span_dedup,
         "kmeans_clusters": q.q_kmeans_clusters,
         "cms_token_counts": q.q_cms_token_counts,
+        "quantile_sketch": q.q_quantile_sketch,
+        "pq_codes": q.q_pq_codes,
     }
     out = {}
     for name, fn in picks.items():

@@ -1672,6 +1672,16 @@ def q_kg_random_walks(sf_dir: str) -> Dataset:
     return random_walks(q_kg_triples(sf_dir))
 
 
+def q_kg_walk_pairs(sf_dir: str) -> Dataset:
+    """Skip-gram (node, context, n) training pairs within a 2-step
+    window of the deterministic walk corpus
+    (stages/graph.py:walk_skipgram_pairs) — the DeepWalk/node2vec
+    pair generator; oracle = the walk CTE self-joined on walk id."""
+    from ..stages.graph import random_walks, walk_skipgram_pairs
+
+    return walk_skipgram_pairs(random_walks(q_kg_triples(sf_dir)))
+
+
 def q_kg_pmi_pairs(sf_dir: str) -> Dataset:
     """PMI between co-mentioned entities (stages/graph.py:pmi_pairs):
     conversation-bounded pair generation, map-side-combined counts,
@@ -2480,6 +2490,7 @@ def queries() -> dict[str, Callable]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_pairs": q_kg_walk_pairs,
         "kg_pmi_pairs": q_kg_pmi_pairs,
         "zscore_outliers": q_zscore_outliers,
         "union_by_name": q_union_by_name,
@@ -4035,6 +4046,36 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
                 WHERE w.step < 4
             )
             SELECT start, step, node FROM walks
+        """,
+        "kg_walk_pairs": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS node, obj AS nbr FROM {golden}
+                WHERE subj LIKE 'E%' AND obj LIKE 'E%'
+            ),
+            adj AS (
+                SELECT node, list(nbr ORDER BY nbr) AS nbrs,
+                       CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY node
+            ),
+            walks AS (
+                SELECT node AS start,
+                       CAST(substr(node, 2) AS BIGINT) AS snum,
+                       CAST(0 AS BIGINT) AS step, node
+                FROM adj
+                UNION ALL
+                SELECT w.start, w.snum, w.step + 1,
+                       a.nbrs[CAST(1 + (w.snum * 1000003
+                              + (w.step + 1) * 10007) % a.deg
+                              AS BIGINT)]
+                FROM walks w JOIN adj a ON a.node = w.node
+                WHERE w.step < 4
+            )
+            SELECT w1.node AS node, w2.node AS context,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM walks w1 JOIN walks w2
+              ON w1.start = w2.start
+             AND abs(w1.step - w2.step) BETWEEN 1 AND 2
+            GROUP BY 1, 2
         """,
         "kg_adamic_adar": f"""
             WITH s AS (SELECT DISTINCT conv_id, subj FROM {golden}),

@@ -925,3 +925,41 @@ def random_walks(
     for ds in out_steps[1:]:
         result = result.union(ds)
     return result.select_columns(["start", "step", "node"])
+
+
+def walk_skipgram_pairs(
+    walks: Dataset, *, window: int = 2,
+) -> Dataset:
+    """Skip-gram training pairs from a walk corpus: (node, context, n)
+    where context lies within ``window`` steps of node in the same
+    walk (both directions counted, the DeepWalk/node2vec pair
+    generator). One grouped shuffle on the walk id with a vectorized
+    in-block self-merge, map-side pair counting, then one small
+    grouped count merge."""
+
+    def pairs(b: pd.DataFrame) -> pa.Table:
+        m = b[["start", "step", "node"]].merge(
+            b[["start", "step", "node"]], on="start",
+            suffixes=("_a", "_b"),
+        )
+        d = (m["step_a"] - m["step_b"]).abs()
+        m = m[(d >= 1) & (d <= window)]
+        out = (
+            m.groupby(["node_a", "node_b"], sort=False)
+            .size().rename("n").reset_index()
+            .rename(columns={"node_a": "node", "node_b": "context"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_walk = grouped_blockwise(walks, ["start"], pairs)
+
+    def merge(b: pd.DataFrame) -> pa.Table:
+        out = (
+            b.groupby(["node", "context"], sort=False)["n"]
+            .sum().reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(per_walk, ["node", "context"], merge)
