@@ -911,6 +911,7 @@ def span_dedup(
     window_words: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> Dataset:
     """Exact substring (span) dedup in the style of the
     deduplicating-training-data literature: every OVERLAPPING
@@ -937,6 +938,13 @@ def span_dedup(
     from ..functions.agg import grouped_blockwise
 
     L = window_words
+    # three consumers (candidate explode, local-dup explode, the
+    # reconstruct union) re-read the projected corpus; materialize it
+    # once by default — the multi-consumer Spark-cache idiom (Ray
+    # spills past memory; cache=False streams from storage instead)
+    docs = docs.select_columns([id_col, text_col])
+    if cache:
+        docs = docs.materialize()
 
     def explode(b: pd.DataFrame) -> list[pa.Table]:
         ids: list[int] = []
