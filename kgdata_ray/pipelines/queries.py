@@ -1652,6 +1652,23 @@ def q_edit_distance_pairs(sf_dir: str) -> Dataset:
     return edit_distance_pairs(parts, "p_name", max_dist=2)
 
 
+def q_er_name_clusters(sf_dir: str) -> Dataset:
+    """Entity-resolution capstone composition: typo-tolerant blocking
+    (stages/strsim.py:edit_distance_pairs, lossless q-gram blocking +
+    bounded verify) -> pair graph -> distributed connected components
+    (stages/canonicalize.py:connected_components, min-label
+    propagation) -> (node_id, component_id) with the lexicographic-min
+    name as the cluster representative. Oracle: naive levenshtein
+    all-pairs + a recursive-CTE reachability closure."""
+    from ..stages.dedup import dedup_clusters
+    from ..stages.strsim import edit_distance_pairs
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"])
+    pairs = edit_distance_pairs(parts, "p_name", max_dist=2)
+    return dedup_clusters(pairs, id_a="name_a", id_b="name_b")
+
+
 def q_kg_adamic_adar(sf_dir: str) -> Dataset:
     """Adamic–Adar link-prediction scores over the entity co-mention
     graph (stages/graph.py:adamic_adar): one neighbor-key grouped
@@ -2488,6 +2505,7 @@ def queries() -> dict[str, Callable]:
         "stratified_sample": q_stratified_sample,
         "percent_rank_events": q_percent_rank_events,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "er_name_clusters": q_er_name_clusters,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
@@ -3228,6 +3246,25 @@ def oracle_sql() -> dict[str, str]:
                        AS dist
             FROM names a JOIN names b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "er_name_clusters": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (
+                SELECT a.p_name AS u, b.p_name AS v
+                FROM names a JOIN names b ON a.p_name < b.p_name
+                WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ),
+            edges AS (SELECT u, v FROM pairs
+                      UNION ALL SELECT v, u FROM pairs),
+            reach AS (
+                SELECT u AS node, u AS r
+                FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT re.node, e.v
+                FROM reach re JOIN edges e ON e.u = re.r
+            )
+            SELECT node AS node_id, min(r) AS component_id
+            FROM reach GROUP BY node
         """,
         "zscore_outliers": f"""
             WITH x AS (SELECT event_id, event_type,
