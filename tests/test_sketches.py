@@ -115,3 +115,29 @@ def test_heavy_hitters_candidate_cap_raises():
     ds = rd.from_pandas(df).repartition(2)
     with pytest.raises(ValueError, match="broadcast cap"):
         heavy_hitters(ds, k=10**6, candidate_cap=10)
+
+
+def test_kmeans_and_span_cache_off_paths_equal():
+    # cache=False (stream-from-storage) must equal the default
+    # materialized path exactly — same fixed-point arithmetic either way
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.dedup import span_dedup
+    from kgdata_ray.stages.similarity import kmeans_embeddings
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    a = kmeans_embeddings(rd.read_parquet(emb), cache=True).to_pandas()
+    b = kmeans_embeddings(rd.read_parquet(emb), cache=False).to_pandas()
+    key = ["vec_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    c = span_dedup(rd.read_parquet(docs), cache=True).to_pandas()
+    d = span_dedup(rd.read_parquet(docs), cache=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        c.sort_values("doc_id").reset_index(drop=True),
+        d.sort_values("doc_id").reset_index(drop=True),
+    )
