@@ -1652,6 +1652,18 @@ def q_edit_distance_pairs(sf_dir: str) -> Dataset:
     return edit_distance_pairs(parts, "p_name", max_dist=2)
 
 
+def q_jaccard_set_join(sf_dir: str) -> Dataset:
+    """Exact set-similarity self-join over part-name token sets at
+    Jaccard >= 0.3 (stages/strsim.py:jaccard_set_join) — AllPairs/
+    PPJoin prefix filtering with exact verification; the oracle is
+    the naive all-pairs list_intersect scan."""
+    from ..stages.strsim import jaccard_set_join
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"])
+    return jaccard_set_join(parts, "p_name", threshold=0.3)
+
+
 def q_er_name_clusters(sf_dir: str) -> Dataset:
     """Entity-resolution capstone composition: typo-tolerant blocking
     (stages/strsim.py:edit_distance_pairs, lossless q-gram blocking +
@@ -2506,6 +2518,7 @@ def queries() -> dict[str, Callable]:
         "percent_rank_events": q_percent_rank_events,
         "edit_distance_pairs": q_edit_distance_pairs,
         "er_name_clusters": q_er_name_clusters,
+        "jaccard_set_join": q_jaccard_set_join,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
@@ -3246,6 +3259,24 @@ def oracle_sql() -> dict[str, str]:
                        AS dist
             FROM names a JOIN names b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "jaccard_set_join": """
+            WITH s AS (
+                SELECT p_name,
+                       list_sort(list_distinct(string_split(p_name, ' ')))
+                           AS toks
+                FROM (SELECT DISTINCT p_name FROM part)
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks))
+                         AS DOUBLE)
+                         / (len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks))),
+                         6) AS jaccard
+            FROM s a JOIN s b ON a.p_name < b.p_name
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))) >= 0.3
         """,
         "er_name_clusters": """
             WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),

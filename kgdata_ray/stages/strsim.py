@@ -114,3 +114,168 @@ def edit_distance_pairs(
         })
 
     return cand.map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
+
+_VOCAB_CAP = 1_000_000
+
+
+def jaccard_set_join(
+    ds: Dataset, col: str, *, threshold: float = 0.3,
+    num_partitions: int = 8,
+) -> Dataset:
+    """EXACT Jaccard self-join over word SETS with AllPairs/PPJoin
+    prefix filtering (Bayardo et al. WWW'07 / Chaudhuri et al.
+    SSJoin): (name_a, name_b, jaccard) for every distinct value pair
+    whose token-set Jaccard >= ``threshold``, name_a < name_b.
+
+    Lossless pruning: tokens get a global rarity order (freq asc, tok
+    asc); J(a,b) >= t implies overlap >= ceil(t*|a|), so every
+    qualifying pair shares a token inside both sides' prefixes of
+    length |x| - ceil(t*|x|) + 1 — only prefix tokens are indexed,
+    and only bucket co-occurrence generates candidates. Verification
+    recomputes exact Jaccard, so the filter can only save work, never
+    change results.
+
+    Scale shape: the token->rank map is vocabulary-sized (bounded
+    driver merge + broadcast, the gazetteer pattern; hard cap
+    raises); the bucket shuffle moves (prefix_token, value) rows —
+    rare tokens first means small buckets; candidate pairs rejoin the
+    packed set table via the bounded pair-side joins
+    (dedup._join_pair_sides), nothing corpus-sized collected.
+    """
+    import math
+
+    import ray
+
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+    from .dedup import _join_pair_sides
+
+    def uniq(b: pd.DataFrame) -> pa.Table:
+        return pa.table({col: pa.array(pd.unique(b[col].astype(str)))})
+
+    def uniq_block(b: pd.DataFrame) -> pa.Table:
+        return pa.table({col: pa.array(b[col].unique())})
+
+    vals = grouped_blockwise(
+        ds.select_columns([col]).map_batches(uniq, batch_format="pandas"),
+        [col], uniq_block,
+    ).materialize()  # consumed by freq, prefix and set passes
+
+    # global token rarity order: bounded driver merge of per-batch
+    # counts (vocabulary-sized, NOT corpus-sized)
+    freq: dict[str, int] = {}
+    counts = vals.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b[col].str.split(" ").explode().value_counts()
+            .rename_axis("tok").rename("n").reset_index(),
+            preserve_index=False,
+        ),
+        batch_format="pandas",
+    )
+    for bt in counts.iter_batches(batch_size=65536, batch_format="pandas"):
+        for tok, n in zip(bt["tok"], bt["n"]):
+            freq[tok] = freq.get(tok, 0) + int(n)
+        if len(freq) > _VOCAB_CAP:
+            raise ValueError("vocabulary exceeds the broadcast cap")
+    rank = {
+        tok: i
+        for i, (_, tok) in enumerate(
+            sorted((n, t) for t, n in freq.items())
+        )
+    }
+    rank_ref = ray.put(rank)
+
+    def pack(toks: list[str], r: dict) -> list[str]:
+        return sorted(set(toks), key=lambda w: (r[w], w))
+
+    def make_sets(b: pd.DataFrame) -> pa.Table:
+        r = ray.get(rank_ref)
+        packed = [" ".join(pack(v.split(" "), r)) for v in b[col]]
+        return pa.table(
+            {
+                col: pa.array(b[col], pa.string()),
+                "toks_packed": pa.array(packed, pa.string()),
+            }
+        )
+
+    def make_prefix(b: pd.DataFrame) -> pa.Table:
+        r = ray.get(rank_ref)
+        toks_out, names_out = [], []
+        for v in b[col]:
+            toks = pack(v.split(" "), r)
+            n = len(toks)
+            p = n - math.ceil(threshold * n) + 1
+            toks_out.extend(toks[:p])
+            names_out.extend([v] * min(p, n))
+        return pa.table(
+            {
+                "tok": pa.array(toks_out, pa.string()),
+                "val": pa.array(names_out, pa.string()),
+            }
+        )
+
+    sets = vals.map_batches(make_sets, batch_format="pandas")
+    pref = vals.map_batches(make_prefix, batch_format="pandas")
+
+    def bucket_pairs(b: pd.DataFrame) -> pa.Table:
+        a_out, b_out = [], []
+        for _, grp in b.groupby("tok", sort=False):
+            names = sorted(grp["val"].unique())
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    a_out.append(names[i])
+                    b_out.append(names[j])
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+            }
+        )
+
+    cand = grouped_blockwise(pref, ["tok"], bucket_pairs)
+    cand = grouped_blockwise(
+        cand, ["id_a", "id_b"],
+        lambda b: pa.Table.from_pandas(
+            b.drop_duplicates(["id_a", "id_b"]), preserve_index=False
+        ),
+    )
+
+    j = scrub_empty_blocks(
+        _join_pair_sides(
+            cand, sets, id_col=col, cols=["toks_packed"],
+            num_partitions=num_partitions,
+        )
+    )
+
+    def verify(b: pd.DataFrame) -> pa.Table:
+        if "toks_packed_a" not in b.columns:  # schema-less empty block
+            return pa.table(
+                {
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        keep_a, keep_b, jacs = [], [], []
+        for ia, ib, ta, tb in zip(b["id_a"], b["id_b"],
+                                  b["toks_packed_a"], b["toks_packed_b"]):
+            sa, sb = set(ta.split(" ")), set(tb.split(" "))
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                keep_a.append(ia)
+                keep_b.append(ib)
+                jacs.append(round(jac, 6))
+        return pa.table(
+            {
+                "name_a": pa.array(keep_a, pa.string()),
+                "name_b": pa.array(keep_b, pa.string()),
+                "jaccard": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pandas")
