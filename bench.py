@@ -144,6 +144,8 @@ def bench_queries(sf_dir: str) -> dict:
         "cms_token_counts": q.q_cms_token_counts,
         "quantile_sketch": q.q_quantile_sketch,
         "pq_codes": q.q_pq_codes,
+        "er_name_clusters": q.q_er_name_clusters,
+        "jaccard_set_join": q.q_jaccard_set_join,
     }
     out = {}
     for name, fn in picks.items():
