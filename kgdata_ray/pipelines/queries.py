@@ -1014,6 +1014,16 @@ def q_word_counts(sf_dir: str) -> Dataset:
     return word_counts(docs, top_n=200)
 
 
+def q_bigram_counts(sf_dir: str) -> Dataset:
+    """Global adjacent-word-pair counts over the corpus
+    (stages/textstats.py:bigram_counts) — the bigram-LM / BPE-merge
+    count table; lateral-pair SQL oracle."""
+    from ..stages.textstats import bigram_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_counts(docs)
+
+
 def q_doc_top_terms(sf_dir: str) -> Dataset:
     """Per-document top-3 terms by (tf desc, term asc) with corpus
     document frequency — the integer core of TF-IDF
@@ -2519,6 +2529,7 @@ def queries() -> dict[str, Callable]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "er_name_clusters": q_er_name_clusters,
         "jaccard_set_join": q_jaccard_set_join,
+        "bigram_counts": q_bigram_counts,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
@@ -3259,6 +3270,15 @@ def oracle_sql() -> dict[str, str]:
                        AS dist
             FROM names a JOIN names b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "bigram_counts": """
+            WITH words AS (SELECT string_split(text, ' ') AS w
+                           FROM documents)
+            SELECT w[i] AS w1, w[i + 1] AS w2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM words, LATERAL unnest(generate_series(
+                 1, len(w) - 1)) AS g(i)
+            GROUP BY 1, 2
         """,
         "jaccard_set_join": """
             WITH s AS (

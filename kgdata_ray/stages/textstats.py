@@ -741,3 +741,40 @@ def _unigram_join_plan(ds: Dataset, counts_ds: Dataset, total: float,
             preserve_index=False)
 
     return grouped_blockwise(scored, [id_col], per_doc)
+
+
+def bigram_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    """Global adjacent-word-pair counts (w1, w2, n) — the count table
+    a bigram language model / BPE-merge scorer trains from. Map-side
+    combining exactly like :func:`word_counts`: each block emits one
+    partial per distinct pair (the shuffle moves pair-vocabulary
+    partials, never the token stream), then a grouped sum. Tokens are
+    the raw space-separated words (matching the corpus format and the
+    SQL oracle's split)."""
+    from ..functions.agg import grouped_blockwise
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for txt in b[text_col]:
+            w = txt.split(" ")
+            w1s.extend(w[:-1])
+            w2s.extend(w[1:])
+        df = (
+            pd.DataFrame({"w1": w1s, "w2": w2s})
+            .groupby(["w1", "w2"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_blockwise(parts, ["w1", "w2"], final)
