@@ -177,7 +177,7 @@ def cmd_check_oracles(args) -> None:
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf_dir}/{t}.parquet')")
-    reg, sql = queries(), oracle_sql()
+    reg, sql = queries(), oracle_sql(args.sf_dir)
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(reg):

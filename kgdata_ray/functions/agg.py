@@ -95,7 +95,11 @@ def _guard_sorted_blocks(sorted_ds: Dataset, keys: list[str]) -> Dataset:
     if len(metas) <= 1:
         return mat
     target = DataContext.get_current().target_max_block_size or (128 << 20)
-    if all((m.size_bytes or 0) < _SPLIT_SUSPECT_FRACTION * target
+    # A block with UNKNOWN size (size_bytes=None) must be treated as a
+    # possible split piece — treating unknown as 0 would skip the full
+    # check and let a mid-key split corrupt silently (round-3 ADVICE).
+    if all(m.size_bytes is not None
+           and m.size_bytes < _SPLIT_SUSPECT_FRACTION * target
            for m in metas):
         return mat
     return _merge_key_straddling_blocks(mat, keys)

@@ -125,15 +125,22 @@ def weighted_sample(
     smallest ``-ln(u)/w`` keys — inclusion probability proportional to
     weight). The uniform comes from an engine-replicable multiplicative
     hash of the key (exact integer arithmetic, then one division), so
-    any SQL engine draws the identical sample. Selection uses the
-    combiner top-k (no full sort)."""
+    any SQL engine draws the identical sample. Keys must be
+    NON-NEGATIVE int64; the multiply runs in uint64, and since
+    2^32 divides 2^64 the wrap-around product mod 2^32 equals the
+    mathematically exact ``key * KNUTH mod 2^32`` for the whole key
+    range (SQL side must use a 128-bit product, e.g. DuckDB
+    ``CAST(k AS HUGEINT) * 2654435761 % 4294967296``). Selection uses
+    the combiner top-k (no full sort)."""
     import numpy as np
 
     from .agg import global_topk
 
     def keyed(b: pd.DataFrame) -> pd.DataFrame:
         kk = b[key_col].to_numpy().astype(np.int64)
-        h = (kk * _KNUTH) % (1 << 32)
+        if (kk < 0).any():
+            raise ValueError("weighted_sample keys must be non-negative")
+        h = (kk.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(1 << 32)
         u = (h.astype(np.float64) + 1.0) / float(1 << 32)
         b = b.copy()
         b["_es_key"] = -np.log(u) / b[weight_col].to_numpy(

@@ -71,7 +71,10 @@ def json_extract_fields(ds, json_col: str, fields: dict,
     (orjson in every loader, e.g. ``kgdata/wikidata/datasets/entities.py``
     deser fns); the per-row ``loads`` is inherent to JSON-typed
     payloads — it's a C loop per batch, with column assembly and
-    casting vectorized. Missing keys / null JSON become NaN/None."""
+    casting vectorized. Missing keys / null JSON become NaN/None: a
+    non-nullable integer dtype is silently widened to its pandas
+    nullable twin (``int64`` → ``Int64``) when any value is missing,
+    instead of crashing the batch (round-3 ADVICE)."""
     try:
         import orjson as _json
     except ImportError:  # orjson isn't baked into every env
@@ -85,7 +88,14 @@ def json_extract_fields(ds, json_col: str, fields: dict,
         out = b.drop(columns=[json_col]) if drop else b.copy()
         for name, (key, dtype) in fields.items():
             vals = [p.get(key) for p in parsed]
-            out[name] = pd.Series(vals, index=b.index).astype(dtype)
+            s = pd.Series(vals, index=b.index)
+            dt = pd.api.types.pandas_dtype(dtype)
+            if (s.isna().any()
+                    and pd.api.types.is_integer_dtype(dt)
+                    and not isinstance(dt, pd.api.extensions.ExtensionDtype)):
+                dt = pd.api.types.pandas_dtype(
+                    str(dt).replace("uint", "UInt").replace("int", "Int"))
+            out[name] = s.astype(dt)
         return out
 
     return ds.map_batches(parse, batch_format="pandas")

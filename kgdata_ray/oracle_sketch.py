@@ -527,13 +527,20 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
         shutil.rmtree(out, ignore_errors=True)
         return str(final)
     old = Path(f"{final}.old-{os.getpid()}")
+    moved_old = False
     try:
         if final.exists():
             os.replace(final, old)
+            moved_old = True
         os.replace(out, final)
     except OSError:
+        # Restore the previous build if the second replace failed after
+        # we moved it aside (otherwise readers would find no oracle).
+        if moved_old and not final.exists():
+            os.replace(old, final)
         shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    if final.exists():
+        shutil.rmtree(old, ignore_errors=True)
     return str(final)
 
 

@@ -213,14 +213,22 @@ def ensure_oracle_tables(sf: float) -> str:
         shutil.rmtree(out, ignore_errors=True)
         return str(final)
     old = Path(f"{final}.old-{os.getpid()}")
+    moved_old = False
     try:
         if final.exists():
             os.replace(final, old)
+            moved_old = True
         os.replace(out, final)
     except OSError:
-        # Lost a rename race; the winner's tables are in place.
+        # Either we lost a rename race (the winner's tables are already
+        # in place) or the second replace failed after we moved the
+        # previous build aside — restore it so concurrent readers never
+        # see a missing oracle directory.
+        if moved_old and not final.exists():
+            os.replace(old, final)
         shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    if final.exists():
+        shutil.rmtree(old, ignore_errors=True)
     return str(final)
 
 

@@ -2566,7 +2566,14 @@ def queries() -> dict[str, Callable]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB oracle SQL per query. ``sf_dir`` threads the scale into
+    the golden-parquet families so ``check-oracles --sf-dir`` compares
+    against goldens built at the SAME scale (round-3 ADVICE); the
+    driver calls this with no argument and gets its pinned sf0.01."""
+    from ..synth import sf_from_dir
+
+    _sf = sf_from_dir(sf_dir)
     return {
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
@@ -3390,8 +3397,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_orders": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM (
                 SELECT o_orderkey, o_custkey, o_totalprice,
-                       -ln(((o_orderkey * 2654435761) % 4294967296
-                            + 1.0) / 4294967296.0)
+                       -ln(((CAST(o_orderkey AS HUGEINT) * 2654435761)
+                            % 4294967296 + 1.0) / 4294967296.0)
                            / o_totalprice AS es_key
                 FROM orders
             ) ORDER BY es_key ASC, o_orderkey ASC LIMIT {_WS_K}
@@ -3614,8 +3621,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 44100 END AS DOUBLE) AS duration_ms
             FROM documents
         """,
-        **_kg_oracle_sql(),
-        **_sketch_oracle_sql(),
+        **_kg_oracle_sql(_sf),
+        **_sketch_oracle_sql(sf_dir, kg_sf=_sf),
     }
 
 

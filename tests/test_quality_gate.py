@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from kgdata_ray.functions.checks import expectation_violations
@@ -184,3 +185,44 @@ def test_unigram_plans_agree():
     assert (a["n_tokens"] == b["n_tokens"]).all()
     assert np.allclose(a["avg_neg_logp"], b["avg_neg_logp"],
                        atol=2e-6)
+
+
+def test_weighted_sample_large_keys_no_overflow():
+    # Keys >= 2^32 used to wrap in signed int64 (round-3 ADVICE); the
+    # uint64 multiply must match exact big-int arithmetic mod 2^32.
+    from kgdata_ray.functions.sampling import _KNUTH, weighted_sample
+
+    keys = [3, 10**10, 2**62, 2**63 - 1]
+    df = pd.DataFrame({"k": keys, "w": [1.0, 2.0, 3.0, 4.0]})
+    got = weighted_sample(rd.from_pandas(df), "k", "w", 2).to_pandas()
+
+    def es_key(k, w):
+        h = (k * _KNUTH) % (1 << 32)  # exact python big-int
+        return -np.log((h + 1.0) / float(1 << 32)) / w
+
+    want = sorted(keys, key=lambda k: (es_key(k, df.set_index("k").w[k]), k))[:2]
+    assert sorted(got.k) == sorted(want)
+
+    with pytest.raises(Exception):  # negative keys are rejected loudly
+        weighted_sample(
+            rd.from_pandas(pd.DataFrame({"k": [-1], "w": [1.0]})),
+            "k", "w", 1).to_pandas()
+
+
+def test_json_extract_missing_int_field_yields_null():
+    # round-3 ADVICE: a missing key with a non-nullable int dtype must
+    # widen to the pandas nullable twin, not crash the batch.
+    from kgdata_ray.functions.text import json_extract_fields
+
+    df = pd.DataFrame({"payload": ['{"a": 1}', '{"b": 2}', None]})
+    out = json_extract_fields(
+        rd.from_pandas(df), "payload",
+        {"a": ("a", "int64")}).to_pandas()
+    assert str(out["a"].dtype) == "Int64"
+    assert out["a"].tolist()[0] == 1
+    assert out["a"].isna().sum() == 2
+    # no missing values -> dtype stays the requested non-nullable one
+    out2 = json_extract_fields(
+        rd.from_pandas(pd.DataFrame({"payload": ['{"a": 1}']})),
+        "payload", {"a": ("a", "int64")}).to_pandas()
+    assert str(out2["a"].dtype) == "int64"
