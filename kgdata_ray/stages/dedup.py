@@ -308,7 +308,12 @@ def _join_pair_sides(
         side("a"), join_type="inner", num_partitions=num_partitions,
         on=("id_a",), right_on=("__ja",),
     )
-    return j.join(
+    # a hash join emits schema-less blocks for empty partitions, which
+    # the second Arrow join rejects ("No match ... FieldRef id_b");
+    # rebuild blocks in between
+    from ..functions.blocks import scrub_empty_blocks
+
+    return scrub_empty_blocks(j).join(
         side("b"), join_type="inner", num_partitions=num_partitions,
         on=("id_b",), right_on=("__jb",),
     )

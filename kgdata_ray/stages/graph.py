@@ -354,38 +354,25 @@ def rank_moments(ranks: Dataset, *, col: str = "rank") -> dict:
 
 
 
-def co_mention_edges(triples: Dataset, *, max_group: int = 5000) -> Dataset:
+def co_mention_edges(triples: Dataset) -> Dataset:
     """Undirected distinct edges (u < v) between entities appearing as
     subjects in the same conversation — the co-mention projection of
     the triple table. Pair generation happens inside per-conversation
     groups (conversation-bounded, so per-group combinations stay
     tiny); the wide ops are the conv_id grouped shuffle and the final
-    distinct. ``max_group`` caps the quadratic blowup of a pathological
-    conversation (same contract as the LSH ``max_bucket`` cap): a group
-    beyond it contributes only its first ``max_group`` sorted entities
-    — deterministic, and far above any test-scale group size."""
-    import numpy as np
-
+    distinct. EXACT under skew: a pathological hot conversation streams
+    through bounded pair tiles (functions/pairtiles.py) instead of the
+    silent first-K truncation it used to get — CPU grows with the true
+    pair count, memory stays flat, no pair is ever dropped."""
     from ..functions.agg import distinct_rows
+    from ..functions.pairtiles import grouped_pair_tables
 
     s = distinct_rows(triples.select_columns(["conv_id", "subj"]),
                       ["conv_id", "subj"])
 
-    def pairs(b: pd.DataFrame) -> pa.Table:
-        us, vs = [], []
-        for _, g in b.groupby("conv_id", sort=False):
-            ents = np.sort(g["subj"].to_numpy())[:max_group]
-            if len(ents) < 2:
-                continue
-            i, j = np.triu_indices(len(ents), k=1)
-            us.append(ents[i])
-            vs.append(ents[j])
-        if not us:
-            return pa.table({"u": pa.array([], pa.string()),
-                             "v": pa.array([], pa.string())})
-        out = pd.DataFrame({"u": np.concatenate(us),
-                            "v": np.concatenate(vs)}).drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(b, "conv_id", "subj", "u", "v",
+                                       dedup=True)
 
     edged = grouped_blockwise(s, ["conv_id"], pairs)
     return distinct_rows(edged, ["u", "v"])
@@ -590,7 +577,7 @@ def core_numbers(edges: Dataset, *, max_rounds: int = 100,
     return rename_cols(est, {"enode": "node", "est": "core"})
 
 
-def adamic_adar(edges: Dataset, *, max_group: int = 5000) -> Dataset:
+def adamic_adar(edges: Dataset) -> Dataset:
     """Adamic–Adar link-prediction scores for every node pair with at
     least one common neighbor: ``aa = sum_z 1/ln(deg(z))`` over common
     neighbors ``z`` (Adamic & Adar 2003, "Friends and neighbors on the
@@ -600,11 +587,13 @@ def adamic_adar(edges: Dataset, *, max_group: int = 5000) -> Dataset:
     neighbor key — within each group the neighbor set of ``z`` IS its
     degree, so each pair of the group contributes ``1/ln(|group|)``
     with no separate degree table or wedge join; then one
-    map-side-combined sum shuffle on the pair key. ``max_group`` caps
-    the quadratic hub blowup (deterministic first-K rule, same contract
-    as :func:`co_mention_edges`); scores are rounded to 6 dp so the
-    float sum order never shows."""
+    map-side-combined sum shuffle on the pair key. A quadratic hub
+    group streams through bounded pair tiles (functions/pairtiles.py)
+    — exact under skew, no truncation; scores are rounded to 6 dp so
+    the float sum order never shows."""
     import numpy as np
+
+    from ..functions.pairtiles import grouped_pair_tables
 
     def both_dirs(b: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({
@@ -615,23 +604,10 @@ def adamic_adar(edges: Dataset, *, max_group: int = 5000) -> Dataset:
 
     adj = edges.map_batches(both_dirs, batch_format="pandas")
 
-    def wedge_pairs(b: pd.DataFrame) -> pa.Table:
-        ps, qs, ws = [], [], []
-        for _, g in b.groupby("nb", sort=False):
-            ents = np.sort(g["node"].to_numpy())[:max_group]
-            if len(ents) < 2:
-                continue
-            i, j = np.triu_indices(len(ents), k=1)
-            ps.append(ents[i])
-            qs.append(ents[j])
-            ws.append(np.full(i.size, 1.0 / np.log(len(ents))))
-        if not ps:
-            return pa.table({"p": pa.array([], pa.string()),
-                             "q": pa.array([], pa.string()),
-                             "w": pa.array([], pa.float64())})
-        return pa.table({"p": pa.array(np.concatenate(ps)),
-                         "q": pa.array(np.concatenate(qs)),
-                         "w": pa.array(np.concatenate(ws))})
+    def wedge_pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(
+            b, "nb", "node", "p", "q",
+            weight_fn=lambda n: 1.0 / np.log(n), weight_name="w")
 
     wedges = grouped_blockwise(adj, ["nb"], wedge_pairs)
 
@@ -653,19 +629,21 @@ def adamic_adar(edges: Dataset, *, max_group: int = 5000) -> Dataset:
     return grouped_blockwise(partial, ["p", "q"], final)
 
 
-def pmi_pairs(convs: Dataset, *, max_group: int = 5000) -> Dataset:
+def pmi_pairs(convs: Dataset) -> Dataset:
     """Pointwise mutual information between entities over conversation
     co-occurrence: ``pmi(p,q) = ln(c_pq * N / (c_p * c_q))`` with
     ``c_x`` = #conversations mentioning ``x``, ``N`` = #conversations
     (Church & Hanks 1990). Input: distinct ``(conv_id, subj)`` rows.
 
     One grouped shuffle on conv_id generates per-conversation pairs
-    (bounded by ``max_group``), a count shuffle yields ``c_pq``, the
-    small per-entity count table joins back twice. ``N`` is a driver
-    scalar (one count of the grouped keys)."""
+    (exact under skew via bounded pair tiles — no truncation), a count
+    shuffle yields ``c_pq``, the small per-entity count table joins
+    back twice. ``N`` is a driver scalar (one count of the grouped
+    keys)."""
     import numpy as np
 
     from ..functions.agg import distinct_rows
+    from ..functions.pairtiles import grouped_pair_tables
 
     convs = convs.materialize()  # consumed 3x: N, c_x, pairs
     n_convs = distinct_rows(
@@ -673,20 +651,8 @@ def pmi_pairs(convs: Dataset, *, max_group: int = 5000) -> Dataset:
     cx = partial_group_count(convs.select_columns(["subj"]), "subj",
                              count_name="cx").materialize()
 
-    def pairs(b: pd.DataFrame) -> pa.Table:
-        ps, qs = [], []
-        for _, g in b.groupby("conv_id", sort=False):
-            ents = np.sort(g["subj"].to_numpy())[:max_group]
-            if len(ents) < 2:
-                continue
-            i, j = np.triu_indices(len(ents), k=1)
-            ps.append(ents[i])
-            qs.append(ents[j])
-        if not ps:
-            return pa.table({"p": pa.array([], pa.string()),
-                             "q": pa.array([], pa.string())})
-        return pa.table({"p": pa.array(np.concatenate(ps)),
-                         "q": pa.array(np.concatenate(qs))})
+    def pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(b, "conv_id", "subj", "p", "q")
 
     cpq = partial_group_count(
         grouped_blockwise(convs, ["conv_id"], pairs),
@@ -716,16 +682,19 @@ def pmi_pairs(convs: Dataset, *, max_group: int = 5000) -> Dataset:
         score, batch_format="pandas")
 
 
-def neighborhood_jaccard(edges: Dataset, *, max_group: int = 5000,
+def neighborhood_jaccard(edges: Dataset, *,
                          num_partitions: int = 8) -> Dataset:
     """Jaccard similarity of neighbor SETS for every node pair with at
     least one common neighbor: ``|N(p) ∩ N(q)| / |N(p) ∪ N(q)|`` — the
     set-overlap cousin of :func:`adamic_adar` (entity-similarity /
     duplicate-entity detection over a KG). Common-neighbor counts come
-    from the same degree-free neighbor-key grouped shuffle; degrees
-    join in from the node-count-sized table. The division is exact
-    ints → double, so no rounding is needed for engine parity."""
+    from the same degree-free neighbor-key grouped shuffle (exact under
+    skew via bounded pair tiles); degrees join in from the
+    node-count-sized table. The division is exact ints → double, so no
+    rounding is needed for engine parity."""
     import numpy as np
+
+    from ..functions.pairtiles import grouped_pair_tables
 
     edges = edges.materialize()  # consumed twice (adjacency + degrees)
 
@@ -740,20 +709,8 @@ def neighborhood_jaccard(edges: Dataset, *, max_group: int = 5000,
     deg = partial_group_count(adj.select_columns(["node"]), "node",
                               count_name="deg").materialize()
 
-    def wedge_pairs(b: pd.DataFrame) -> pa.Table:
-        ps, qs = [], []
-        for _, g in b.groupby("nb", sort=False):
-            ents = np.sort(g["node"].to_numpy())[:max_group]
-            if len(ents) < 2:
-                continue
-            i, j = np.triu_indices(len(ents), k=1)
-            ps.append(ents[i])
-            qs.append(ents[j])
-        if not ps:
-            return pa.table({"p": pa.array([], pa.string()),
-                             "q": pa.array([], pa.string())})
-        return pa.table({"p": pa.array(np.concatenate(ps)),
-                         "q": pa.array(np.concatenate(qs))})
+    def wedge_pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(b, "nb", "node", "p", "q")
 
     common = partial_group_count(
         grouped_blockwise(adj, ["nb"], wedge_pairs),

@@ -53,14 +53,15 @@ def _grams(s: str, q: int, short_len: int) -> list[str]:
 
 def edit_distance_pairs(
     ds: Dataset, col: str, *, max_dist: int = 2, q: int = 2,
-    max_group: int = 5000,
 ) -> Dataset:
     """``(name_a < name_b, dist)`` for every distinct-string pair with
     Levenshtein distance <= ``max_dist``. Exact (blocking is lossless;
-    see module docstring). ``max_group`` caps pair generation under a
-    pathological hot gram — deterministic first-K rule, far above any
-    test-scale group."""
+    see module docstring), including under skew: a pathological hot
+    gram streams its candidate pairs through bounded tiles
+    (functions/pairtiles.py) instead of the silent first-K truncation
+    it used to get."""
     from ..functions.agg import distinct_rows, grouped_blockwise
+    from ..functions.pairtiles import grouped_pair_tables
 
     short_len = q * (max_dist + 1)
     names = distinct_rows(ds.select_columns([col]), [col])
@@ -76,22 +77,10 @@ def edit_distance_pairs(
 
     grams = names.map_batches(explode, batch_format="pandas")
 
-    def pairs(b: pd.DataFrame) -> pa.Table:
-        ak, bk = [], []
-        for _, g in b.groupby("gram", sort=False):
-            ents = np.sort(g["name"].unique())[:max_group]
-            if len(ents) < 2:
-                continue
-            i, j = np.triu_indices(len(ents), k=1)
-            ak.append(ents[i])
-            bk.append(ents[j])
-        if not ak:
-            return pa.table({"name_a": pa.array([], pa.string()),
-                             "name_b": pa.array([], pa.string())})
-        out = pd.DataFrame({"name_a": np.concatenate(ak),
-                            "name_b": np.concatenate(bk)})
-        return pa.Table.from_pandas(out.drop_duplicates(),
-                                    preserve_index=False)
+    def pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(b, "gram", "name",
+                                       "name_a", "name_b",
+                                       unique=True, dedup=True)
 
     cand = distinct_rows(
         grouped_blockwise(grams, ["gram"], pairs),
@@ -119,8 +108,6 @@ def edit_distance_pairs(
 # --------------------------------------------------------------------------
 # Exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
 
-_VOCAB_CAP = 1_000_000
-
 
 def jaccard_set_join(
     ds: Dataset, col: str, *, threshold: float = 0.3,
@@ -131,27 +118,31 @@ def jaccard_set_join(
     SSJoin): (name_a, name_b, jaccard) for every distinct value pair
     whose token-set Jaccard >= ``threshold``, name_a < name_b.
 
-    Lossless pruning: tokens get a global rarity order (freq asc, tok
-    asc); J(a,b) >= t implies overlap >= ceil(t*|a|), so every
+    Lossless pruning: tokens get a global rarity order (doc-freq asc,
+    tok asc); J(a,b) >= t implies overlap >= ceil(t*|a|), so every
     qualifying pair shares a token inside both sides' prefixes of
     length |x| - ceil(t*|x|) + 1 — only prefix tokens are indexed,
     and only bucket co-occurrence generates candidates. Verification
     recomputes exact Jaccard, so the filter can only save work, never
-    change results.
+    change results (any consistent global token order yields the same
+    output, so the doc-freq order needs no tie-stable rank map).
 
-    Scale shape: the token->rank map is vocabulary-sized (bounded
-    driver merge + broadcast, the gazetteer pattern; hard cap
-    raises); the bucket shuffle moves (prefix_token, value) rows —
-    rare tokens first means small buckets; candidate pairs rejoin the
-    packed set table via the bounded pair-side joins
-    (dedup._join_pair_sides), nothing corpus-sized collected.
+    Scale shape (round-3 VERDICT #3): NOTHING vocabulary-sized touches
+    the driver — token doc-frequencies come from a map-side-combined
+    count shuffle, the order attaches to each (value, token) row by a
+    distributed hash join, and packing is one grouped shuffle on the
+    value; the bucket shuffle moves (prefix_token, value) rows — rare
+    tokens first means small buckets; bucket pair generation streams
+    exact bounded tiles (functions/pairtiles.py — no cap, no Python
+    pair loop); candidate pairs rejoin the packed set table via the
+    bounded pair-side joins (dedup._join_pair_sides), nothing
+    corpus-sized collected.
     """
     import math
 
-    import ray
-
-    from ..functions.agg import grouped_blockwise
+    from ..functions.agg import grouped_blockwise, partial_group_count
     from ..functions.blocks import scrub_empty_blocks
+    from ..functions.pairtiles import grouped_pair_tables
     from .dedup import _join_pair_sides
 
     def uniq(b: pd.DataFrame) -> pa.Table:
@@ -163,50 +154,41 @@ def jaccard_set_join(
     vals = grouped_blockwise(
         ds.select_columns([col]).map_batches(uniq, batch_format="pandas"),
         [col], uniq_block,
-    ).materialize()  # consumed by freq, prefix and set passes
-
-    # global token rarity order: bounded driver merge of per-batch
-    # counts (vocabulary-sized, NOT corpus-sized)
-    freq: dict[str, int] = {}
-    counts = vals.map_batches(
-        lambda b: pa.Table.from_pandas(
-            b[col].str.split(" ").explode().value_counts()
-            .rename_axis("tok").rename("n").reset_index(),
-            preserve_index=False,
-        ),
-        batch_format="pandas",
     )
-    for bt in counts.iter_batches(batch_size=65536, batch_format="pandas"):
-        for tok, n in zip(bt["tok"], bt["n"]):
-            freq[tok] = freq.get(tok, 0) + int(n)
-        if len(freq) > _VOCAB_CAP:
-            raise ValueError("vocabulary exceeds the broadcast cap")
-    rank = {
-        tok: i
-        for i, (_, tok) in enumerate(
-            sorted((n, t) for t, n in freq.items())
-        )
-    }
-    rank_ref = ray.put(rank)
 
-    def pack(toks: list[str], r: dict) -> list[str]:
-        return sorted(set(toks), key=lambda w: (r[w], w))
+    def explode_toks(b: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {col: b[col], "tok": b[col].str.split(" ")}
+        ).explode("tok").drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def make_sets(b: pd.DataFrame) -> pa.Table:
-        r = ray.get(rank_ref)
-        packed = [" ".join(pack(v.split(" "), r)) for v in b[col]]
-        return pa.table(
-            {
-                col: pa.array(b[col], pa.string()),
-                "toks_packed": pa.array(packed, pa.string()),
-            }
-        )
+    exploded = vals.map_batches(
+        explode_toks, batch_format="pandas",
+    ).materialize()  # consumed twice: doc-freq counts + the order join
+
+    # global token rarity order, fully distributed: doc-freq per token
+    # (vocabulary-sized table), hash-joined onto every (value, token)
+    counts = partial_group_count(
+        exploded.select_columns(["tok"]), "tok", count_name="n")
+    joined = scrub_empty_blocks(
+        exploded.join(counts, join_type="inner",
+                      num_partitions=num_partitions, on=("tok",)))
+
+    def build_packed(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values([col, "n", "tok"], kind="stable")
+        packed = b.groupby(col, sort=False)["tok"].agg(" ".join)
+        return pa.table({
+            col: pa.array(packed.index.to_numpy(), pa.string()),
+            "toks_packed": pa.array(packed.to_numpy(), pa.string()),
+        })
+
+    sets = grouped_blockwise(joined, [col], build_packed).materialize()
+    # consumed twice: prefix emission + pair-side verification join
 
     def make_prefix(b: pd.DataFrame) -> pa.Table:
-        r = ray.get(rank_ref)
         toks_out, names_out = [], []
-        for v in b[col]:
-            toks = pack(v.split(" "), r)
+        for v, packed in zip(b[col], b["toks_packed"]):
+            toks = packed.split(" ")
             n = len(toks)
             p = n - math.ceil(threshold * n) + 1
             toks_out.extend(toks[:p])
@@ -218,23 +200,11 @@ def jaccard_set_join(
             }
         )
 
-    sets = vals.map_batches(make_sets, batch_format="pandas")
-    pref = vals.map_batches(make_prefix, batch_format="pandas")
+    pref = sets.map_batches(make_prefix, batch_format="pandas")
 
-    def bucket_pairs(b: pd.DataFrame) -> pa.Table:
-        a_out, b_out = [], []
-        for _, grp in b.groupby("tok", sort=False):
-            names = sorted(grp["val"].unique())
-            for i in range(len(names)):
-                for j in range(i + 1, len(names)):
-                    a_out.append(names[i])
-                    b_out.append(names[j])
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, pa.string()),
-                "id_b": pa.array(b_out, pa.string()),
-            }
-        )
+    def bucket_pairs(b: pd.DataFrame):
+        yield from grouped_pair_tables(b, "tok", "val", "id_a", "id_b",
+                                       unique=True, dedup=True)
 
     cand = grouped_blockwise(pref, ["tok"], bucket_pairs)
     cand = grouped_blockwise(
@@ -243,6 +213,9 @@ def jaccard_set_join(
             b.drop_duplicates(["id_a", "id_b"]), preserve_index=False
         ),
     )
+    # a sort can emit schema-less empty blocks that map UDFs never see;
+    # rebuild before they reach the Arrow hash joins
+    cand = scrub_empty_blocks(cand)
 
     j = scrub_empty_blocks(
         _join_pair_sides(
