@@ -938,23 +938,28 @@ def segment_dedup(
             }
         )
 
-    def tag_docs(b: pd.DataFrame) -> pa.Table:
+    # Arrow-native tags: zero-copy column reuse + constant columns (no
+    # pandas round-trip on the corpus-sized side of the union)
+    def tag_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
-                text_col: pa.array(b[text_col], pa.string()),
-                "seg_idx": pa.array(np.full(len(b), -1, np.int64),
-                                    pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                text_col: pc.cast(t[text_col], pa.string()),
+                "seg_idx": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()),
             }
         )
 
-    def tag_wins(b: pd.DataFrame) -> pa.Table:
+    def tag_wins(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
-                text_col: pa.array([None] * len(b), pa.string()),
-                "seg_idx": pa.array(b["seg_idx"].to_numpy(np.int64),
-                                    pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                text_col: pa.nulls(t.num_rows, pa.string()),
+                "seg_idx": pc.cast(t["seg_idx"], pa.int64()),
             }
         )
 
@@ -989,8 +994,8 @@ def segment_dedup(
     docs = docs.select_columns([id_col, text_col])
     segs = docs.map_batches(explode, batch_format="pandas")
     winners = grouped_blockwise(segs, ["h1", "h2"], pick_winner)
-    tagged = docs.map_batches(tag_docs, batch_format="pandas").union(
-        winners.map_batches(tag_wins, batch_format="pandas"))
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        winners.map_batches(tag_wins, batch_format="pyarrow"))
     return grouped_blockwise(tagged, [id_col], reconstruct)
 
 
@@ -1082,27 +1087,32 @@ def span_dedup(
 
     dups = grouped_blockwise(occurrences, ["h1", "h2"], losers)
 
-    def tag_docs(b: pd.DataFrame) -> pa.Table:
+    def tag_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
-                text_col: pa.array(b[text_col], pa.string()),
-                "p": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                text_col: pc.cast(t[text_col], pa.string()),
+                "p": pa.array(np.full(t.num_rows, -1, np.int64),
+                              pa.int64()),
             }
         )
 
-    def tag_dups(b: pd.DataFrame) -> pa.Table:
+    def tag_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
-                text_col: pa.array([None] * len(b), pa.string()),
-                "p": pa.array(b["p"].to_numpy(np.int64), pa.int64()),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                text_col: pa.nulls(t.num_rows, pa.string()),
+                "p": pc.cast(t["p"], pa.int64()),
             }
         )
 
     tagged = docs.select_columns([id_col, text_col]).map_batches(
-        tag_docs, batch_format="pandas"
-    ).union(dups.map_batches(tag_dups, batch_format="pandas"))
+        tag_docs, batch_format="pyarrow"
+    ).union(dups.map_batches(tag_dups, batch_format="pyarrow"))
 
     def reconstruct(b: pd.DataFrame) -> pa.Table:
         out_id: list[int] = []

@@ -288,11 +288,15 @@ def pagerank(
             on=("src",), right_on=("node_id",),
         )
 
-        def to_contrib(b: pd.DataFrame) -> pa.Table:
-            out = pd.DataFrame(
-                {"dst": b["dst"], "c": b["rank"] / b["out_degree"]}
-            )
-            return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-native projection: the join output blocks are Arrow,
+        # so this is zero-copy column reuse + one vectorized divide
+        # (no pandas round-trip inside the power-iteration loop)
+        def to_contrib(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.divide(pc.cast(t["rank"], pa.float64()),
+                          pc.cast(t["out_degree"], pa.float64()))
+            return pa.table({"dst": t["dst"], "c": c})
 
         def sum_block(b: pd.DataFrame) -> pa.Table:
             out = b.groupby("dst", sort=False)["c"].sum().reset_index()
@@ -300,7 +304,7 @@ def pagerank(
 
         sums = scrub_empty_blocks(
             grouped_blockwise(
-                contrib_in.map_batches(to_contrib, batch_format="pandas"),
+                contrib_in.map_batches(to_contrib, batch_format="pyarrow"),
                 ["dst"], sum_block,
             ),
             target_blocks=num_partitions,
@@ -318,18 +322,18 @@ def pagerank(
         base = (1.0 - damping) / n_nodes
         dshare = damping * dangling / n_nodes
 
-        def new_rank(b: pd.DataFrame) -> pd.DataFrame:
-            c = b["c"].fillna(0.0)
-            return pd.DataFrame(
-                {
-                    "node_id": b["node_id"],
-                    "out_degree": b["out_degree"],
-                    "rank": base + dshare + damping * c,
-                }
-            )
+        def new_rank(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0)
+            rank = pc.add(pc.multiply(c, pa.scalar(damping)),
+                          pa.scalar(base + dshare))
+            return pa.table({"node_id": t["node_id"],
+                             "out_degree": t["out_degree"],
+                             "rank": rank})
 
         ranks = scrub_empty_blocks(
-            merged.map_batches(new_rank, batch_format="pandas"),
+            merged.map_batches(new_rank, batch_format="pyarrow"),
             target_blocks=num_partitions,
         ).materialize()
 
@@ -754,13 +758,17 @@ def random_walks(
     so a recursive-CTE SQL oracle certifies it exactly (the walk
     corpus feeding node2vec/DeepWalk-style embedding trainers).
 
-    Scale shape: adjacency is built by one grouped shuffle (neighbor
-    lists packed as strings — ids contain no spaces — to stay clear
-    of Arrow's no-list-join-payload limit); each hop is one
-    tagged-union shuffle on the current node co-grouping frontier
-    rows with their adjacency row (the grouped_blockwise guarantee
-    makes the in-block merge a correct join). Iterative by nature:
-    ``steps`` shuffles, frontier never exceeds #nodes rows.
+    Scale shape: adjacency is built by one grouped shuffle, neighbor
+    lists packed as FIXED-WIDTH int64 buffers in a binary column
+    (entity ids are ``E<num>``; binary payloads pass through any
+    shuffle or join, unlike Arrow list columns) — the per-hop shuffle
+    carries 8 bytes per neighbor instead of an id string, and the hop
+    decode is one zero-copy ``np.frombuffer`` + fancy index instead of
+    a per-row ``str.split``; each hop is one tagged-union shuffle on
+    the current node co-grouping frontier rows with their adjacency
+    row (the grouped_blockwise guarantee makes the in-block merge a
+    correct join). Iterative by nature: ``steps`` shuffles, frontier
+    never exceeds #nodes rows.
     """
     import pandas as pd
 
@@ -782,73 +790,87 @@ def random_walks(
     )
 
     def build_adj(b: pd.DataFrame) -> pa.Table:
-        nodes, packed, degs = [], [], []
-        for node, grp in b.groupby("node", sort=True):
-            nbrs = sorted(set(grp["nbr"]))
-            nodes.append(node)
-            packed.append(" ".join(nbrs))
-            degs.append(len(nbrs))
+        # neighbor order = STRING sort of the ids (the derandomized
+        # pick and its SQL oracle both index that order); the packed
+        # payload is the numeric id in that same order, plus one byte
+        # per neighbor recording its digit width so zero-padded ids
+        # ("E0000003") reconstruct exactly
+        b = (b.drop_duplicates(["node", "nbr"])
+             .sort_values(["node", "nbr"], kind="mergesort"))
+        b = b.assign(num=b["nbr"].str[1:].astype("int64"),
+                     width=(b["nbr"].str.len() - 1).astype("uint8"))
+        g = b.groupby("node", sort=True)
+        packed = g["num"].agg(lambda s: s.to_numpy(np.int64).tobytes())
+        widths = g["width"].agg(lambda s: s.to_numpy(np.uint8).tobytes())
+        degs = g.size()
         return pa.table(
             {
-                "node": pa.array(nodes, pa.string()),
-                "nbrs": pa.array(packed, pa.string()),
-                "deg": pa.array(degs, pa.int64()),
+                "node": pa.array(packed.index.to_numpy(), pa.string()),
+                "nbrs": pa.array(packed.to_numpy(), pa.binary()),
+                "nwid": pa.array(widths.to_numpy(), pa.binary()),
+                "deg": pa.array(degs.to_numpy(np.int64), pa.int64()),
             }
         )
 
     adj = grouped_blockwise(edges, ["node"], build_adj)
 
-    def start_frontier(b: pd.DataFrame) -> pa.Table:
-        snum = b["node"].str[1:].astype("int64")
+    # tag/projection stages stay Arrow end-to-end (zero-copy column
+    # reuse + constant columns; no pandas round-trip inside the loop)
+    def start_frontier(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        snum = pc.cast(pc.utf8_slice_codeunits(t["node"], 1), pa.int64())
         return pa.table(
             {
-                "start": pa.array(b["node"], pa.string()),
-                "snum": pa.array(snum.to_numpy(np.int64), pa.int64()),
-                "step": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                "node": pa.array(b["node"], pa.string()),
+                "start": t["node"],
+                "snum": snum,
+                "step": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "node": t["node"],
             }
         )
 
-    frontier = adj.map_batches(start_frontier, batch_format="pandas")
+    frontier = adj.map_batches(start_frontier, batch_format="pyarrow")
     out_steps = [frontier]
 
-    def tag_adj(b: pd.DataFrame) -> pa.Table:
-        n = len(b)
+    def tag_adj(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table(
             {
-                "node": pa.array(b["node"], pa.string()),
+                "node": t["node"],
                 "kind": pa.array(np.ones(n, np.int64), pa.int64()),
-                "start": pa.array([None] * n, pa.string()),
+                "start": pa.nulls(n, pa.string()),
                 "snum": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "nbrs": pa.array(b["nbrs"], pa.string()),
-                "deg": pa.array(b["deg"].to_numpy(np.int64), pa.int64()),
+                "nbrs": t["nbrs"],
+                "nwid": t["nwid"],
+                "deg": t["deg"],
             }
         )
 
-    adj_tagged = adj.map_batches(tag_adj, batch_format="pandas")
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow")
 
     for step in range(1, steps + 1):
 
-        def tag_frontier(b: pd.DataFrame) -> pa.Table:
-            n = len(b)
+        def tag_frontier(t: pa.Table) -> pa.Table:
+            n = t.num_rows
             return pa.table(
                 {
-                    "node": pa.array(b["node"], pa.string()),
+                    "node": t["node"],
                     "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
-                    "start": pa.array(b["start"], pa.string()),
-                    "snum": pa.array(b["snum"].to_numpy(np.int64),
-                                     pa.int64()),
-                    "nbrs": pa.array([None] * n, pa.string()),
+                    "start": t["start"],
+                    "snum": t["snum"],
+                    "nbrs": pa.nulls(n, pa.binary()),
+                    "nwid": pa.nulls(n, pa.binary()),
                     "deg": pa.array(np.zeros(n, np.int64), pa.int64()),
                 }
             )
 
         tagged = adj_tagged.union(
-            frontier.map_batches(tag_frontier, batch_format="pandas")
+            frontier.map_batches(tag_frontier, batch_format="pyarrow")
         )
 
         def hop(b: pd.DataFrame, _step=step) -> pa.Table:
-            a = b[b["kind"] == 1][["node", "nbrs", "deg"]]
+            a = b[b["kind"] == 1][["node", "nbrs", "nwid", "deg"]]
             f = b[b["kind"] == 0][["node", "start", "snum"]]
             if not len(a) or not len(f):
                 return pa.table(
@@ -860,10 +882,22 @@ def random_walks(
                     }
                 )
             m = f.merge(a, on="node", how="inner")
+            deg = m["deg"].to_numpy(np.int64)
             idx = (m["snum"].to_numpy(np.int64) * 1000003
-                   + _step * 10007) % m["deg"].to_numpy(np.int64)
-            nxt = [nb.split(" ")[i]
-                   for nb, i in zip(m["nbrs"], idx)]
+                   + _step * 10007) % deg
+            # decode ONE neighbor per row from the packed int64
+            # buffers: flat view + offset arithmetic, no per-row split
+            flat = np.frombuffer(b"".join(m["nbrs"]), dtype=np.int64)
+            wid = np.frombuffer(b"".join(m["nwid"]), dtype=np.uint8)
+            starts = np.zeros(len(m), np.int64)
+            starts[1:] = np.cumsum(deg)[:-1]
+            pos = starts + idx
+            nums, digs = flat[pos], wid[pos]
+            nxt = np.empty(len(m), dtype=object)
+            for w in np.unique(digs):  # one vectorized pass per width
+                sel = digs == w
+                nxt[sel] = np.char.add(
+                    "E", np.char.zfill(nums[sel].astype(str), int(w)))
             return pa.table(
                 {
                     "start": pa.array(m["start"], pa.string()),

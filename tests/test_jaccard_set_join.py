@@ -40,6 +40,29 @@ def test_jaccard_set_join_matches_naive(ray_session):
     assert len(got) == len(got_set)
 
 
+def test_jaccard_set_join_paths_equal(ray_session):
+    # the size-guarded broadcast fast path and the distributed join
+    # path must produce identical results (same global token order)
+    import ray.data as rd
+
+    from kgdata_ray.stages.strsim import jaccard_set_join
+
+    rng = np.random.RandomState(3)
+    base = [f"w{k}" for k in range(25)]
+    vals = list(dict.fromkeys(
+        " ".join(rng.choice(base, size=rng.randint(2, 6), replace=False))
+        for _ in range(80)))
+    df = pd.DataFrame({"s": vals})
+    fast = jaccard_set_join(rd.from_pandas(df), "s",
+                            threshold=0.4).to_pandas()
+    dist = jaccard_set_join(rd.from_pandas(df), "s", threshold=0.4,
+                            vocab_broadcast_max=0).to_pandas()
+    key = ["name_a", "name_b", "jaccard"]
+    a = fast[key].sort_values(key).reset_index(drop=True)
+    b = dist[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_jaccard_set_join_vocab_beyond_old_broadcast_cap(ray_session):
     # >1M distinct tokens: the pre-round-4 driver merge raised
     # ValueError("vocabulary exceeds the broadcast cap") here; the
