@@ -14,13 +14,28 @@ correctness reference, not the engine.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from typing import Any
 
 import pyarrow as pa
 
-from .functions.text import normalize_mention
 from .patterns import LITERAL_PREDICATES, RELATION_PHRASES, SENTENCE_RE
+
+_ORACLE_STRIP_RE = re.compile(r"[^\w\- ]", re.UNICODE)
+_ORACLE_WS_RE = re.compile(r"\s+")
+
+
+def normalize_mention(s: str) -> str:
+    """Independent copy of the mention-normalization SPEC (NBSP →
+    space, casefold to lower, drop all but word chars/hyphen/space,
+    collapse whitespace, trim). Deliberately NOT imported from
+    ``functions.text``: a bug in the engine's normalizer must fail the
+    P/R gate, not silently pass both sides (round-3 VERDICT note on
+    the one shared leaf)."""
+    s = s.replace(" ", " ").lower()
+    s = _ORACLE_STRIP_RE.sub("", s)
+    return _ORACLE_WS_RE.sub(" ", s).strip()
 
 
 def build_alias_index(gazetteer: pa.Table) -> dict[str, str]:

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 7
+SKETCH_ORACLE_VERSION = 8
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -348,6 +348,38 @@ def golden_media_features(ids, texts, *, limit=128, dim=8) -> pa.Table:
     return _pair_table(rows, names, types)
 
 
+def golden_audio_features(ids, *, limit=128, dim=8) -> pa.Table:
+    """Independent real-audio-decode golden: rebuilds each synthetic
+    WAV payload straight from the RIFF spec and the doc_id parameter
+    formulas (rate = RATES[id%4], channels = 1+id%2, 16-bit PCM,
+    frames = 100+id%400, data byte k = (k*7)&0xFF), decodes the PCM
+    samples by struct layout — NOT via the stdlib ``wave`` module the
+    engine uses — normalizes to [-1, 1) and takes ``dim`` bucket
+    means rounded to 4 dp."""
+    import struct
+
+    rates = (8000, 16000, 22050, 44100)
+    rows = []
+    for i in list(ids)[:limit]:
+        i = int(i)
+        rate, ch, frames = rates[i % 4], 1 + i % 2, 100 + i % 400
+        block = ch * 2
+        data = bytes((k * 7) & 0xFF for k in range(frames * block))
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+        payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8
+                                         + len(data))
+                   + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(data)) + data)
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        feats = [round(float(c.mean()), 4) if len(c) else 0.0
+                 for c in np.array_split(x, dim)]
+        rows.append((i, "audio", hashlib.sha1(payload).hexdigest(),
+                     *feats))
+    names = ["item_id", "kind", "digest"] + [f"feat_{j}" for j in range(dim)]
+    types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)
+
+
 def golden_hll_ndistinct(group_vals, int_vals, *, p=12) -> pa.Table:
     """Independent HyperLogLog: pure-python splitmix64 + bit_length
     rho per value, registers built in a dict loop. The final estimator
@@ -508,6 +540,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "knn_ivf_perquery.parquet")
     pq.write_table(golden_media_features(ids, texts),
                    out / "media_features.parquet")
+    pq.write_table(golden_audio_features(ids),
+                   out / "audio_features.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(

@@ -661,6 +661,39 @@ def q_media_features(sf_dir: str) -> Dataset:
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str) -> Dataset:
+    """REAL audio decode: the DecodeFeatures actor pool with
+    ``engine="real"`` actually decodes the synthetic PCM WAV payloads
+    (stdlib ``wave`` — no external codec needed), normalizes samples
+    to [-1, 1) and emits 8 bucket means; flattened to scalar columns
+    like media_features. The golden oracle rebuilds payloads straight
+    from the RIFF byte spec and decodes by struct layout — a genuinely
+    different decode path (oracle_sketch.golden_audio_features)."""
+    from ..stages.multimodal import (
+        decode_features,
+        media_from_documents_wav,
+    )
+
+    media = media_from_documents_wav(_t(sf_dir, "documents").limit(128))
+    feats = decode_features(media, engine="real")
+
+    def flatten(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {
+            "item_id": t["item_id"],
+            "kind": t["kind"],
+            "digest": t["digest"],
+        }
+        lists = t["feat"].to_pylist()
+        mat = np.asarray(lists, dtype=np.float64).round(4)
+        for j in range(mat.shape[1] if len(lists) else 8):
+            cols[f"feat_{j}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_media_headers(sf_dir: str) -> Dataset:
     """REAL container-metadata decode: synthesize structurally valid
     PNG payloads (dimensions derived from doc_id), then parse format/
@@ -1481,6 +1514,42 @@ def q_kg_entity_degrees(sf_dir: str) -> Dataset:
     from ..stages.graph import entity_degrees
 
     return entity_degrees(q_kg_triples(sf_dir))
+
+
+def q_kg_triples_bucketed(sf_dir: str) -> Dataset:
+    """Flagship bucketed-sink composition: the kg_triples table is
+    written ONCE into subj-hashed bucket directories
+    (state/manifest.py:write_dataset_sharded — resumable, each shard
+    manifest-validated), the entity-degree table is written under the
+    SAME bucketing on its entity key, and the two rejoin
+    shard-by-shard with functions/joins.py:bucketed_join — no global
+    shuffle at join time. This is the pay-the-shuffle-once pattern on
+    the KG path itself (not just the orders/customer demo): any
+    downstream subj-keyed join reuses the same buckets. Output: every
+    triple with its subject's degrees attached."""
+    import os
+
+    from ..functions.blocks import rename_cols
+    from ..functions.joins import bucketed_join
+    from ..state.manifest import write_dataset_sharded
+    from ..stages.graph import entity_degrees
+
+    base = ("/tmp/kgr_bucketed/"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    tr = q_kg_triples(sf_dir).materialize()  # feeds both sinks
+    deg = rename_cols(entity_degrees(tr), {"entity_id": "deg_entity"})
+    write_dataset_sharded(
+        tr, f"{base}/kg_triples", shard_col="subj",
+        num_shards=_BUCKETS, name="kg_triples_bucketed",
+        params={"sf_dir": sf_dir})
+    write_dataset_sharded(
+        deg, f"{base}/kg_degrees", shard_col="deg_entity",
+        num_shards=_BUCKETS, name="kg_degrees_bucketed",
+        params={"sf_dir": sf_dir})
+    j = bucketed_join(f"{base}/kg_triples", f"{base}/kg_degrees",
+                      on="subj", right_on="deg_entity")
+    return j.select_columns(
+        ["subj", "pred", "obj", "out_degree", "in_degree"])
 
 
 def q_kg_types_degrees(sf_dir: str) -> Dataset:
@@ -2501,6 +2570,7 @@ def queries() -> dict[str, Callable]:
         "kg_triples_salted": q_kg_triples_salted,
         "kg_outlinks": q_kg_outlinks,
         "kg_entity_degrees": q_kg_entity_degrees,
+        "kg_triples_bucketed": q_kg_triples_bucketed,
         "kg_types_degrees": q_kg_types_degrees,
         "kg_entity_aliases": q_kg_entity_aliases,
         "kg_meta_graph": q_kg_meta_graph,
@@ -2537,6 +2607,7 @@ def queries() -> dict[str, Callable]:
         "zscore_outliers": q_zscore_outliers,
         "union_by_name": q_union_by_name,
         "audio_headers": q_audio_headers,
+        "audio_features": q_audio_features,
         "video_headers": q_video_headers,
         "merge_upserts": q_merge_upserts,
         "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
@@ -3688,6 +3759,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
             SELECT item_id, kind, digest, {feat_cols}
             FROM read_parquet('{d}/media_features.parquet')
         """,
+        "audio_features": f"""
+            SELECT item_id, kind, digest, {feat_cols}
+            FROM read_parquet('{d}/audio_features.parquet')
+        """,
         "kg_pagerank": f"""
             SELECT node_id, rank
             FROM read_parquet('{oracle_dir(kg_sf)}/pagerank.parquet')
@@ -4014,6 +4089,20 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_pred_counts": f"""
             SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_triples_bucketed": f"""
+            WITH o AS (SELECT subj AS entity_id, count(*) AS out_degree
+                       FROM {golden} GROUP BY subj),
+                 i AS (SELECT obj AS entity_id, count(*) AS in_degree
+                       FROM {golden} GROUP BY obj),
+                 d AS (SELECT COALESCE(o.entity_id, i.entity_id)
+                              AS entity_id,
+                              COALESCE(out_degree, 0) AS out_degree,
+                              COALESCE(in_degree, 0) AS in_degree
+                       FROM o FULL OUTER JOIN i
+                       ON o.entity_id = i.entity_id)
+            SELECT t.subj, t.pred, t.obj, d.out_degree, d.in_degree
+            FROM {golden} t JOIN d ON t.subj = d.entity_id
         """,
         "kg_entity_degrees": f"""
             WITH o AS (SELECT subj AS entity_id, count(*) AS out_degree

@@ -63,11 +63,17 @@ def media_from_documents(docs: Dataset, *, kind: str = "image") -> Dataset:
 class DecodeFeatures:
     """Decode + feature-extract actor.
 
-    ``engine="real"`` raises NotImplementedError (no codec libraries in
-    this container — wire Pillow/ffmpeg here on a real deployment).
     ``engine="fake"`` emits deterministic byte-level features with the
     same output schema the real decoder would produce:
     (item_id, kind, feat: list<float>[dim], digest).
+
+    ``engine="real"`` actually decodes what this container can decode:
+    PCM WAV audio via the stdlib ``wave`` module (samples normalized to
+    [-1, 1), ``dim`` bucket means), and images via Pillow when it is
+    importable (grayscale pixel bucket means; the import is guarded in
+    ``__init__`` so the actor still constructs without it and only an
+    image payload raises). Video and non-PCM codecs raise
+    NotImplementedError — declared, not silently faked.
     """
 
     def __init__(self, *, engine: str = "fake", dim: int = 8):
@@ -75,6 +81,14 @@ class DecodeFeatures:
             raise ValueError(engine)
         self.engine = engine
         self.dim = dim
+        self._pil = None
+        if engine == "real":
+            try:  # optional dependency: images decode only with Pillow
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                pass
 
     def _fake_features(self, payload: bytes) -> list[float]:
         if not payload:
@@ -83,14 +97,48 @@ class DecodeFeatures:
         chunks = np.array_split(b, self.dim)
         return [float(round(c.mean(), 4)) if len(c) else 0.0 for c in chunks]
 
+    def _bucket_means(self, x: np.ndarray) -> list[float]:
+        chunks = np.array_split(x, self.dim)
+        return [float(round(c.mean(), 4)) if len(c) else 0.0
+                for c in chunks]
+
+    def _real_features(self, payload: bytes, kind: str) -> list[float]:
+        import io
+
+        if kind == "audio":
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                sw = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            dt = {1: np.dtype(np.uint8), 2: np.dtype("<i2"),
+                  4: np.dtype("<i4")}.get(sw)
+            if dt is None:
+                raise NotImplementedError(f"{sw * 8}-bit PCM")
+            x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            if sw == 1:
+                x = x - 128.0
+            return self._bucket_means(x / float(1 << (8 * sw - 1)))
+        if kind == "image":
+            if self._pil is None:
+                raise NotImplementedError(
+                    "image decode requires Pillow, which is not "
+                    "importable in this environment")
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            a = np.asarray(img, dtype=np.float64) / 255.0
+            return self._bucket_means(a.ravel())
+        raise NotImplementedError(
+            f"real decode for kind={kind!r} requires codec libraries "
+            "not present in this environment")
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.engine == "real":
-            raise NotImplementedError(
-                "real media decoding requires codec libraries not present "
-                "in this environment; use engine='fake'"
-            )
         payloads = t["payload"].to_pylist()
-        feats = [self._fake_features(p) for p in payloads]
+        if self.engine == "real":
+            kinds = t["kind"].to_pylist()
+            feats = [self._real_features(p or b"", k)
+                     for p, k in zip(payloads, kinds)]
+        else:
+            feats = [self._fake_features(p) for p in payloads]
         digests = [hashlib.sha1(p or b"").hexdigest() for p in payloads]
         return pa.table(
             {

@@ -223,3 +223,53 @@ def test_bucketed_join_small_equals_plain_join(tmp_path):
     want = l.merge(r, on="k").sort_values(["k", "a"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["k", "a", "b"]], want[["k", "a", "b"]], check_dtype=False)
+
+
+def test_kg_triples_bucketed_lineage_and_resume(ray_session):
+    """Flagship bucketed sink: the subj-bucketed kg_triples + degree
+    sinks carry per-shard manifests; a re-run reuses every finished
+    shard (shards_written == 0) and the joined output matches a plain
+    degree join recomputed directly."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from kgdata_ray.pipelines.queries import (
+        q_kg_entity_degrees,
+        q_kg_triples,
+        q_kg_triples_bucketed,
+    )
+    from kgdata_ray.state.manifest import MANIFEST_NAME
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = Path("/tmp/kgr_bucketed/sf0.001")
+    shutil.rmtree(base, ignore_errors=True)
+
+    got = (q_kg_triples_bucketed(sf_dir).to_pandas()
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    parent = json.loads((base / "kg_triples" / MANIFEST_NAME).read_text())
+    assert parent["shards_written"] == parent["params"]["num_shards"]
+    assert parent["total_rows"] == len(got)
+    assert len(parent["shards"]) == parent["params"]["num_shards"]
+
+    # second run: every shard manifest validates -> nothing rewritten
+    again = (q_kg_triples_bucketed(sf_dir).to_pandas()
+             .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    parent2 = json.loads(
+        (base / "kg_triples" / MANIFEST_NAME).read_text())
+    assert parent2["shards_written"] == 0
+    assert parent2["shards"] == parent["shards"]  # same lineage digests
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, again)
+
+    # value check vs a plain (unbucketed) recomputation
+    tr = q_kg_triples(sf_dir).to_pandas()
+    deg = q_kg_entity_degrees(sf_dir).to_pandas()
+    want = (tr.merge(deg, left_on="subj", right_on="entity_id")
+            [["subj", "pred", "obj", "out_degree", "in_degree"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+           .sort_index(axis=1),
+        want.sort_index(axis=1), check_dtype=False)

@@ -152,3 +152,75 @@ def test_video_headers_dataset():
     assert (out["brand"] == "isom").all()
     assert (out["duration_ticks"] == 1000 + out["item_id"] % 9000).all()
     assert (out["n_tracks"] == 1 + out["item_id"] % 3).all()
+
+
+def test_decode_features_real_audio(ray_session):
+    """engine='real' genuinely decodes PCM WAV via the stdlib wave
+    module: features must equal a manual struct-level decode of the
+    same payloads."""
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.multimodal import (
+        decode_features,
+        media_from_documents_wav,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": list(range(12)),
+                                        "text": ["x"] * 12}))
+    got = decode_features(media_from_documents_wav(docs),
+                          engine="real").to_pandas()
+    rates = (8000, 16000, 22050, 44100)
+    for _, row in got.iterrows():
+        i = int(row["item_id"])
+        ch, frames = 1 + i % 2, 100 + i % 400
+        data = bytes((k * 7) & 0xFF for k in range(frames * ch * 2))
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        want = [round(float(c.mean()), 4) for c in np.array_split(x, 8)]
+        assert np.allclose(np.asarray(row["feat"], dtype=np.float64),
+                           want, atol=1e-6)
+        assert row["kind"] == "audio"
+
+
+def test_decode_features_real_image_requires_pillow(ray_session):
+    """Image decode under engine='real' needs Pillow: decodes for real
+    when importable, raises the declared NotImplementedError when not."""
+    import pytest
+
+    from kgdata_ray.stages.multimodal import DecodeFeatures, png_bytes
+    import pyarrow as pa
+
+    dec = DecodeFeatures(engine="real")
+    t = pa.table({
+        "item_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([png_bytes(16, 16)], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            dec(t)
+        pytest.skip("Pillow not importable: real image decode declared")
+    out = dec(t)
+    assert out.num_rows == 1  # real decode ran
+
+
+def test_decode_features_real_video_declared(ray_session):
+    import pytest
+    import pyarrow as pa
+
+    from kgdata_ray.stages.multimodal import DecodeFeatures
+
+    dec = DecodeFeatures(engine="real")
+    t = pa.table({
+        "item_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([b"\x00" * 64], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    with pytest.raises(NotImplementedError):
+        dec(t)
