@@ -213,3 +213,30 @@ def test_verify_single_target():
     )
     with pytest.raises(ValueError, match="multiple targets"):
         verify_single_target(bad)
+
+
+def test_write_read_ndjson_compressed_roundtrip(tmp_path, ray_session):
+    """gz/zstd part-file interop: write compressed ndjson parts from a
+    Dataset, read them back through the decompressing reader, recover
+    the exact records (reference writes gz/zstd text parts)."""
+    import gzip
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.sources.textline import read_ndjson, write_ndjson
+
+    df = pd.DataFrame({"k": list(range(50)),
+                       "s": [f"v{i}" for i in range(50)]})
+    for comp, ext in (("gzip", ".gz"), ("zstd", ".zst"), (None, "")):
+        out = tmp_path / (comp or "plain")
+        parts = write_ndjson(rd.from_pandas(df), str(out),
+                             compression=comp)
+        assert parts and all(p.endswith(f".ndjson{ext}") for p in parts)
+        got = (read_ndjson([str(out / p) for p in parts],
+                           compression=comp)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["k", "s"]], df)
+    # the gzip part really is gzip on disk
+    gz = next((tmp_path / "gzip").glob("part-*.ndjson.gz"))
+    with gzip.open(gz, "rt") as f:
+        assert f.readline().startswith("{")
