@@ -107,6 +107,18 @@ def bench_kg(sf: float) -> dict:
     }
 
 
+def _bucketed_fresh(sf_dir: str):
+    """kg_triples_bucketed with its sink cache wiped first, so every
+    bench run (and every round) measures the full write+join cost
+    instead of a manifest-resume hit."""
+    from kgdata_ray.pipelines import queries as q
+
+    shutil.rmtree(
+        "/tmp/kgr_bucketed/" + os.path.basename(os.path.normpath(sf_dir)),
+        ignore_errors=True)
+    return q.q_kg_triples_bucketed(sf_dir)
+
+
 def bench_queries(sf_dir: str) -> dict:
     from kgdata_ray.pipelines import queries as q
 
@@ -146,6 +158,9 @@ def bench_queries(sf_dir: str) -> dict:
         "pq_codes": q.q_pq_codes,
         "er_name_clusters": q.q_er_name_clusters,
         "jaccard_set_join": q.q_jaccard_set_join,
+        # round-4 additions
+        "semdedup": q.q_semdedup,
+        "kg_triples_bucketed": _bucketed_fresh,
     }
     out = {}
     for name, fn in picks.items():

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
+import re
 import shutil
 from pathlib import Path
 
@@ -34,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 8
+SKETCH_ORACLE_VERSION = 11
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -542,6 +544,12 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "media_features.parquet")
     pq.write_table(golden_audio_features(ids),
                    out / "audio_features.parquet")
+    pq.write_table(golden_semdedup(vec_ids, vecs),
+                   out / "semdedup.parquet")
+    pq.write_table(golden_scalar_quantize(vec_ids, vecs),
+                   out / "scalar_quantize.parquet")
+    pq.write_table(golden_bpe_merges(texts),
+                   out / "bpe_merges.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -797,4 +805,129 @@ def golden_components(edges: list[tuple[str, str]]) -> pa.Table:
     return pa.table({
         "node_id": pa.array([n for n, _ in out], pa.string()),
         "component_id": pa.array([c for _, c in out], pa.string()),
+    })
+
+
+def golden_semdedup(vec_ids, vecs, *, k=8, n_iter=3,
+                    threshold=0.95) -> pa.Table:
+    """Sequential same-spec SemDeDup: assignments from the fixed-point
+    k-means golden above, then per cluster (ids ascending) unit-vector
+    Gram matrix, pairs at round(cos, 6) >= round(threshold, 6),
+    min-index union-find, representative = component root id."""
+    a = golden_kmeans(vec_ids, vecs, k=k, n_iter=n_iter)
+    ids = np.asarray(a["vec_id"])
+    clusters = np.asarray(a["cluster"])
+    by_id = {int(i): np.asarray(v, np.float64)
+             for i, v in zip(vec_ids, vecs)}
+    rows = []
+    for cl in sorted(set(clusters.tolist())):
+        members = np.sort(ids[clusters == cl])
+        mat = np.vstack([by_id[int(i)] for i in members])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        gram = np.round(unit @ unit.T, 6)
+        parent = list(range(len(members)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ti, tj = np.nonzero(gram >= round(threshold, 6))
+        for x, y in zip(ti.tolist(), tj.tolist()):
+            if x < y:
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+        for pos, i in enumerate(members):
+            rep = int(members[find(pos)])
+            rows.append((int(i), int(cl), rep, rep == int(i)))
+    rows.sort()
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cluster": pa.array([r[1] for r in rows], pa.int64()),
+        "rep_id": pa.array([r[2] for r in rows], pa.int64()),
+        "kept": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+
+
+def golden_scalar_quantize(vec_ids, vecs, *, levels=256,
+                           scale=1 << 20) -> pa.Table:
+    """Sequential same-spec scalar quantization: per-dimension fx
+    min/max over the corpus, integer code/dequant/error per vector —
+    plain Python ints, one vector at a time."""
+    fxs = [[math.floor(float(x) * scale) for x in v] for v in vecs]
+    dim = len(fxs[0])
+    mn = [min(v[j] for v in fxs) for j in range(dim)]
+    mx = [max(v[j] for v in fxs) for j in range(dim)]
+    span = [max(mx[j] - mn[j], 1) for j in range(dim)]
+    order = sorted(range(len(vec_ids)), key=lambda i: int(vec_ids[i]))
+    ids_o, codes_o, errs_o = [], [], []
+    for i in order:
+        v = fxs[i]
+        code = [(v[j] - mn[j]) * (levels - 1) // span[j]
+                for j in range(dim)]
+        deq = [mn[j] + code[j] * span[j] // (levels - 1)
+               for j in range(dim)]
+        err = sum((v[j] - deq[j]) ** 2 for j in range(dim))
+        ids_o.append(int(vec_ids[i]))
+        codes_o.append(bytes(code).hex())
+        errs_o.append(err)
+    return pa.table({
+        "vec_id": pa.array(ids_o, pa.int64()),
+        "codes_hex": pa.array(codes_o, pa.string()),
+        "err_fx": pa.array(errs_o, pa.int64()),
+    })
+
+
+def golden_bpe_merges(texts, *, n_merges=8) -> pa.Table:
+    """Sequential same-spec BPE merge learning, implemented the
+    classic incremental way (symbolized vocabulary updated in place
+    after each merge) — a genuinely different algorithm from the
+    engine's per-round reapply, same contract: character-pair counts
+    weighted by word frequency, winner by (count desc, left asc,
+    right asc)."""
+    wre = re.compile(r"[^a-z0-9]+")
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in wre.split(t.lower()):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    syms = {w: list(w) for w in vocab}
+    steps, lefts, rights, counts = [], [], [], []
+    for step in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for w, n in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), c = best
+        for w in vocab:
+            s = syms[w]
+            if len(s) < 2:
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+        steps.append(step)
+        lefts.append(left)
+        rights.append(right)
+        counts.append(c)
+    return pa.table({
+        "step": pa.array(steps, pa.int64()),
+        "lhs": pa.array(lefts, pa.string()),
+        "rhs": pa.array(rights, pa.string()),
+        "pair_count": pa.array(counts, pa.int64()),
     })

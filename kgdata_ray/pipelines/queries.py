@@ -622,6 +622,56 @@ def q_kmeans_clusters(sf_dir: str) -> Dataset:
     return kmeans_embeddings(_t(sf_dir, "embeddings"))
 
 
+def q_semdedup(sf_dir: str) -> Dataset:
+    """Full SemDeDup composition over the embeddings table
+    (stages/semdedup.py): fixed-point k-means clustering, ONE cluster
+    co-location shuffle with binary-packed vectors, per-cluster exact
+    cosine near-dup components (tiled Gram matrix), deterministic
+    min-id representatives — certified against a sequential same-spec
+    golden (oracle_sketch.golden_semdedup)."""
+    from ..stages.semdedup import semdedup
+
+    return semdedup(_t(sf_dir, "embeddings"), k=8, n_iter=3,
+                    threshold=0.95)
+
+
+BM25_QUERY_TERMS = ["hash", "sort", "window"]
+
+
+def q_bm25_topk(sf_dir: str) -> Dataset:
+    """BM25 top-20 documents for a fixed 3-term query
+    (stages/retrieval.py:bm25_topk): one tokenize pass emitting only
+    stat rows + query-term hits, driver-side |Q| idfs, int64
+    fixed-point per-doc score sum (order-free), shuffle-free
+    global_topk — certified value-exact against a DuckDB SQL oracle
+    computing the identical pinned-operand-order formula."""
+    from ..stages.retrieval import bm25_topk
+
+    return bm25_topk(_t(sf_dir, "documents"), BM25_QUERY_TERMS, k=20)
+
+
+def q_bpe_merges(sf_dir: str) -> Dataset:
+    """First 8 BPE merge rules learned over the document corpus
+    (stages/retrieval.py:bpe_merges): corpus reduced to its word
+    vocabulary once, per-round vocabulary-parallel pair counts,
+    deterministic argmax — certified against a sequential
+    incremental-update golden (oracle_sketch.golden_bpe_merges)."""
+    from ..stages.retrieval import bpe_merges
+
+    return bpe_merges(_t(sf_dir, "documents"), n_merges=8)
+
+
+def q_embedding_quantize(sf_dir: str) -> Dataset:
+    """Per-dimension min-max scalar quantization of the embeddings
+    table to uint8 codes (stages/similarity.py:scalar_quantize) —
+    all-integer fixed point, bit-identical under any batching,
+    certified against a sequential golden
+    (oracle_sketch.golden_scalar_quantize)."""
+    from ..stages.similarity import scalar_quantize
+
+    return scalar_quantize(_t(sf_dir, "embeddings"))
+
+
 def q_cms_token_counts(sf_dir: str) -> Dataset:
     """Count-Min-Sketch estimated frequency per distinct token
     (functions/sketches.py:cms_token_counts): additive d x w int64
@@ -2587,6 +2637,10 @@ def queries() -> dict[str, Callable]:
         "heavy_hitters": q_heavy_hitters,
         "cms_token_counts": q_cms_token_counts,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "bm25_topk": q_bm25_topk,
+        "bpe_merges": q_bpe_merges,
+        "embedding_quantize": q_embedding_quantize,
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
         "temperature_mix": q_temperature_mix,
@@ -3465,6 +3519,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM tk JOIN c USING (term) CROSS JOIN tot
             GROUP BY tk.doc_id
         """,
+        "bm25_topk": """
+            -- identical pinned operand order to stages/retrieval.py:
+            -- bm25_topk; every literal forced DOUBLE (e-notation) so
+            -- DuckDB never routes through DECIMAL arithmetic
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+')) AS term
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, term FROM tok WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id
+            ), st AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT COALESCE(sum(dl), 0) FROM dl) AS sum_dl
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok2 WHERE term IN ('hash', 'sort', 'window')
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), contrib AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln((st.n_docs - df.df + 0.5e0)
+                              / (df.df + 0.5e0) + 1e0)
+                           * ((tf.tf * (1.2e0 + 1e0))
+                              / (tf.tf + 1.2e0 * (1e0 - 0.75e0
+                                 + 0.75e0 * (dl.dl
+                                    / (CAST(st.sum_dl AS DOUBLE)
+                                       / st.n_docs)))))
+                           * 1000000e0 + 0.5e0) AS BIGINT) AS fx
+                FROM tf
+                JOIN dl ON tf.doc_id = dl.doc_id
+                JOIN df ON tf.term = df.term
+                CROSS JOIN st
+            )
+            SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx,
+                   CAST(count(*) AS BIGINT) AS n_hit
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_fx DESC, doc_id ASC
+            LIMIT 20
+        """,
         "weighted_sample_orders": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM (
                 SELECT o_orderkey, o_custkey, o_totalprice,
@@ -3727,9 +3825,21 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
             SELECT vec_id, cluster
             FROM read_parquet('{d}/kmeans_clusters.parquet')
         """,
+        "semdedup": f"""
+            SELECT vec_id, cluster, rep_id, kept
+            FROM read_parquet('{d}/semdedup.parquet')
+        """,
         "pq_codes": f"""
             SELECT vec_id, code_0, code_1, code_2, code_3, err_fx
             FROM read_parquet('{d}/pq_codes.parquet')
+        """,
+        "embedding_quantize": f"""
+            SELECT vec_id, codes_hex, err_fx
+            FROM read_parquet('{d}/scalar_quantize.parquet')
+        """,
+        "bpe_merges": f"""
+            SELECT step, lhs, rhs, pair_count
+            FROM read_parquet('{d}/bpe_merges.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

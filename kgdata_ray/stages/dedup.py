@@ -310,10 +310,11 @@ def _join_pair_sides(
     )
     # a hash join emits schema-less blocks for empty partitions, which
     # the second Arrow join rejects ("No match ... FieldRef id_b");
-    # rebuild blocks in between
+    # rebuild blocks in between (block count follows num_partitions so
+    # a large pair table is never coalesced below its partitioning)
     from ..functions.blocks import scrub_empty_blocks
 
-    return scrub_empty_blocks(j).join(
+    return scrub_empty_blocks(j, target_blocks=num_partitions).join(
         side("b"), join_type="inner", num_partitions=num_partitions,
         on=("id_b",), right_on=("__jb",),
     )

@@ -1,0 +1,273 @@
+"""Retrieval / tokenizer-training operators over the document corpus:
+BM25 top-k scoring and distributed BPE merge learning.
+
+Reference analog: none — the reference predates LLM-corpus retrieval;
+these extend the engine's training-data surface (brief: text analysis
+/ quality scoring family).  Both are shaped for 100 TB:
+
+* ``bm25_topk`` touches the corpus text exactly ONCE.  The tokenize
+  pass emits only (a) one tiny stat row per document (its token
+  length) and (b) one (doc, term, tf, dl) row per *query term hit* —
+  the query is a handful of terms, so what leaves the map is
+  output-sized, never token-sized.  df / N / avgdl are collected on
+  the driver (|Q| + 2 numbers), the per-doc score sum runs as an
+  order-free int64 fixed-point grouped sum, and the final cut is the
+  shuffle-free ``global_topk`` combiner.
+* ``bpe_merges`` reduces the corpus to its word-frequency vocabulary
+  once (map-side-combined count — the shuffle moves vocabulary
+  partials, not token streams), then each merge round is a
+  vocabulary-sized parallel pass: per-block adjacent-pair counts
+  weighted by word frequency, a pair-vocabulary grouped sum, and a
+  single-row deterministic argmax.  The corpus text is never read
+  again after round zero — the standard corpus-BPE factorization.
+
+Float determinism contract (same recipe as ``unigram_logprob`` /
+``temperature_mix``): every transcendental enters through ``ln`` once
+per *term* (not per row), all arithmetic is written in one pinned
+operand order mirrored exactly by the DuckDB oracle (literals forced
+to DOUBLE), and per-document summation happens in int64 fixed point
+(``floor(x * 1e6 + 0.5)``) so summation order can never show.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .textstats import WORD_SPLIT_PATTERN
+
+_FX = 1_000_000.0  # fixed-point scale for BM25 contributions
+
+
+def bm25_topk(
+    ds: Dataset,
+    query_terms: "list[str]",
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Top-``k`` documents by BM25 score against ``query_terms``
+    (Robertson/Sparck-Jones, the Lucene ``+1`` idf variant so every
+    contribution is positive): per matched term
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``.  Output
+    ``(doc_id, score_fx, n_hit)`` where ``score_fx`` is the int64
+    fixed-point score (sum of ``floor(contrib * 1e6 + 0.5)``) and
+    ``n_hit`` the number of distinct query terms present; rows are the
+    exact top-k by ``(score_fx desc, doc_id asc)``."""
+    from ..functions.agg import global_topk, grouped_blockwise
+
+    qmember = frozenset(query_terms)
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        toks = (batch[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True))
+        ids_out: list[int] = []
+        terms_out: list[str] = []
+        tf_out: list[int] = []
+        dl_out: list[int] = []
+        for did, ts in zip(batch[id_col], toks):
+            ts = [t for t in ts if t]
+            dl = len(ts)
+            # sentinel stat row: one per document, term=""
+            ids_out.append(int(did))
+            terms_out.append("")
+            tf_out.append(0)
+            dl_out.append(dl)
+            if dl:
+                vc: dict[str, int] = {}
+                for t in ts:
+                    if t in qmember:
+                        vc[t] = vc.get(t, 0) + 1
+                for t, c in vc.items():
+                    ids_out.append(int(did))
+                    terms_out.append(t)
+                    tf_out.append(c)
+                    dl_out.append(dl)
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "dl": pa.array(dl_out, pa.int64()),
+        })
+
+    # one text pass; the exploded table is output-sized (one stat row
+    # per doc + one row per query-term hit), cached for its 3 consumers
+    exploded = (ds.select_columns([id_col, text_col])
+                .map_batches(explode, batch_format="pandas")
+                .materialize())
+
+    def stat_partial(batch: pd.DataFrame) -> pa.Table:
+        s = batch[batch["term"] == ""]
+        return pa.table({
+            "n_docs": pa.array([len(s)], pa.int64()),
+            "sum_dl": pa.array([int(s["dl"].sum())], pa.int64()),
+        })
+
+    stats = exploded.map_batches(
+        stat_partial, batch_format="pandas").take_all()
+    n_docs = sum(r["n_docs"] for r in stats)
+    sum_dl = sum(r["sum_dl"] for r in stats)
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score_fx": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+        }))
+    avgdl = float(sum_dl) / float(n_docs)
+
+    def df_partial(batch: pd.DataFrame) -> pa.Table:
+        h = batch[batch["term"] != ""]
+        out = h.groupby("term", sort=False).size().reset_index(name="df")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df_rows = exploded.map_batches(
+        df_partial, batch_format="pandas").take_all()
+    df: dict[str, int] = {}
+    for r in df_rows:
+        df[r["term"]] = df.get(r["term"], 0) + int(r["df"])
+    # |Q| idfs on the driver — each ln evaluated exactly once, the
+    # pinned operand order the oracle mirrors
+    idf = {t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+           for t, d in df.items()}
+
+    def contrib(batch: pd.DataFrame) -> pa.Table:
+        h = batch[batch["term"] != ""]
+        if not len(h):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "fx": pa.array([], pa.int64())})
+        tf = h["tf"].to_numpy(np.float64)
+        dl = h["dl"].to_numpy(np.float64)
+        idfs = h["term"].map(idf).to_numpy(np.float64)
+        # operand order is the certified contract — mirrored verbatim
+        # by the DuckDB oracle (all literals forced DOUBLE there)
+        w = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        fx = np.floor(idfs * w * _FX + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(h[id_col].to_numpy(np.int64), pa.int64()),
+            "fx": pa.array(fx, pa.int64()),
+        })
+
+    per_term = exploded.map_batches(contrib, batch_format="pandas")
+
+    def doc_sum(batch: pd.DataFrame) -> pa.Table:
+        out = batch.groupby(id_col, sort=False).agg(
+            score_fx=("fx", "sum"), n_hit=("fx", "size")).reset_index()
+        out["score_fx"] = out["score_fx"].astype("int64")
+        out["n_hit"] = out["n_hit"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    scored = grouped_blockwise(per_term, [id_col], doc_sum)
+    return global_topk(scored, ["score_fx", id_col], [False, True], k)
+
+
+def _apply_merges(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Split ``word`` into characters, then apply each learned merge in
+    order (one full left-to-right pass per merge) — the standard BPE
+    apply rule, so engine and golden agree symbol-for-symbol."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges(
+    ds: Dataset,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> Dataset:
+    """Learn ``n_merges`` BPE merge rules over the corpus: byte-pair
+    (here: character-pair) counts weighted by word frequency, greedy
+    argmax per round with the deterministic tie-break
+    ``(count desc, left asc, right asc)``.  Output one row per learned
+    rule: ``(step, lhs, rhs, pair_count)``.
+
+    The corpus text is read ONCE (word-frequency vocabulary via
+    map-side-combined count); every merge round is a parallel
+    vocabulary-sized pass whose shuffle moves pair-count partials
+    (pair-vocabulary-sized), and the round winner is a single row via
+    the ``global_topk`` combiner — the driver holds only the growing
+    merge list (``n_merges`` tuples), re-broadcast each round."""
+    from ..functions.agg import global_topk, grouped_blockwise
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        toks = (batch[text_col].str.lower()
+                .str.split(WORD_SPLIT_PATTERN, regex=True)
+                .explode())
+        toks = toks[toks.notna() & (toks != "")]
+        out = toks.value_counts().rename_axis("word").reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pre = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pandas")
+
+    def vocab_sum(batch: pd.DataFrame) -> pa.Table:
+        out = batch.groupby("word", sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vocab = grouped_blockwise(pre, ["word"], vocab_sum).materialize()
+
+    merges: list[tuple[str, str]] = []
+    counts: list[int] = []
+    for _step in range(n_merges):
+        cur = list(merges)  # closure snapshot broadcast with the task
+
+        def pair_partial(batch: pd.DataFrame) -> pa.Table:
+            acc: dict[tuple[str, str], int] = {}
+            for word, n in zip(batch["word"], batch["n"]):
+                syms = _apply_merges(word, cur)
+                for a_s, b_s in zip(syms, syms[1:]):
+                    acc[(a_s, b_s)] = acc.get((a_s, b_s), 0) + int(n)
+            return pa.table({
+                "lhs": pa.array([p[0] for p in acc], pa.string()),
+                "rhs": pa.array([p[1] for p in acc], pa.string()),
+                "c": pa.array(list(acc.values()), pa.int64()),
+            })
+
+        def pair_sum(batch: pd.DataFrame) -> pa.Table:
+            out = (batch.groupby(["lhs", "rhs"], sort=False)["c"]
+                   .sum().reset_index())
+            out["c"] = out["c"].astype("int64")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        pairs = grouped_blockwise(
+            vocab.map_batches(pair_partial, batch_format="pandas"),
+            ["lhs", "rhs"], pair_sum)
+        top = global_topk(pairs, ["c", "lhs", "rhs"],
+                          [False, True, True], 1).take_all()
+        if not top:
+            break
+        merges.append((top[0]["lhs"], top[0]["rhs"]))
+        counts.append(int(top[0]["c"]))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "step": pa.array(range(len(merges)), pa.int64()),
+        "lhs": pa.array([m[0] for m in merges], pa.string()),
+        "rhs": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array(counts, pa.int64()),
+    }))

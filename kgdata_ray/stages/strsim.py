@@ -255,8 +255,9 @@ def jaccard_set_join(
         ),
     )
     # a sort can emit schema-less empty blocks that map UDFs never see;
-    # rebuild before they reach the Arrow hash joins
-    cand = scrub_empty_blocks(cand)
+    # rebuild before they reach the Arrow hash joins (block count
+    # follows num_partitions — never coalesce a big candidate table)
+    cand = scrub_empty_blocks(cand, target_blocks=max(num_partitions, 8))
 
     j = scrub_empty_blocks(
         _join_pair_sides(

@@ -1,0 +1,74 @@
+"""SemDeDup composition — engine vs a self-contained naive
+reimplementation (same spec: engine k-means assignments, exact cosine
+>= threshold within cluster, min-id representative)."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_semdedup_matches_naive(ray_session):
+    import ray.data as rd
+
+    from kgdata_ray.stages.semdedup import semdedup
+    from kgdata_ray.stages.similarity import kmeans_embeddings
+
+    rng = np.random.RandomState(11)
+    dim, n = 6, 120
+    base = rng.randn(n, dim)
+    # plant near-dup groups: ids 100.. copy earlier vectors + tiny noise
+    for t, src in enumerate([3, 3, 17, 42]):
+        base[100 + t] = base[src] * (1 + 1e-7 * (t + 1))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in base]})
+    ds = rd.from_pandas(df)
+
+    got = semdedup(ds, k=5, n_iter=3, threshold=0.95).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+
+    # naive: reuse the engine's deterministic assignments, then redo
+    # the within-cluster logic with plain loops
+    assign = (kmeans_embeddings(ds, k=5, n_iter=3)
+              .to_pandas().set_index("vec_id")["cluster"])
+    unit = base / np.linalg.norm(base, axis=1)[:, None]
+    want_rep = {}
+    for cl in sorted(assign.unique()):
+        ids = sorted(assign[assign == cl].index)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_i in range(len(ids)):
+            for b_i in range(a_i + 1, len(ids)):
+                a, b = ids[a_i], ids[b_i]
+                cos = round(float(unit[a] @ unit[b]), 6)
+                if cos >= 0.95:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for i in ids:
+            want_rep[i] = find(i)
+
+    assert dict(zip(got["vec_id"], got["rep_id"])) == want_rep
+    assert (got["kept"] == (got["vec_id"] == got["rep_id"])).all()
+    # the planted duplicates actually deduplicated
+    dup_rows = got[got["vec_id"] >= 100]
+    assert (~dup_rows["kept"]).sum() >= 3
+    assert len(got) == n
+
+
+def test_semdedup_all_unique_keeps_everything(ray_session):
+    import ray.data as rd
+
+    from kgdata_ray.stages.semdedup import semdedup
+
+    rng = np.random.RandomState(5)
+    v = rng.randn(40, 5)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [list(map(float, x)) for x in v]})
+    got = semdedup(rd.from_pandas(df), k=4, threshold=0.999).to_pandas()
+    assert got["kept"].all()
+    assert (got["rep_id"] == got["vec_id"]).all()
