@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 11
+SKETCH_ORACLE_VERSION = 12
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -550,6 +550,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "scalar_quantize.parquet")
     pq.write_table(golden_bpe_merges(texts),
                    out / "bpe_merges.parquet")
+    pq.write_table(golden_knn_ivfpq(vec_ids, vecs),
+                   out / "knn_ivfpq.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -930,4 +932,74 @@ def golden_bpe_merges(texts, *, n_merges=8) -> pa.Table:
         "lhs": pa.array(lefts, pa.string()),
         "rhs": pa.array(rights, pa.string()),
         "pair_count": pa.array(counts, pa.int64()),
+    })
+
+
+def golden_knn_ivfpq(vec_ids, vecs, *, query_ids=range(8), k=5,
+                     coarse_k=8, nprobe=3, m=4, pq_k=16, n_iter=3,
+                     train_prefix=2048, scale=1 << 20) -> pa.Table:
+    """Sequential same-spec IVF-PQ: fixed-point Lloyd codebooks on the
+    id-prefix sample (coarse quantizer + per-subspace PQ books),
+    stable-sorted nprobe cells per query, ADC distances from integer
+    lookup tables, top-k by (adc asc, neighbor asc)."""
+    ids = np.asarray([int(i) for i in vec_ids], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    fx = np.floor(
+        np.vstack([np.asarray(v, np.float64) for v in vecs])[order]
+        * scale
+    ).astype(np.int64)
+
+    def d2(a, c):
+        return ((a * a).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :] - 2 * (a @ c.T))
+
+    def lloyd(mat, kk):
+        cents = mat[:kk].copy()
+        for _ in range(n_iter):
+            a = d2(mat, cents).argmin(axis=1)
+            for cl in range(kk):
+                sel = mat[a == cl]
+                if len(sel):
+                    cents[cl] = sel.sum(axis=0) // len(sel)
+        return cents
+
+    train = fx[ids < train_prefix]
+    coarse = lloyd(train, coarse_k)
+    d_sub = fx.shape[1] // m
+    books = [lloyd(train[:, j * d_sub:(j + 1) * d_sub], pq_k)
+             for j in range(m)]
+
+    cell = d2(fx, coarse).argmin(axis=1)
+    codes = np.stack(
+        [d2(fx[:, j * d_sub:(j + 1) * d_sub], books[j]).argmin(axis=1)
+         for j in range(m)], axis=1)
+
+    q_ids = np.asarray(
+        sorted(set(int(q) for q in query_ids) & set(ids.tolist())),
+        dtype=np.int64)
+    pos = {int(i): r for r, i in enumerate(ids)}
+    rows = []
+    for q in q_ids:
+        qfx = fx[pos[int(q)]]
+        dq = d2(qfx[None, :], coarse)[0]
+        probe = np.argsort(dq, kind="stable")[:nprobe]
+        cands = []
+        for r in range(len(ids)):
+            if ids[r] == q or cell[r] not in probe:
+                continue
+            adc = 0
+            for j in range(m):
+                diff = (qfx[j * d_sub:(j + 1) * d_sub]
+                        - books[j][codes[r, j]])
+                adc += int((diff * diff).sum())
+            cands.append((adc, int(ids[r])))
+        cands.sort()
+        for rank, (adc, nid) in enumerate(cands[:k], start=1):
+            rows.append((int(q), rank, nid, adc))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+        "adc_fx": pa.array([r[3] for r in rows], pa.int64()),
     })

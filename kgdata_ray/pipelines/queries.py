@@ -661,6 +661,18 @@ def q_bpe_merges(sf_dir: str) -> Dataset:
     return bpe_merges(_t(sf_dir, "documents"), n_merges=8)
 
 
+def q_knn_ivfpq(sf_dir: str) -> Dataset:
+    """IVF-PQ approximate nearest neighbours over the embeddings table
+    (stages/similarity.py:knn_ivfpq): fixed-point coarse quantizer +
+    per-subspace PQ codebooks from the bounded id-prefix sample,
+    per-query ADC lookup tables, one shuffle-free corpus scan over
+    codes — certified against a sequential same-spec golden
+    (oracle_sketch.golden_knn_ivfpq)."""
+    from ..stages.similarity import knn_ivfpq
+
+    return knn_ivfpq(_t(sf_dir, "embeddings"), list(range(8)), k=5)
+
+
 def q_embedding_quantize(sf_dir: str) -> Dataset:
     """Per-dimension min-max scalar quantization of the embeddings
     table to uint8 codes (stages/similarity.py:scalar_quantize) —
@@ -2641,6 +2653,7 @@ def queries() -> dict[str, Callable]:
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
+        "knn_ivfpq": q_knn_ivfpq,
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
         "temperature_mix": q_temperature_mix,
@@ -3840,6 +3853,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "bpe_merges": f"""
             SELECT step, lhs, rhs, pair_count
             FROM read_parquet('{d}/bpe_merges.parquet')
+        """,
+        "knn_ivfpq": f"""
+            SELECT query_id, rank, neighbor_id, adc_fx
+            FROM read_parquet('{d}/knn_ivfpq.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

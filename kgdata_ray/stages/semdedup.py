@@ -67,6 +67,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_partitions: int = 8,
 ) -> Dataset:
     """(vec_id, cluster, rep_id, kept) for every vector: ``rep_id`` is
     the representative of the vector's within-cluster near-duplicate
@@ -92,10 +93,13 @@ def semdedup(
                                   pa.binary()),
         })
 
+    # num_partitions sizes the co-location join AND the cluster
+    # shuffle's parallelism — raise with corpus size (clusters per
+    # partition ~= k / num_partitions)
     packed = emb.map_batches(pack, batch_format="pandas")
     j = scrub_empty_blocks(
-        packed.join(assign, join_type="inner", num_partitions=8,
-                    on=(id_col,)))
+        packed.join(assign, join_type="inner",
+                    num_partitions=num_partitions, on=(id_col,)))
 
     def dedup_cluster(b: pd.DataFrame) -> pa.Table:
         out_id: list[np.ndarray] = []

@@ -731,3 +731,146 @@ def scalar_quantize(
         })
 
     return src.map_batches(assign, batch_format="pandas")
+
+
+def knn_ivfpq(
+    ds: Dataset, query_ids: "list[int]", *, k: int = 5,
+    coarse_k: int = 8, nprobe: int = 3, m: int = 4, pq_k: int = 16,
+    n_iter: int = 3, train_prefix: int = 2048,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE, exclude_self: bool = True,
+) -> Dataset:
+    """IVF-PQ approximate nearest neighbours — the memory-scale ANN
+    completion of the family (brute -> IVF -> IVF-PQ): a coarse
+    ``coarse_k``-centroid quantizer prunes the corpus to each query's
+    ``nprobe`` nearest cells, and distances inside a cell are computed
+    from ``m``-subspace product-quantization codes via per-query
+    asymmetric-distance lookup tables (ADC) — the corpus is scanned as
+    codes, never as vectors.
+
+    Every quantity is fixed-point int64 (same training spec as
+    :func:`pq_codes` / :func:`kmeans_embeddings`: codebooks by
+    ``_fx_lloyd`` on the bounded id-prefix sample, integer expansion
+    distances, argmin ties to the lowest index), so the result is
+    bit-identical under any batching and certified by a sequential
+    same-spec golden (oracle_sketch.golden_knn_ivfpq). Output
+    ``(query_id, rank, neighbor_id, adc_fx)`` ranked by
+    ``(adc_fx asc, neighbor_id asc)``.
+
+    Scale shape: codebooks and the Q x m x pq_k LUTs are driver-built
+    from a bounded sample and broadcast once (``ray.put``); the corpus
+    pass is a single shuffle-free map emitting per-batch top-k
+    partials (O(batches x Q x k) rows); the final cut is one
+    single-block merge."""
+    from ..functions.agg import grouped_blockwise
+
+    sample = ds.filter(
+        lambda r, _p=train_prefix: r[id_col] < _p
+    ).take_all()
+    sample.sort(key=lambda r: r[id_col])
+    fx_train = np.floor(
+        np.vstack([np.asarray(r[vec_col], np.float64) for r in sample])
+        * scale
+    ).astype(np.int64)
+    if fx_train.shape[0] < max(coarse_k, pq_k):
+        raise ValueError("training sample smaller than codebook size")
+    dim = fx_train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    coarse = _fx_lloyd(fx_train, coarse_k, n_iter)
+    books = [
+        _fx_lloyd(fx_train[:, j * d_sub:(j + 1) * d_sub], pq_k, n_iter)
+        for j in range(m)
+    ]
+
+    qset = set(int(q) for q in query_ids)
+    q_rows = ds.filter(
+        lambda r, _q=frozenset(qset): r[id_col] in _q
+    ).take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = np.array([int(r[id_col]) for r in q_rows], np.int64)
+    q_fx = np.floor(
+        np.vstack([np.asarray(r[vec_col], np.float64) for r in q_rows])
+        * scale
+    ).astype(np.int64)
+    # nprobe nearest coarse cells per query: exact int distances,
+    # ties to the lower centroid index (stable argsort)
+    qq = (q_fx * q_fx).sum(axis=1)[:, None]
+    cc = (coarse * coarse).sum(axis=1)[None, :]
+    d2c = qq + cc - 2 * (q_fx @ coarse.T)
+    probes = np.argsort(d2c, axis=1, kind="stable")[:, :nprobe]
+    # ADC lookup tables: luts[q][j][code] = |q_sub - codeword|^2 (int)
+    luts = np.empty((len(q_ids), m, pq_k), dtype=np.int64)
+    for j in range(m):
+        qs = q_fx[:, j * d_sub:(j + 1) * d_sub]
+        bk = books[j]
+        luts[:, j, :] = ((qs * qs).sum(axis=1)[:, None]
+                         + (bk * bk).sum(axis=1)[None, :]
+                         - 2 * (qs @ bk.T))
+
+    state_ref = ray.put((coarse, books, q_ids, probes, luts))
+
+    class _PQTopK:
+        def __init__(self):
+            (self.coarse, self.books, self.q_ids, self.probes,
+             self.luts) = ray.get(state_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+            cand = b[id_col].to_numpy(np.int64)
+            cell = _fx_assign(fx, self.coarse)
+            codes = np.empty((len(fx), m), dtype=np.int64)
+            for j in range(m):
+                sub = fx[:, j * d_sub:(j + 1) * d_sub]
+                bk = self.books[j]
+                d2 = ((sub * sub).sum(axis=1)[:, None]
+                      + (bk * bk).sum(axis=1)[None, :]
+                      - 2 * (sub @ bk.T))
+                codes[:, j] = d2.argmin(axis=1)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(cell, self.probes[qi])
+                if exclude_self:
+                    mask &= cand != self.q_ids[qi]
+                if not mask.any():
+                    continue
+                ids_m = cand[mask]
+                adc = np.zeros(len(ids_m), dtype=np.int64)
+                cm = codes[mask]
+                for j in range(m):
+                    adc += self.luts[qi, j][cm[:, j]]
+                kk = min(k, len(ids_m))
+                # exact local top-k by (adc asc, id asc)
+                order = np.lexsort((ids_m, adc))[:kk]
+                out_q.append(np.full(kk, self.q_ids[qi], np.int64))
+                out_n.append(ids_m[order])
+                out_d.append(adc[order])
+            if not out_q:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_fx": pa.array([], pa.int64()),
+                })
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_fx": pa.array(np.concatenate(out_d), pa.int64()),
+            })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _PQTopK, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 8), num_cpus=0.5,
+    )
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["query_id", "adc_fx", "neighbor_id"],
+                          ascending=[True, True, True], kind="mergesort")
+        g = b.groupby("query_id", sort=False)
+        b = b.assign(rank=(g.cumcount() + 1).astype("int64"))
+        return pa.Table.from_pandas(
+            b[b["rank"] <= k][["query_id", "rank", "neighbor_id",
+                               "adc_fx"]],
+            preserve_index=False)
+
+    return grouped_blockwise(partials, ["query_id"], final)
