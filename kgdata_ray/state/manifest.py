@@ -215,9 +215,14 @@ def write_dataset_sharded(
     INPUT recompute is the owning stage's concern — `run_stage` memoizes
     whole stages; this adds partial-OUTPUT resume within the sink.)
 
-    The input is materialized once; each shard write is a cheap
-    re-filter of object-store blocks, not a recompute of the upstream
-    pipeline. Returns a parent manifest listing the shard manifests.
+    The input is materialized once. A FRESH build (no valid shard on
+    disk) runs as ONE streaming pass that writes every bucket via hive
+    partitioning — num_shards sequential filter+write executions would
+    pay the full per-execution overhead B times and serialize the sink
+    at 100 TB. Only a RESUME (some shards already valid) takes the
+    per-shard repair loop, rewriting exactly the missing/invalid
+    shards. Both paths produce byte-compatible per-shard manifests.
+    Returns a parent manifest listing the shard manifests.
     """
     import pandas as pd
 
@@ -227,6 +232,33 @@ def write_dataset_sharded(
 
     shard_params = dict(params or {}, shard_col=shard_col,
                         num_shards=num_shards)
+
+    any_valid = any(
+        has_complete_data(out_dir / f"shard={s:05d}",
+                          params=dict(shard_params, shard=s),
+                          input_digests=input_digests)
+        for s in range(num_shards))
+    # ("shard" is the hive partition column of the fast path — data
+    # that already carries one falls back to the per-shard loop)
+    if not any_valid and "shard" not in (src.schema().names or []):
+        shard_manifests = _write_shards_one_pass(
+            src, out_dir, shard_col=shard_col, num_shards=num_shards,
+            name=name, shard_params=shard_params,
+            input_digests=input_digests, compression=compression)
+        parent = {
+            "name": name,
+            "params": shard_params,
+            "params_hash": _params_hash(shard_params),
+            "inputs": list(input_digests),
+            "shards": [manifest_digest(m) for m in shard_manifests],
+            "files": [],
+            "total_rows": sum(m["total_rows"] for m in shard_manifests),
+            "shards_written": num_shards,
+            "created_at": time.time(),
+        }
+        (out_dir / MANIFEST_NAME).write_text(json.dumps(parent, indent=1))
+        return parent
+
     shard_manifests: list[dict] = []
     written = 0
     for s in range(num_shards):
@@ -265,3 +297,69 @@ def write_dataset_sharded(
     }
     (out_dir / MANIFEST_NAME).write_text(json.dumps(parent, indent=1))
     return parent
+
+
+def _write_shards_one_pass(
+    src: Dataset, out_dir: Path, *, shard_col: str, num_shards: int,
+    name: str, shard_params: dict, input_digests: Sequence[str],
+    compression: str,
+) -> list[dict]:
+    """Fresh-build fast path for :func:`write_dataset_sharded`: one
+    streaming ``write_parquet(partition_cols=["shard"])`` pass emits
+    every bucket directory at once (each map task appends its own part
+    file per bucket it touches), then per-shard manifests identical to
+    the repair loop's are written and each shard directory is moved
+    into place atomically. A crash mid-pass leaves only an unreplaced
+    temp directory — the rerun starts clean and the repair loop's
+    validation semantics are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    for stale in out_dir.glob(".onepass-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = out_dir / f".onepass-{uuid.uuid4().hex[:8]}"
+    tmp.mkdir(parents=True, exist_ok=True)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            b[shard_col].to_numpy(), hash_key="0123456789123456")
+        b = b.copy()
+        b["shard"] = np.char.zfill(
+            (h % num_shards).astype("U"), 5)
+        return b
+
+    try:
+        src.map_batches(tag, batch_format="pandas").write_parquet(
+            str(tmp), partition_cols=["shard"],
+            compression=compression)
+        manifests: list[dict] = []
+        for s in range(num_shards):
+            pdir = tmp / f"shard={s:05d}"
+            pdir.mkdir(exist_ok=True)  # empty bucket: no dir written
+            files = []
+            total_rows = 0
+            for p in sorted(pdir.glob("*.parquet")):
+                rows = pq.read_metadata(p).num_rows
+                files.append({"name": p.name, "rows": rows,
+                              "bytes": p.stat().st_size})
+                total_rows += rows
+            sparams = dict(shard_params, shard=s)
+            manifest = {
+                "name": f"{name}/shard={s}",
+                "params": sparams,
+                "params_hash": _params_hash(sparams),
+                "inputs": list(input_digests),
+                "files": files,
+                "total_rows": total_rows,
+                "created_at": time.time(),
+            }
+            (pdir / MANIFEST_NAME).write_text(
+                json.dumps(manifest, indent=1))
+            sdir = out_dir / f"shard={s:05d}"
+            if sdir.exists():
+                shutil.rmtree(sdir)
+            os.replace(pdir, sdir)
+            manifests.append(manifest)
+        return manifests
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

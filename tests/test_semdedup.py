@@ -72,3 +72,44 @@ def test_semdedup_all_unique_keeps_everything(ray_session):
     got = semdedup(rd.from_pandas(df), k=4, threshold=0.999).to_pandas()
     assert got["kept"].all()
     assert (got["rep_id"] == got["vec_id"]).all()
+
+
+def test_semdedup_tiled_gram_exact(ray_session, monkeypatch):
+    """A cluster bigger than the Gram tile must dedup identically to
+    the untiled path (k=1 forces one giant cluster; tile << cluster)."""
+    import ray.data as rd
+
+    import kgdata_ray.stages.semdedup as sd
+
+    rng = np.random.RandomState(2)
+    n = 90
+    base = rng.randn(n, 4)
+    for t, src in enumerate([0, 5, 5, 40]):
+        base[80 + t] = base[src] * (1 + 1e-8)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in base]})
+
+    monkeypatch.setattr(sd, "_GRAM_TILE", 16)
+    got = (sd.semdedup(rd.from_pandas(df), k=1, n_iter=1,
+                       threshold=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # untiled naive reference over the single cluster
+    unit = base / np.linalg.norm(base, axis=1)[:, None]
+    gram = np.round(unit @ unit.T, 6)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ii, jj = np.nonzero(gram >= 0.95)
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        if a < b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = [find(i) for i in range(n)]
+    assert list(got["rep_id"]) == want
+    assert (~got[got["vec_id"] >= 80]["kept"]).sum() >= 3
