@@ -64,39 +64,33 @@ def bm25_topk(
     exact top-k by ``(score_fx desc, doc_id asc)``."""
     from ..functions.agg import global_topk, grouped_blockwise
 
-    qmember = frozenset(query_terms)
+    qlist = sorted(set(query_terms))
+    # one maximal [a-z0-9] run == one non-empty split token, so dl is
+    # a single vectorized count — no Python token loop in the hot path
+    token_run_re = "[a-z0-9]+"
 
     def explode(batch: pd.DataFrame) -> pa.Table:
-        toks = (batch[text_col].str.lower()
-                .str.split(WORD_SPLIT_PATTERN, regex=True))
-        ids_out: list[int] = []
-        terms_out: list[str] = []
-        tf_out: list[int] = []
-        dl_out: list[int] = []
-        for did, ts in zip(batch[id_col], toks):
-            ts = [t for t in ts if t]
-            dl = len(ts)
-            # sentinel stat row: one per document, term=""
-            ids_out.append(int(did))
-            terms_out.append("")
-            tf_out.append(0)
-            dl_out.append(dl)
-            if dl:
-                vc: dict[str, int] = {}
-                for t in ts:
-                    if t in qmember:
-                        vc[t] = vc.get(t, 0) + 1
-                for t, c in vc.items():
-                    ids_out.append(int(did))
-                    terms_out.append(t)
-                    tf_out.append(c)
-                    dl_out.append(dl)
-        return pa.table({
-            id_col: pa.array(ids_out, pa.int64()),
-            "term": pa.array(terms_out, pa.string()),
-            "tf": pa.array(tf_out, pa.int64()),
-            "dl": pa.array(dl_out, pa.int64()),
+        low = batch[text_col].str.lower()
+        dl_all = low.str.count(token_run_re).astype("int64")
+        stat = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(np.int64),
+            "term": "",
+            "tf": np.int64(0),
+            "dl": dl_all.to_numpy(),
         })
+        d = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(np.int64),
+            "term": low.str.split(WORD_SPLIT_PATTERN, regex=True),
+            "dl": dl_all.to_numpy(),
+        }).explode("term")
+        d = d[d["term"].isin(qlist)]
+        tf = (d.groupby([id_col, "term", "dl"], sort=False)
+              .size().reset_index(name="tf"))
+        out = pd.concat(
+            [stat, tf[[id_col, "term", "tf", "dl"]]], ignore_index=True)
+        out["tf"] = out["tf"].astype("int64")
+        out["dl"] = out["dl"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     # one text pass; the exploded table is output-sized (one stat row
     # per doc + one row per query-term hit), cached for its 3 consumers
