@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 12
+SKETCH_ORACLE_VERSION = 13
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -552,6 +552,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "bpe_merges.parquet")
     pq.write_table(golden_knn_ivfpq(vec_ids, vecs),
                    out / "knn_ivfpq.parquet")
+    pq.write_table(golden_bpe_encode(ids, texts),
+                   out / "bpe_encode.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -1002,4 +1004,36 @@ def golden_knn_ivfpq(vec_ids, vecs, *, query_ids=range(8), k=5,
         "rank": pa.array([r[1] for r in rows], pa.int64()),
         "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
         "adc_fx": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def golden_bpe_encode(ids, texts, *, n_merges=8) -> pa.Table:
+    """Sequential BPE apply: merges from :func:`golden_bpe_merges`'s
+    spec, then per document the summed symbol count over its words
+    (plain loops, per-word apply with no cache — the cache is the
+    thing under test on the engine side)."""
+    mt = golden_bpe_merges(texts, n_merges=n_merges)
+    merges = list(zip(mt["lhs"].to_pylist(), mt["rhs"].to_pylist()))
+    wre = re.compile(r"[^a-z0-9]+")
+
+    def apply(word):
+        s = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    rows = sorted(
+        (int(i), sum(len(apply(w)) for w in wre.split(t.lower()) if w))
+        for i, t in zip(ids, texts))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_bpe_tokens": pa.array([r[1] for r in rows], pa.int64()),
     })

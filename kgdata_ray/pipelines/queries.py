@@ -673,6 +673,21 @@ def q_knn_ivfpq(sf_dir: str) -> Dataset:
     return knn_ivfpq(_t(sf_dir, "embeddings"), list(range(8)), k=5)
 
 
+def q_bpe_tokenize(sf_dir: str) -> Dataset:
+    """Train-then-apply BPE over the documents table: learn 8 merge
+    rules (stages/retrieval.py:bpe_merges), then one streaming encode
+    pass counting BPE tokens per document
+    (stages/retrieval.py:bpe_encode, per-distinct-word merge cache) —
+    certified against a sequential golden
+    (oracle_sketch.golden_bpe_encode)."""
+    from ..stages.retrieval import bpe_encode, bpe_merges
+
+    docs = _t(sf_dir, "documents")
+    mt = bpe_merges(docs, n_merges=8).take_all()
+    merges = [(r["lhs"], r["rhs"]) for r in mt]
+    return bpe_encode(docs, merges)
+
+
 def q_embedding_quantize(sf_dir: str) -> Dataset:
     """Per-dimension min-max scalar quantization of the embeddings
     table to uint8 codes (stages/similarity.py:scalar_quantize) —
@@ -2654,6 +2669,7 @@ def queries() -> dict[str, Callable]:
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
         "knn_ivfpq": q_knn_ivfpq,
+        "bpe_tokenize": q_bpe_tokenize,
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
         "temperature_mix": q_temperature_mix,
@@ -3857,6 +3873,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "knn_ivfpq": f"""
             SELECT query_id, rank, neighbor_id, adc_fx
             FROM read_parquet('{d}/knn_ivfpq.parquet')
+        """,
+        "bpe_tokenize": f"""
+            SELECT doc_id, n_bpe_tokens
+            FROM read_parquet('{d}/bpe_encode.parquet')
         """,
         "ngram_jaccard_pairs": f"""
             SELECT id_a, id_b, jaccard

@@ -265,3 +265,42 @@ def bpe_merges(
         "rhs": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array(counts, pa.int64()),
     }))
+
+
+def bpe_encode(
+    ds: Dataset,
+    merges: "list[tuple[str, str]]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Apply learned BPE merges to the corpus and return the per-
+    document BPE token count ``(doc_id, n_bpe_tokens)`` — the apply
+    side of :func:`bpe_merges` (train + encode is the full tokenizer
+    loop; the count is what sequence packing / context budgeting
+    consumes).
+
+    One streaming pass; within each batch the merge walk runs once per
+    DISTINCT word (the standard tokenizer cache) and the per-document
+    sum is a vectorized map + groupby over the exploded tokens.
+    Token-less documents count 0."""
+
+    def enc(batch: pd.DataFrame) -> pa.Table:
+        low = batch[text_col].str.lower()
+        d = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(np.int64),
+            "term": low.str.split(WORD_SPLIT_PATTERN, regex=True),
+        }).explode("term")
+        d = d[d["term"].notna() & (d["term"] != "")]
+        lut = {w: len(_apply_merges(w, merges))
+               for w in pd.unique(d["term"])}
+        d["n"] = d["term"].map(lut).astype("int64")
+        out = (d.groupby(id_col, sort=False)["n"].sum()
+               .reindex(batch[id_col].to_numpy(np.int64), fill_value=0)
+               .reset_index())
+        out.columns = [id_col, "n_bpe_tokens"]
+        out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        enc, batch_format="pandas")

@@ -144,3 +144,39 @@ def test_scalar_quantize_roundtrip(ray_session):
         assert int(got["err_fx"][i]) == err
     # codes actually reconstruct close to the original
     assert (got["err_fx"].to_numpy() >= 0).all()
+
+
+def test_bpe_encode_matches_naive(ray_session):
+    import ray.data as rd
+
+    from kgdata_ray.stages.retrieval import bpe_encode, bpe_merges
+
+    docs = DOCS * 2 + ["zzz qqq", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df)
+    mt = bpe_merges(ds, n_merges=5).take_all()
+    merges = [(r["lhs"], r["rhs"]) for r in mt]
+    got = (bpe_encode(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    def apply(word):
+        s = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    for i, t in enumerate(docs):
+        want = sum(len(apply(w)) for w in _SPLIT.split(t.lower()) if w)
+        assert int(got["n_bpe_tokens"][i]) == want
+    # merges actually shrink the token stream vs characters
+    assert got["n_bpe_tokens"].sum() < sum(
+        len(w) for t in docs for w in _SPLIT.split(t.lower()) if w)
