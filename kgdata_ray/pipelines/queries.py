@@ -673,6 +673,48 @@ def q_knn_ivfpq(sf_dir: str) -> Dataset:
     return knn_ivfpq(_t(sf_dir, "embeddings"), list(range(8)), k=5)
 
 
+def q_incremental_dedup(sf_dir: str) -> Dataset:
+    """Cross-corpus incremental dedup (stages/dedup.py:
+    incremental_dedup): the "new" corpus is documents plus exact
+    clones of every 7th doc (re-idded +100000 — planted within-new
+    duplicates); the "old" corpus is documents with doc_id % 5 < 2
+    (planted cross-corpus duplicates). Result: new rows whose text
+    never appeared in old, one min-id winner per content. Only 128-bit
+    content keys travel the anti-join/winner shuffles; text rides the
+    final id-keyed semi join."""
+    import pyarrow as pa
+
+    from ..stages.dedup import incremental_dedup
+
+    docs = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def clones(b: pd.DataFrame) -> pa.Table:
+        c = b[b["doc_id"] % 7 == 0]
+        return pa.table({
+            "doc_id": pa.array(c["doc_id"].to_numpy() + 100000,
+                               pa.int64()),
+            "text": pa.array(c["text"].astype(object), pa.string()),
+        })
+
+    def olds(b: pd.DataFrame) -> pa.Table:
+        c = b[b["doc_id"] % 5 < 2]
+        return pa.table({
+            "doc_id": pa.array(c["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(c["text"].astype(object), pa.string()),
+        })
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(b["text"].astype(object), pa.string()),
+        })
+
+    new = docs.map_batches(as_arrow, batch_format="pandas").union(
+        docs.map_batches(clones, batch_format="pandas"))
+    old = docs.map_batches(olds, batch_format="pandas")
+    return incremental_dedup(new, old)
+
+
 def q_bpe_tokenize(sf_dir: str) -> Dataset:
     """Train-then-apply BPE over the documents table: learn 8 merge
     rules (stages/retrieval.py:bpe_merges), then one streaming encode
@@ -2670,6 +2712,7 @@ def queries() -> dict[str, Callable]:
         "embedding_quantize": q_embedding_quantize,
         "knn_ivfpq": q_knn_ivfpq,
         "bpe_tokenize": q_bpe_tokenize,
+        "incremental_dedup": q_incremental_dedup,
         "span_dedup": q_span_dedup,
         "quantile_sketch": q_quantile_sketch,
         "temperature_mix": q_temperature_mix,
@@ -2860,6 +2903,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "incremental_dedup": """
+            WITH oldc AS (
+                SELECT text FROM documents WHERE doc_id % 5 < 2
+            ), newc AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            ), fresh AS (
+                SELECT doc_id, text FROM newc
+                WHERE text NOT IN (SELECT text FROM oldc)
+            ), win AS (
+                SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text
+            )
+            SELECT n.doc_id, n.text FROM newc n JOIN win USING (doc_id)
         """,
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents

@@ -1147,3 +1147,57 @@ def span_dedup(
         )
 
     return grouped_blockwise(tagged, [id_col], reconstruct)
+
+
+def incremental_dedup(
+    new: Dataset, old: Dataset, *, text_col: str = "text",
+    id_col: str = "doc_id", num_partitions: int = 8,
+) -> Dataset:
+    """Cross-corpus incremental dedup — the "don't re-ingest what a
+    previous run already took" step of a continuously-growing training
+    corpus: keep the rows of ``new`` whose exact ``text_col`` content
+    does NOT appear in ``old``, then dedup within ``new`` itself
+    (deterministic min-``id_col`` winner per content).
+
+    Scale shape: only ``(id, 128-bit content key)`` columns enter the
+    anti-join and winner shuffles (two independent siphash lanes over
+    the full text, hex-combined — same collision argument as
+    :func:`segment_dedup`: ~2^-128 per pair, a collision drops one doc,
+    never crashes); the text travels exactly once, in the final
+    id-keyed semi join that rehydrates winner rows."""
+    from ..functions.agg import grouped_blockwise
+    from ..functions.joins import anti_join, semi_join
+
+    def keyed(b: pd.DataFrame) -> pa.Table:
+        txt = b[text_col].to_numpy(object)
+        h1 = pd.util.hash_array(txt, hash_key=_HKEY1)
+        h2 = pd.util.hash_array(txt, hash_key=_HKEY2)
+        # vectorized uint64 -> decimal strings; "_"-joined lanes are as
+        # collision-resistant as hex and need no per-row format call
+        key = np.char.add(np.char.add(h1.astype("U20"), "_"),
+                          h2.astype("U20"))
+        return pa.table({
+            id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+            "__ckey": pa.array(key.astype(object), pa.string()),
+        })
+
+    new_keys = new.select_columns([id_col, text_col]).map_batches(
+        keyed, batch_format="pandas")
+    old_keys = old.select_columns([id_col, text_col]).map_batches(
+        keyed, batch_format="pandas").select_columns(["__ckey"])
+
+    fresh = anti_join(new_keys, old_keys, "__ckey",
+                      num_partitions=num_partitions)
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby("__ckey", sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        out = b.groupby("__ckey", sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pandas(out[[id_col]], preserve_index=False)
+
+    winners = grouped_blockwise(
+        fresh.map_batches(pre, batch_format="pandas"), ["__ckey"], final)
+    return semi_join(new, winners, id_col,
+                     num_partitions=num_partitions)
