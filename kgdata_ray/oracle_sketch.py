@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 13
+SKETCH_ORACLE_VERSION = 14
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -554,6 +554,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "knn_ivfpq.parquet")
     pq.write_table(golden_bpe_encode(ids, texts),
                    out / "bpe_encode.parquet")
+    pq.write_table(golden_image_features(ids),
+                   out / "image_features.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -1037,3 +1039,73 @@ def golden_bpe_encode(ids, texts, *, n_merges=8) -> pa.Table:
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "n_bpe_tokens": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+def golden_image_features(ids, *, limit=128, dim=8) -> pa.Table:
+    """Independent real-image-decode golden: pixel values come straight
+    from the parameter formulas (w = 4 + id%13, h = 3 + id%11, byte =
+    (3x + c + 31y + 7 id) mod 256) with NO decode step — if the
+    engine's encode->inflate->unfilter round trip is lossless the
+    bucket means agree bit-for-bit. The payload digest re-encodes the
+    PNG from the spec text (scalar per-pixel filter loops; filter type
+    = row % 5, zlib level 6)."""
+    import hashlib as _hl
+    import struct as _st
+    import zlib as _zl
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc:
+            return a
+        return b if pb <= pc else c
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rows = []
+    for i in list(ids)[:limit]:
+        i = int(i)
+        w, h = 4 + i % 13, 3 + i % 11
+        px = [[[(3 * x + c + 31 * y + 7 * i) % 256 for c in range(3)]
+               for x in range(w)] for y in range(h)]
+        stream = bytearray()
+        for y in range(h):
+            ft = y % 5
+            stream.append(ft)
+            for x in range(w):
+                for c in range(3):
+                    v = px[y][x][c]
+                    a = px[y][x - 1][c] if x else 0
+                    b = px[y - 1][x][c] if y else 0
+                    cc = px[y - 1][x - 1][c] if x and y else 0
+                    if ft == 0:
+                        f = v
+                    elif ft == 1:
+                        f = v - a
+                    elif ft == 2:
+                        f = v - b
+                    elif ft == 3:
+                        f = v - (a + b) // 2
+                    else:
+                        f = v - paeth(a, b, cc)
+                    stream.append(f % 256)
+        ihdr = _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idat = _zl.compress(bytes(stream), 6)
+        parts = [sig]
+        for tag, body in ((b"IHDR", ihdr), (b"IDAT", idat),
+                          (b"IEND", b"")):
+            parts.append(_st.pack(">I", len(body)))
+            parts.append(tag)
+            parts.append(body)
+            parts.append(_st.pack(">I", _zl.crc32(tag + body)
+                                  & 0xFFFFFFFF))
+        payload = b"".join(parts)
+        luma = np.array(
+            [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+             for row in px for p in row], np.float64) / 255.0
+        feats = [round(float(c.mean()), 4) if len(c) else 0.0
+                 for c in np.array_split(luma, dim)]
+        rows.append((i, "image", _hl.sha1(payload).hexdigest(), *feats))
+    names = (["item_id", "kind", "digest"]
+             + [f"feat_{j}" for j in range(dim)])
+    types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)

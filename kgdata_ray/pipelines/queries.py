@@ -813,6 +813,42 @@ def q_audio_features(sf_dir: str) -> Dataset:
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_image_features(sf_dir: str) -> Dataset:
+    """REAL image decode with NO external codec: synthetic payloads are
+    fully decodable RGB PNGs (valid zlib IDAT, every spec filter type
+    across the corpus) and the DecodeFeatures actor pool inflates +
+    unfilters them with the stdlib decoder
+    (stages/multimodal.py:decode_png), converts to integer luma and
+    emits 8 bucket means. The golden computes features straight from
+    the pixel formulas with no decode step at all — agreement proves
+    the encode -> inflate -> unfilter round trip lossless
+    (oracle_sketch.golden_image_features)."""
+    from ..stages.multimodal import (
+        decode_features,
+        media_from_documents_png_valid,
+    )
+
+    media = media_from_documents_png_valid(
+        _t(sf_dir, "documents").limit(128))
+    feats = decode_features(media, engine="real")
+
+    def flatten(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {
+            "item_id": t["item_id"],
+            "kind": t["kind"],
+            "digest": t["digest"],
+        }
+        lists = t["feat"].to_pylist()
+        mat = np.asarray(lists, dtype=np.float64).round(4)
+        for j in range(mat.shape[1] if len(lists) else 8):
+            cols[f"feat_{j}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_media_headers(sf_dir: str) -> Dataset:
     """REAL container-metadata decode: synthesize structurally valid
     PNG payloads (dimensions derived from doc_id), then parse format/
@@ -2734,6 +2770,7 @@ def queries() -> dict[str, Callable]:
         "union_by_name": q_union_by_name,
         "audio_headers": q_audio_headers,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "video_headers": q_video_headers,
         "merge_upserts": q_merge_upserts,
         "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
@@ -3968,6 +4005,11 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "audio_features": f"""
             SELECT item_id, kind, digest, {feat_cols}
             FROM read_parquet('{d}/audio_features.parquet')
+        """,
+        "image_features": f"""
+            SELECT item_id, kind, digest, feat_0, feat_1, feat_2,
+                   feat_3, feat_4, feat_5, feat_6, feat_7
+            FROM read_parquet('{d}/image_features.parquet')
         """,
         "kg_pagerank": f"""
             SELECT node_id, rank
