@@ -45,6 +45,15 @@ def extract_raw_batch(t: pa.Table) -> pa.Table:
     parts = pc.split_pattern(texts, ".")
     parent = pc.list_parent_indices(parts)
     flat = pc.list_flatten(parts)
+    # superset pre-filter: plain substring scans are ~2x cheaper than
+    # the anchored capture regex, and a sentence without any relation
+    # phrase can never match — only candidates reach extract_regex
+    # (false positives are fine; the regex is still the arbiter)
+    hit = pc.match_substring(flat, next(iter(RELATION_PHRASES)))
+    for p in list(RELATION_PHRASES)[1:]:
+        hit = pc.or_(hit, pc.match_substring(flat, p))
+    flat = flat.filter(hit)
+    parent = parent.filter(hit)
     ex = pc.extract_regex(flat, _SENTENCE_RX)
     valid = pc.is_valid(ex)
     ex = ex.filter(valid)
