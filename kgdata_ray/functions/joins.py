@@ -596,6 +596,7 @@ def interval_join(
 def bucketed_join(
     left_dir, right_dir, *, on: str, right_on: Optional[str] = None,
     join_type: str = "inner", num_partitions: int = 2,
+    map_side_budget_bytes: int = 256 << 20,
 ) -> "Dataset":
     """Co-partitioned join over two bucketed sinks
     (``state.manifest.write_dataset_sharded`` outputs whose
@@ -604,8 +605,22 @@ def bucketed_join(
     ``num_shards`` independent small joins and NO global all-to-all
     shuffle ever runs — the scale pattern of picking ONE partitioning
     key, paying its shuffle once at write time, and reusing it across
-    every downstream join. Each per-shard join is a tiny hash join;
-    shards stream independently (the union is lazy).
+    every downstream join.
+
+    Two physical plans, picked from FREE manifest metadata (the
+    per-shard byte totals the sinks already record):
+
+    * **bucket map join** (default): when every left+right shard pair
+      fits ``map_side_budget_bytes``, each pair is joined by ONE task
+      that reads both shards' parquet and runs an in-memory Arrow hash
+      join — no shuffle aggregators, no exchange, shards stream
+      independently. This is the classic bucket-map-join; the writer's
+      ``num_shards`` is what keeps shards task-sized at 100 TB.
+    * **per-shard ``Dataset.join`` fallback**: when any shard pair
+      exceeds the budget (hot-key skew), or a schema isn't
+      Arrow-joinable (list-typed payloads, colliding non-key names),
+      ALL shards take the distributed hash join so the union schema
+      stays uniform.
 
     Raises if the two sinks disagree on shard count (their bucket
     functions would not be aligned)."""
@@ -621,21 +636,93 @@ def bucketed_join(
     ln, rn = lm["params"]["num_shards"], rm["params"]["num_shards"]
     if ln != rn:
         raise ValueError(f"shard counts differ: {ln} != {rn}")
+    right_on = right_on or on
 
-    def shard_files(base, s: int) -> list[str]:
+    def shard_meta(base, s: int) -> tuple[list[str], int]:
         sdir = Path(base) / f"shard={s:05d}"
         m = _json.loads((sdir / MANIFEST_NAME).read_text())
-        return [str(sdir / f["name"]) for f in m["files"]]
+        return ([str(sdir / f["name"]) for f in m["files"]],
+                sum(f["bytes"] for f in m["files"]))
+
+    shards = [(shard_meta(left_dir, s), shard_meta(right_dir, s))
+              for s in range(ln)]
+    if _map_side_ok(shards, join_type=join_type, on=on,
+                    right_on=right_on, budget=map_side_budget_bytes):
+        return _bucket_map_join(shards, on=on, right_on=right_on,
+                                join_type=join_type)
 
     out = None
-    for s in range(ln):
-        lf, rf = shard_files(left_dir, s), shard_files(right_dir, s)
+    for (lf, _), (rf, _) in shards:
         # partitioning=None: the shard=NNNNN path segment must not be
         # hive-inferred into a column (it would collide across sides)
         l = rd.read_parquet(lf, partitioning=None)
         r = rd.read_parquet(rf, partitioning=None)
         j = l.join(r, join_type=join_type,
                    num_partitions=num_partitions,
-                   on=(on,), right_on=((right_on or on),))
+                   on=(on,), right_on=(right_on,))
         out = j if out is None else out.union(j)
     return out
+
+
+_ARROW_JOIN_TYPES = {"inner": "inner", "left_outer": "left outer",
+                     "right_outer": "right outer",
+                     "full_outer": "full outer"}
+
+
+def _map_side_ok(shards, *, join_type: str, on: str, right_on: str,
+                 budget: int) -> bool:
+    """Driver-side plan check for the bucket map join: byte budget from
+    the shard manifests, plus two parquet footer reads to verify the
+    schemas are Arrow-hash-joinable (Arrow rejects list/map payloads)
+    and produce the same output columns the ``Dataset.join`` plan
+    would (no non-key name collisions — both plans drop the right
+    key)."""
+    import pyarrow.parquet as _pq
+
+    if join_type not in _ARROW_JOIN_TYPES:
+        return False
+    if any(lb + rb > budget for (_, lb), (_, rb) in shards):
+        return False
+    lf = next((f for (f, _), _ in shards if f), None)
+    rf = next((f for _, (f, _) in shards if f), None)
+    if lf is None or rf is None:
+        return False  # a wholly-empty side: let Dataset.join shape it
+    ls, rs = _pq.read_schema(lf[0]), _pq.read_schema(rf[0])
+    if any(pa.types.is_nested(f.type) for f in list(ls) + list(rs)):
+        return False
+    overlap = (set(ls.names) - {on}) & (set(rs.names) - {right_on})
+    return not overlap
+
+
+def _bucket_map_join(shards, *, on: str, right_on: str,
+                     join_type: str) -> "Dataset":
+    """One task per co-partitioned shard pair: read both sides' files,
+    Arrow hash join in memory, stream the result block out. Empty
+    shards reproduce their side's schema from any non-empty sibling
+    (every pair was manifest-validated by the caller)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    arrow_type = _ARROW_JOIN_TYPES[join_type]
+    items = [{"shard": s, "lf": lf, "rf": rf}
+             for s, ((lf, _), (rf, _)) in enumerate(shards)]
+    any_lf = next(f for (f, _), _ in shards if f)
+    any_rf = next(f for _, (f, _) in shards if f)
+
+    def join_pair(b: pd.DataFrame) -> pa.Table:
+        # partitioning=None: don't hive-infer the shard=NNNNN path
+        # segment into a column (it would collide across sides)
+        outs = []
+        for _, row in b.iterrows():
+            lt = (_pq.read_table(list(row["lf"]), partitioning=None)
+                  if len(row["lf"])
+                  else _pq.read_schema(any_lf[0]).empty_table())
+            rt = (_pq.read_table(list(row["rf"]), partitioning=None)
+                  if len(row["rf"])
+                  else _pq.read_schema(any_rf[0]).empty_table())
+            outs.append(lt.join(rt, keys=[on], right_keys=[right_on],
+                                join_type=arrow_type))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        join_pair, batch_format="pandas", batch_size=None)

@@ -225,6 +225,34 @@ def test_bucketed_join_small_equals_plain_join(tmp_path):
         got[["k", "a", "b"]], want[["k", "a", "b"]], check_dtype=False)
 
 
+def test_bucketed_join_plans_agree(tmp_path):
+    """The bucket-map-join default and the Dataset.join fallback (forced
+    via a 1-byte budget) produce identical rows AND columns — the plan
+    choice is a physical detail, never a semantic one."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.functions.joins import bucketed_join
+    from kgdata_ray.state.manifest import write_dataset_sharded
+
+    l = pd.DataFrame({"k": list(range(25)), "a": range(25)})
+    r = pd.DataFrame({"kk": list(range(0, 50, 2)), "b": range(25)})
+    write_dataset_sharded(rd.from_pandas(l), tmp_path / "l",
+                          shard_col="k", num_shards=4, name="l")
+    write_dataset_sharded(rd.from_pandas(r), tmp_path / "r",
+                          shard_col="kk", num_shards=4, name="r")
+
+    def run(budget):
+        df = bucketed_join(tmp_path / "l", tmp_path / "r", on="k",
+                           right_on="kk",
+                           map_side_budget_bytes=budget).to_pandas()
+        return df.sort_values(["k"]).reset_index(drop=True)
+
+    fast, slow = run(256 << 20), run(1)
+    assert list(fast.columns) == list(slow.columns)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
 def test_kg_triples_bucketed_lineage_and_resume(ray_session):
     """Flagship bucketed sink: the subj-bucketed kg_triples + degree
     sinks carry per-shard manifests; a re-run reuses every finished
