@@ -30,21 +30,10 @@ CACHE = Path(os.environ.get("KGBENCH_CACHE", "/tmp/kgbench"))
 def _prepare_transcripts(cfg) -> Path:
     """Materialize the synthetic transcript parquet once (untimed, keyed
     by scale+seed); both scaling runs then read the same files."""
-    from kgdata_ray.state.manifest import has_complete_data, write_dataset
-    from kgdata_ray.synth import SYNTH_VERSION, transcripts_dataset
+    from kgdata_ray.synth import transcripts_cache_dir, transcripts_source
 
-    out = CACHE / (
-        f"transcripts_v{SYNTH_VERSION}_c{cfg.n_convs}"
-        f"_e{cfg.n_entities}_s{cfg.seed}"
-    )
-    params = {"v": SYNTH_VERSION, "n_convs": cfg.n_convs,
-              "n_entities": cfg.n_entities, "seed": cfg.seed}
-    if not has_complete_data(out, params=params):
-        write_dataset(
-            transcripts_dataset(cfg), out, name="transcripts", params=params,
-            min_rows_per_file=65_536,
-        )
-    return out
+    transcripts_source(cfg)  # generate + persist on first use
+    return transcripts_cache_dir(cfg)
 
 
 def bench_kg(sf: float) -> dict:

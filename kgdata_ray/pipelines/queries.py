@@ -44,7 +44,7 @@ from ..stages.dedup import embedding_pairs, embedding_pairs_lsh, \
 from ..stages.similarity import build_ivf, knn_bruteforce, knn_ivf
 from ..stages.multimodal import decode_features, media_from_documents
 from ..synth import config_for_sf, gazetteer_table, redirects_table, \
-    sf_from_dir, transcripts_dataset
+    sf_from_dir, transcripts_source
 
 
 def _t(sf_dir: str, name: str) -> Dataset:
@@ -875,21 +875,21 @@ def q_kg_triples(sf_dir: str) -> Dataset:
     from .kg import kg_triples
 
     cfg, gz, rt = _kg_world(sf_dir)
-    return kg_triples(transcripts_dataset(cfg), gz, rt, linking="broadcast")
+    return kg_triples(transcripts_source(cfg), gz, rt, linking="broadcast")
 
 
 def q_kg_triples_join(sf_dir: str) -> Dataset:
     from .kg import kg_triples
 
     cfg, gz, rt = _kg_world(sf_dir)
-    return kg_triples(transcripts_dataset(cfg), gz, rt, linking="join")
+    return kg_triples(transcripts_source(cfg), gz, rt, linking="join")
 
 
 def q_kg_conversations(sf_dir: str) -> Dataset:
     from ..stages.reconstruct import conversations
 
     cfg, _, _ = _kg_world(sf_dir)
-    return conversations(transcripts_dataset(cfg))
+    return conversations(transcripts_source(cfg))
 
 
 def q_kg_conversations_salted(sf_dir: str) -> Dataset:
@@ -898,7 +898,7 @@ def q_kg_conversations_salted(sf_dir: str) -> Dataset:
     from ..stages.reconstruct import conversations_salted
 
     cfg, _, _ = _kg_world(sf_dir)
-    return conversations_salted(transcripts_dataset(cfg), turns_per_salt=8)
+    return conversations_salted(transcripts_source(cfg), turns_per_salt=8)
 
 
 def q_kg_pred_type_dicts(sf_dir: str) -> Dataset:
@@ -921,7 +921,7 @@ def q_kg_mentions(sf_dir: str) -> Dataset:
 
     cfg, gz, _ = _kg_world(sf_dir)
     return detect_mentions_ngram(
-        transcripts_dataset(cfg), gz.column("alias").to_pylist()
+        transcripts_source(cfg), gz.column("alias").to_pylist()
     )
 
 
@@ -931,7 +931,7 @@ def q_kg_mentions_join(sf_dir: str) -> Dataset:
     from ..stages.mentions import detect_mentions_join
 
     cfg, gz, _ = _kg_world(sf_dir)
-    return detect_mentions_join(transcripts_dataset(cfg), rd.from_arrow(gz))
+    return detect_mentions_join(transcripts_source(cfg), rd.from_arrow(gz))
 
 
 def q_kg_triples_salted(sf_dir: str) -> Dataset:
@@ -945,7 +945,7 @@ def q_kg_triples_salted(sf_dir: str) -> Dataset:
     from .kg import dedup_triples
 
     cfg, gz, rt = _kg_world(sf_dir)
-    raw = extract_raw(transcripts_dataset(cfg))
+    raw = extract_raw(transcripts_source(cfg))
     cands = alias_candidates(rd_.from_arrow(gz))
     linked = link_via_join(raw, cands, num_partitions=8,
                            hot_threshold=200, salt_batch=100)
@@ -1857,7 +1857,7 @@ def q_kg_raw_candidates(sf_dir: str) -> Dataset:
     from ..stages.extract import extract_raw
 
     cfg, _, _ = _kg_world(sf_dir)
-    return extract_raw(transcripts_dataset(cfg))
+    return extract_raw(transcripts_source(cfg))
 
 
 def q_kg_unlinkable(sf_dir: str) -> Dataset:
@@ -1865,7 +1865,7 @@ def q_kg_unlinkable(sf_dir: str) -> Dataset:
     from ..stages.linking import best_candidate_map, unlinkable_mentions
 
     cfg, gz, _ = _kg_world(sf_dir)
-    raw = extract_raw(transcripts_dataset(cfg))
+    raw = extract_raw(transcripts_source(cfg))
     return unlinkable_mentions(raw, best_candidate_map(gz))
 
 

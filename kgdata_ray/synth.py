@@ -419,3 +419,42 @@ def transcripts_dataset(cfg: SynthConfig, *, conv_per_block: int = 2000):
         batch_size=conv_per_block,
         concurrency=(1, 8),
     )
+
+
+def transcripts_cache_dir(cfg: SynthConfig):
+    """Where :func:`transcripts_source` materializes a config's
+    transcripts (keyed by generator version + every config knob, so a
+    semantics bump or a different world never reads a stale cache)."""
+    import os
+    from pathlib import Path
+
+    root = Path(os.environ.get("KGBENCH_CACHE", "/tmp/kgbench"))
+    return root / (
+        f"transcripts_v{SYNTH_VERSION}_c{cfg.n_convs}"
+        f"_e{cfg.n_entities}_s{cfg.seed}"
+    )
+
+
+def transcripts_source(cfg: SynthConfig):
+    """The transcripts table as a *parquet-backed* Dataset: generate
+    once with :func:`transcripts_dataset`, persist through the
+    manifest-validated sink, then serve every later consumer with a
+    plain ``read_parquet``. Same deterministic rows as the generator
+    (write+read is content-preserving); what changes is the cost
+    model — synthesis is paid once per (version, config) instead of
+    once per query, which is exactly how a real deployment reads its
+    dump: parsed once to parquet, then many pipelines read the
+    columns they need."""
+    import ray.data as rd
+
+    from .state.manifest import has_complete_data, write_dataset
+
+    out = transcripts_cache_dir(cfg)
+    params = {"v": SYNTH_VERSION, "n_convs": cfg.n_convs,
+              "n_entities": cfg.n_entities, "seed": cfg.seed}
+    if not has_complete_data(out, params=params):
+        write_dataset(
+            transcripts_dataset(cfg), out, name="transcripts",
+            params=params, min_rows_per_file=65_536,
+        )
+    return rd.read_parquet(sorted(str(p) for p in out.glob("*.parquet")))
