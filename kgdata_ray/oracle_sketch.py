@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 14
+SKETCH_ORACLE_VERSION = 15
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -556,6 +556,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "bpe_encode.parquet")
     pq.write_table(golden_image_features(ids),
                    out / "image_features.parquet")
+    pq.write_table(golden_gif_frames(ids),
+                   out / "gif_frames.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -1108,4 +1110,30 @@ def golden_image_features(ids, *, limit=128, dim=8) -> pa.Table:
     names = (["item_id", "kind", "digest"]
              + [f"feat_{j}" for j in range(dim)])
     types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)
+
+
+def golden_gif_frames(ids, *, limit=128) -> pa.Table:
+    """Independent real-GIF-decode golden: per-frame integer luma
+    stats computed straight from the fixture formulas (n_frames =
+    2 + id%4, w = 6 + id%9, h = 5 + id%7, index = (5x + 11y + 29f +
+    7 id) mod 256, palette[i] = (i, 3i, 7i) mod 256) with NO GIF
+    bytes anywhere — agreement with the engine's
+    encode -> LZW-decode -> palette path proves that round trip
+    lossless. Pure scalar loops, no engine imports."""
+    rows = []
+    for i in list(ids)[:limit]:
+        i = int(i)
+        nf, w, h = 2 + i % 4, 6 + i % 9, 5 + i % 7
+        for f in range(nf):
+            total = 0
+            for y in range(h):
+                for x in range(w):
+                    idx = (5 * x + 11 * y + 29 * f + 7 * i) % 256
+                    r, g, b = idx, (3 * idx) % 256, (7 * idx) % 256
+                    total += (299 * r + 587 * g + 114 * b) // 1000
+            rows.append((i, f, w, h, 1000 * total // (w * h)))
+    names = ["item_id", "frame_idx", "width", "height",
+             "mean_luma_milli"]
+    types = [pa.int64()] * 5
     return _pair_table(rows, names, types)

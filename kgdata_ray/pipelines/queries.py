@@ -2275,6 +2275,27 @@ def q_gif_frame_counts(sf_dir: str) -> Dataset:
     return parse_gif_frame_counts(media_from_documents_gif(docs))
 
 
+def q_gif_pixel_frames(sf_dir: str) -> Dataset:
+    """REAL animated-GIF pixel decode with NO external codec: payloads
+    are fully decodable GIF89a animations (real variable-width LZW
+    data streams, global color table) built by
+    stages/multimodal.py:encode_gif; gif_frame_stats walks the blocks,
+    LZW-inflates every frame with the stdlib decoder
+    (multimodal.py:decode_gif) and emits integer-exact per-frame mean
+    luma. The golden computes the same integers straight from the
+    frame formulas with no GIF bytes at all
+    (oracle_sketch.golden_gif_frames) — agreement proves the LZW
+    encode -> decode -> palette round trip lossless."""
+    from ..stages.multimodal import (
+        gif_frame_stats,
+        media_from_documents_gif_valid,
+    )
+
+    media = media_from_documents_gif_valid(
+        _t(sf_dir, "documents").limit(128))
+    return gif_frame_stats(media)
+
+
 def q_mode_event_type(sf_dir: str) -> Dataset:
     """Grouped mode: each user's most frequent event type (ties ->
     lexicographically smallest) — count shuffle then per-group top-1
@@ -2785,6 +2806,7 @@ def queries() -> dict[str, Callable]:
         "transition_counts": q_transition_counts,
         "retention_cohorts": q_retention_cohorts,
         "gif_frame_counts": q_gif_frame_counts,
+        "gif_pixel_frames": q_gif_pixel_frames,
         "mode_event_type": q_mode_event_type,
         "dedup_representatives": q_dedup_representatives,
         "funnel_windowed": q_funnel_windowed,
@@ -4010,6 +4032,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
             SELECT item_id, kind, digest, feat_0, feat_1, feat_2,
                    feat_3, feat_4, feat_5, feat_6, feat_7
             FROM read_parquet('{d}/image_features.parquet')
+        """,
+        "gif_pixel_frames": f"""
+            SELECT item_id, frame_idx, width, height, mean_luma_milli
+            FROM read_parquet('{d}/gif_frames.parquet')
         """,
         "kg_pagerank": f"""
             SELECT node_id, rank

@@ -135,6 +135,18 @@ class DecodeFeatures:
             img = self._pil.open(io.BytesIO(payload)).convert("L")
             a = np.asarray(img, dtype=np.float64) / 255.0
             return self._bucket_means(a.ravel())
+        if kind == "video":
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                # stdlib LZW decoder; same pinned integer-luma contract
+                rgb = decode_gif(payload).astype(np.int64)
+                luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
+                        + 114 * rgb[..., 2]) // 1000
+                return self._bucket_means(
+                    luma.ravel().astype(np.float64) / 255.0)
+            raise NotImplementedError(
+                "non-GIF video decode (inter-frame-predicted codecs) "
+                "requires codec libraries not present in this "
+                "environment")
         raise NotImplementedError(
             f"real decode for kind={kind!r} requires codec libraries "
             "not present in this environment")
@@ -925,3 +937,279 @@ def media_from_documents_png_valid(docs: Dataset) -> Dataset:
     return docs.select_columns(["doc_id"]).map_batches(
         fn, batch_format="pyarrow", batch_size=256
     )
+
+
+# --------------------------------------------------------------------------
+# REAL animated-GIF pixel decode with a stdlib LZW codec. GIF is the
+# one animation container whose codec (variable-width LZW, GIF89a) is
+# fully implementable from the spec with no external library — so the
+# engine's "video/animation" decode path gets a real frames->pixels
+# implementation here, leaving only inter-frame-predicted codecs
+# (H.264 etc.) as the declared NotImplementedError boundary.
+# Reference analog: none (the reference has no media decode); this is
+# the engine's LLM-training-data multimodal surface.
+
+
+def _lzw_encode(indices: "np.ndarray", min_code_size: int = 8) -> bytes:
+    """Spec LZW for GIF image data, literal-codes-only variant: every
+    pixel is emitted as its own root code, with the code width grown
+    exactly when the decoder's table crosses a power of two and a
+    CLEAR emitted when the table would overflow 4096 entries. Valid
+    per spec (an encoder may flush at any time); compression ratio is
+    sacrificed, round-trip fidelity is not."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    emit(clear, width)
+    next_code = eoi + 1
+    prev = False  # decoder adds an entry per code only after the first
+    for v in indices.ravel().tolist():
+        if next_code >= 4096:
+            emit(clear, width)
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = False
+        emit(int(v), width)
+        if prev:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int,
+                n_pixels: int) -> "np.ndarray":
+    """General GIF LZW decoder (handles real encoders, not just the
+    literal-only writer above): variable code width 3..12 bits
+    LSB-first, table rebuild on CLEAR, the KwKwK case, deferred-clear
+    full tables. Returns exactly ``n_pixels`` uint8 indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = []
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = roots[code]
+        elif code - eoi - 1 < len(table):
+            entry = table[code - eoi - 1]
+        elif code == eoi + 1 + len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096 - eoi - 1:
+            table.append(prev + entry[:1])
+            if eoi + 1 + len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def encode_gif(frames: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """(n_frames, h, w) uint8 palette indices + (256, 3) uint8 palette
+    -> animated GIF89a bytes: logical screen descriptor with a global
+    256-color table, one full-frame image descriptor per frame, data
+    sub-block chunking, trailer."""
+    nf, h, w = frames.shape
+    out = [b"GIF89a", struct.pack("<HH", w, h),
+           bytes([0x80 | 0x07, 0, 0]),  # GCT present, 256 entries
+           palette.astype(np.uint8).tobytes()]
+    for f in range(nf):
+        out.append(b"\x2c")
+        out.append(struct.pack("<HHHH", 0, 0, w, h))
+        out.append(b"\x00")  # no local color table, not interlaced
+        out.append(bytes([8]))  # LZW minimum code size
+        data = _lzw_encode(frames[f])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(bytes([len(chunk)]))
+            out.append(chunk)
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """REAL animated-GIF pixel decode: block walk + LZW inflate +
+    palette application. Returns (n_frames, h, w, 3) uint8 RGB over
+    the logical screen; frames composite over the previous canvas
+    (disposal "none"), which covers the engine's fixture and plain
+    full-frame animations. Raises NotImplementedError on interlaced
+    images or transparency (not composited here), ValueError on
+    malformed streams."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(
+            payload[i:i + 3 * ncol], np.uint8).reshape(ncol, 3)
+        i += 3 * ncol
+    frames = []
+    canvas = np.zeros((h, w, 3), np.uint8)
+    while i < len(payload):
+        tag = payload[i]
+        if tag == 0x3B:
+            break
+        if tag == 0x21:  # extension
+            label = payload[i + 1]
+            j = i + 2
+            if label == 0xF9 and payload[j] >= 4 and payload[j + 1] & 0x01:
+                raise NotImplementedError(
+                    "GIF transparency compositing not supported")
+            while j < len(payload) and payload[j]:
+                j += 1 + payload[j]
+            i = j + 1
+        elif tag == 0x2C:
+            fx, fy, fw, fh = struct.unpack("<HHHH", payload[i + 1:i + 9])
+            lpacked = payload[i + 9]
+            i += 10
+            if lpacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            pal = gct
+            if lpacked & 0x80:
+                ncol = 1 << ((lpacked & 0x07) + 1)
+                pal = np.frombuffer(
+                    payload[i:i + 3 * ncol], np.uint8).reshape(ncol, 3)
+                i += 3 * ncol
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            mcs = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i]:
+                n = payload[i]
+                data.extend(payload[i + 1:i + 1 + n])
+                i += 1 + n
+            i += 1  # sub-block terminator
+            idx = _lzw_decode(bytes(data), mcs, fw * fh).reshape(fh, fw)
+            canvas = canvas.copy()
+            canvas[fy:fy + fh, fx:fx + fw] = pal[idx]
+            frames.append(canvas)
+        else:
+            raise ValueError(f"unknown GIF block 0x{tag:02x}")
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return np.stack(frames)
+
+
+def gif_frames_for(item_id: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic animated-GIF fixture: (frames, palette) where
+    n_frames = 2 + id%4, w = 6 + id%9, h = 5 + id%7, index(f, y, x) =
+    (5x + 11y + 29f + 7 id) mod 256, palette[i] = (i, 3i mod 256,
+    7i mod 256)."""
+    nf = 2 + item_id % 4
+    w, h = 6 + item_id % 9, 5 + item_id % 7
+    f, y, x = np.ogrid[0:nf, 0:h, 0:w]
+    frames = ((5 * x + 11 * y + 29 * f + 7 * item_id) % 256).astype(np.uint8)
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, (3 * i) % 256, (7 * i) % 256],
+                       axis=1).astype(np.uint8)
+    return frames, palette
+
+
+def media_from_documents_gif_valid(docs: Dataset) -> Dataset:
+    """Synthetic animation table whose payloads are fully DECODABLE
+    animated GIFs (real LZW data, global color table) — the
+    real-decode counterpart of :func:`media_from_documents_gif`'s
+    frame-count-only payloads."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [encode_gif(*gif_frames_for(int(i))) for i in ids]
+        meta = [json.dumps({"kind": "video", "n_bytes": len(p)},
+                           sort_keys=True) for p in payload]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["video"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def gif_frame_stats(media: Dataset, *, batch_size: int = 64) -> Dataset:
+    """Per-frame pixel statistics from REAL GIF decode: one output row
+    per (item, frame) with integer-exact mean luma — luma =
+    (299R + 587G + 114B) // 1000 per pixel, mean_luma_milli =
+    (1000 * sum(luma)) // (w*h). All-integer so the result is
+    bit-identical at any batching and certifiable against a
+    formula-only golden (no codec on the oracle side: agreement
+    proves the LZW encode->decode round trip lossless)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        item_ids, frame_idx, widths, heights, luma = [], [], [], [], []
+        for iid, p in zip(t["item_id"].to_pylist(),
+                          t["payload"].to_pylist()):
+            frames = decode_gif(p or b"")
+            nf, h, w, _ = frames.shape
+            px = frames.astype(np.int64)
+            lm = (299 * px[..., 0] + 587 * px[..., 1]
+                  + 114 * px[..., 2]) // 1000
+            sums = lm.reshape(nf, -1).sum(axis=1)
+            item_ids.extend([iid] * nf)
+            frame_idx.extend(range(nf))
+            widths.extend([w] * nf)
+            heights.extend([h] * nf)
+            luma.extend((1000 * sums // (w * h)).tolist())
+        return pa.table({
+            "item_id": pa.array(item_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "mean_luma_milli": pa.array(luma, pa.int64()),
+        })
+
+    return media.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)

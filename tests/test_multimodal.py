@@ -185,18 +185,19 @@ def test_decode_features_real_audio(ray_session):
 
 
 def test_decode_features_real_image_requires_pillow(ray_session):
-    """Image decode under engine='real' needs Pillow: decodes for real
-    when importable, raises the declared NotImplementedError when not."""
+    """Non-PNG image decode under engine='real' needs Pillow (PNG has
+    its own stdlib decoder): decodes for real when importable, raises
+    the declared NotImplementedError when not."""
     import pytest
 
-    from kgdata_ray.stages.multimodal import DecodeFeatures, png_bytes
+    from kgdata_ray.stages.multimodal import DecodeFeatures, jpeg_bytes
     import pyarrow as pa
 
     dec = DecodeFeatures(engine="real")
     t = pa.table({
         "item_id": pa.array([1], pa.int64()),
         "kind": pa.array(["image"], pa.string()),
-        "payload": pa.array([png_bytes(16, 16)], pa.binary()),
+        "payload": pa.array([jpeg_bytes(16, 16)], pa.binary()),
         "meta": pa.array(["{}"], pa.string()),
     })
     try:
@@ -204,7 +205,7 @@ def test_decode_features_real_image_requires_pillow(ray_session):
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
             dec(t)
-        pytest.skip("Pillow not importable: real image decode declared")
+        pytest.skip("Pillow not importable: real non-PNG decode declared")
     out = dec(t)
     assert out.num_rows == 1  # real decode ran
 
@@ -224,3 +225,27 @@ def test_decode_features_real_video_declared(ray_session):
     })
     with pytest.raises(NotImplementedError):
         dec(t)
+
+
+def test_decode_features_real_video_gif(ray_session):
+    """GIF animations decode for REAL (stdlib LZW); only
+    inter-frame-predicted codecs stay declared."""
+    import pyarrow as pa
+
+    from kgdata_ray.stages.multimodal import (
+        DecodeFeatures,
+        encode_gif,
+        gif_frames_for,
+    )
+
+    dec = DecodeFeatures(engine="real")
+    t = pa.table({
+        "item_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([encode_gif(*gif_frames_for(1))], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    out = dec(t)
+    assert out.num_rows == 1
+    feats = out["feat"].to_pylist()[0]
+    assert len(feats) == 8 and any(f > 0 for f in feats)
