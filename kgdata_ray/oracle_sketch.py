@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 15
+SKETCH_ORACLE_VERSION = 16
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -558,6 +558,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "image_features.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
+    pq.write_table(golden_dbscan(vec_ids, vecs),
+                   out / "dbscan.parquet")
     ev = pq.read_table(f"{sf_dir}/events.parquet",
                        columns=["event_type", "user_id"])
     pq.write_table(
@@ -1137,3 +1139,62 @@ def golden_gif_frames(ids, *, limit=128) -> pa.Table:
              "mean_luma_milli"]
     types = [pa.int64()] * 5
     return _pair_table(rows, names, types)
+
+
+def golden_dbscan(vec_ids, vecs, *, threshold=0.35,
+                  min_pts=4) -> pa.Table:
+    """Independent naive cosine-DBSCAN golden (scalar/numpy, no engine
+    imports): full similarity matrix, core = |{cos >= threshold}| + 1
+    >= min_pts (self included), clusters = union-find over core-core
+    edges labeled by the smallest core vec_id, border = smallest
+    component among core neighbors, noise = -1. Same pinned
+    determinism rules the engine documents."""
+    ids = np.asarray(list(vec_ids), np.int64)
+    mat = np.asarray([np.asarray(v, np.float64) for v in vecs])
+    nm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nm[nm == 0] = 1.0
+    sims = np.round((mat / nm) @ (mat / nm).T, 6)
+    np.fill_diagonal(sims, -1.0)
+    adj = sims >= threshold
+    core = adj.sum(1) + 1 >= min_pts
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    # keep the root with the smaller vec_id
+                    if ids[ri] <= ids[rj]:
+                        parent[rj] = ri
+                    else:
+                        parent[ri] = rj
+    cluster = np.full(n, -1, np.int64)
+    roles = []
+    for i in range(n):
+        if core[i]:
+            cluster[i] = ids[find(i)]
+            roles.append("core")
+        else:
+            comps = [ids[find(j)] for j in range(n)
+                     if core[j] and adj[i, j]]
+            if comps:
+                cluster[i] = min(comps)
+                roles.append("border")
+            else:
+                roles.append("noise")
+    order = np.argsort(ids, kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "role": pa.array([roles[i] for i in order], pa.string()),
+        "cluster": pa.array(cluster[order], pa.int64()),
+    })

@@ -622,6 +622,21 @@ def q_kmeans_clusters(sf_dir: str) -> Dataset:
     return kmeans_embeddings(_t(sf_dir, "embeddings"))
 
 
+def q_embedding_dbscan(sf_dir: str) -> Dataset:
+    """Exact cosine-DBSCAN over the embeddings table
+    (stages/similarity.py:embedding_dbscan): eps-graph from the
+    distributed block-cross matmul (cosine >= 0.35, the corpus's
+    natural neighborhood scale), core = neighborhood of >= 4 (self
+    included), clusters = min-core-id components, borders pinned to
+    the smallest core-neighbor component, noise = -1 — certified
+    against a sequential naive-DBSCAN golden
+    (oracle_sketch.golden_dbscan)."""
+    from ..stages.similarity import embedding_dbscan
+
+    return embedding_dbscan(_t(sf_dir, "embeddings"),
+                            threshold=0.35, min_pts=4)
+
+
 def q_semdedup(sf_dir: str) -> Dataset:
     """Full SemDeDup composition over the embeddings table
     (stages/semdedup.py): fixed-point k-means clustering, ONE cluster
@@ -2764,6 +2779,7 @@ def queries() -> dict[str, Callable]:
         "cms_token_counts": q_cms_token_counts,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "embedding_dbscan": q_embedding_dbscan,
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
@@ -4036,6 +4052,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "gif_pixel_frames": f"""
             SELECT item_id, frame_idx, width, height, mean_luma_milli
             FROM read_parquet('{d}/gif_frames.parquet')
+        """,
+        "embedding_dbscan": f"""
+            SELECT vec_id, role, cluster
+            FROM read_parquet('{d}/dbscan.parquet')
         """,
         "kg_pagerank": f"""
             SELECT node_id, rank

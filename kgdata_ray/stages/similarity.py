@@ -874,3 +874,124 @@ def knn_ivfpq(
             preserve_index=False)
 
     return grouped_blockwise(partials, ["query_id"], final)
+
+
+def embedding_dbscan(
+    ds: Dataset,
+    *,
+    threshold: float = 0.9,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Exact cosine-DBSCAN over an embedding corpus -> one row per
+    vector: ``(vec_id, role, cluster)`` with role core/border/noise and
+    ``cluster`` = the smallest CORE vec_id of the density-connected
+    component (-1 for noise). The eps-neighborhood is ``cosine >=
+    threshold`` (rounded to 6 decimals, same contract as
+    :func:`kgdata_ray.stages.dedup.embedding_pairs`); a point is core
+    when its neighborhood (itself included) holds >= ``min_pts``
+    points. Classic DBSCAN assigns a border point to whichever core
+    reached it first — order-dependent; the engine pins the
+    deterministic rule "smallest component label among core
+    neighbors" so a sequential golden certifies it bit-for-bit.
+
+    Scale shape: the eps-graph comes from the distributed block-cross
+    matmul (exact contract, O(N^2) flops inherent — swap in
+    :func:`kgdata_ray.stages.dedup.embedding_pairs_lsh` for the
+    approximate sub-quadratic variant); everything after is
+    degree-count + core-core connected components + one border join —
+    pair-sized shuffles keyed on int64 ids, never vectors. Reference
+    analog: none (LLM-curation surface: density clustering for
+    diversity-aware sampling / outlier pruning)."""
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..stages.canonicalize import connected_components
+    from ..stages.dedup import embedding_pairs
+
+    pairs = embedding_pairs(
+        ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+    ).select_columns(["id_a", "id_b"]).materialize()
+
+    def both_dirs(b: pd.DataFrame) -> pa.Table:
+        u = np.concatenate([b["id_a"].to_numpy(np.int64),
+                            b["id_b"].to_numpy(np.int64)])
+        v = np.concatenate([b["id_b"].to_numpy(np.int64),
+                            b["id_a"].to_numpy(np.int64)])
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    sym = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # neighbor counts -> core flags (self counts toward min_pts)
+    deg = rename_cols(
+        scrub_empty_blocks(sym.groupby("u").count()),
+        {"u": "node", "count()": "n_nbrs"})
+
+    def core_flag(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "node": pa.array(b["node"].to_numpy(np.int64), pa.int64()),
+            "is_core": pa.array(
+                b["n_nbrs"].to_numpy(np.int64) + 1 >= min_pts, pa.bool_()),
+        })
+
+    flags = deg.map_batches(core_flag, batch_format="pandas").materialize()
+    cores = flags.filter(lambda r: bool(r["is_core"]))
+
+    # core-core edges (+ a self edge per core so isolated cores still
+    # form their own cluster) -> min-label components over cores only
+    ce = rename_cols(cores.select_columns(["node"]), {"node": "ca"})
+    cc_edges = scrub_empty_blocks(
+        sym.join(ce, join_type="inner", num_partitions=num_partitions,
+                 on=("u",), right_on=("ca",))
+        .join(rename_cols(cores.select_columns(["node"]), {"node": "cb"}),
+              join_type="inner", num_partitions=num_partitions,
+              on=("v",), right_on=("cb",)))
+
+    def self_edges(b: pd.DataFrame) -> pa.Table:
+        n = b["node"].to_numpy(np.int64)
+        return pa.table({"u": pa.array(n, pa.int64()),
+                         "v": pa.array(n, pa.int64())})
+
+    comp = connected_components(
+        cc_edges.select_columns(["u", "v"]).union(
+            cores.map_batches(self_edges, batch_format="pandas")),
+        src_col="u", dst_col="v")  # (node_id, component_id), cores only
+
+    # border points: non-core with >= 1 core neighbor -> min core
+    # neighbor's component; the join keeps only (u, core v) rows
+    nbr_comp = scrub_empty_blocks(
+        sym.join(rename_cols(comp, {"node_id": "cv"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("v",), right_on=("cv",)))
+    border_cand = rename_cols(
+        scrub_empty_blocks(
+            nbr_comp.select_columns(["u", "component_id"])
+            .groupby("u").min("component_id")),
+        {"u": "node", "min(component_id)": "border_comp"})
+
+    ids = ds.select_columns([id_col])
+    j = (ids.join(rename_cols(comp, {"node_id": "jn"}),
+                  join_type="left_outer", num_partitions=num_partitions,
+                  on=(id_col,), right_on=("jn",))
+         .join(rename_cols(border_cand, {"node": "bn"}),
+               join_type="left_outer", num_partitions=num_partitions,
+               on=(id_col,), right_on=("bn",)))
+
+    def finish(b: pd.DataFrame) -> pa.Table:
+        comp_v = b["component_id"]
+        border_v = b["border_comp"]
+        is_core = comp_v.notna().to_numpy()
+        is_border = (~is_core) & border_v.notna().to_numpy()
+        cluster = np.full(len(b), -1, np.int64)
+        cluster[is_core] = comp_v.to_numpy(np.float64)[is_core].astype(np.int64)
+        cluster[is_border] = border_v.to_numpy(np.float64)[is_border].astype(np.int64)
+        role = np.where(is_core, "core",
+                        np.where(is_border, "border", "noise"))
+        return pa.table({
+            "vec_id": pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+            "role": pa.array(role.tolist(), pa.string()),
+            "cluster": pa.array(cluster, pa.int64()),
+        })
+
+    return scrub_empty_blocks(j.map_batches(finish, batch_format="pandas"))

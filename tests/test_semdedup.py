@@ -113,3 +113,35 @@ def test_semdedup_tiled_gram_exact(ray_session, monkeypatch):
     want = [find(i) for i in range(n)]
     assert list(got["rep_id"]) == want
     assert (~got[got["vec_id"] >= 80]["kept"]).sum() >= 3
+
+
+def test_embedding_dbscan_matches_golden_multiblock(ray_session):
+    """Planted geometry across several blocks: two dense clusters
+    (cores + an attached border each), a faraway border-less pair, and
+    isolated noise — engine roles/clusters equal the naive golden."""
+    import numpy as np
+    import ray.data as rd
+
+    from kgdata_ray.oracle_sketch import golden_dbscan
+    from kgdata_ray.stages.similarity import embedding_dbscan
+
+    rng = np.random.RandomState(11)
+    base_a = rng.randn(8); base_b = rng.randn(8) * -1.0
+    rows = []
+    for i in range(6):  # cluster A cores (tight around base_a)
+        rows.append((i, base_a + 0.01 * rng.randn(8)))
+    rows.append((50, base_a + 0.9 * rng.randn(8)))  # likely border/noise
+    for i in range(6):  # cluster B cores
+        rows.append((100 + i, base_b + 0.01 * rng.randn(8)))
+    for i in range(8):  # isolated noise
+        rows.append((200 + i, rng.randn(8) * 3.0))
+    ids = [r[0] for r in rows]
+    vecs = [r[1].tolist() for r in rows]
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": v} for i, v in zip(ids, vecs)]
+    ).repartition(5)
+    got = (embedding_dbscan(ds, threshold=0.8, min_pts=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    want = golden_dbscan(ids, vecs, threshold=0.8, min_pts=4).to_pandas()
+    assert set(got["role"]) >= {"core", "noise"}
+    assert got.equals(want)
