@@ -1578,6 +1578,38 @@ _CHUNK_TOKENS = 32
 _CHUNK_STRIDE = 24
 
 
+_DE_SUFFIX = " der die das und ist von mit für auf ein"
+_FR_SUFFIX = " le la les et de des un une est pour"
+
+
+def q_chunk_lang_consistency(sf_dir: str) -> Dataset:
+    """Per-document language consistency across chunks
+    (stages/textstats.py:chunk_lang_consistency): mixed-language docs
+    are planted deterministically (doc_id % 3 == 0 gets a German
+    stopword passage, % 7 == 0 a French one), the doc is chunked
+    (32/24 token windows), each chunk language-ID'd, and the doc
+    reports its majority language plus the integer-exact fraction of
+    chunks agreeing with it — the wrong-language-span detector of a
+    corpus quality pipeline. Oracle: the full composition (augment ->
+    chunk -> per-chunk stopword vote -> per-doc majority) replayed in
+    SQL."""
+    from ..stages.textstats import chunk_lang_consistency
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        de = np.where(ids % 3 == 0, _DE_SUFFIX * 4, "")
+        fr = np.where(ids % 7 == 0, _FR_SUFFIX * 2, "")
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "text": b["text"] + de + fr})
+
+    return chunk_lang_consistency(
+        docs.map_batches(augment, batch_format="pandas"),
+        chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE)
+
+
 def q_chunk_documents(sf_dir: str) -> Dataset:
     """Token-window passage chunking with overlap
     (stages/textstats.py:chunk_documents) — windows every 24 tokens of
@@ -2745,6 +2777,7 @@ def queries() -> dict[str, Callable]:
         "label_centroids": q_label_centroids,
         "props_by_type": q_props_by_type,
         "chunk_documents": q_chunk_documents,
+        "chunk_lang_consistency": q_chunk_lang_consistency,
         "bucketed_join": q_bucketed_join,
         "watermark_windows": q_watermark_windows,
         "value_histogram": q_value_histogram,
@@ -3169,6 +3202,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM s
         """,
         "lang_id": _lang_id_sql(),
+        "chunk_lang_consistency": _chunk_lang_sql(),
         "propquery_filter": """
             SELECT * FROM documents
             WHERE lang = 'en' AND text LIKE '%the%'
@@ -4237,6 +4271,91 @@ def _token_counts_sql() -> str:
                CAST(length(regexp_extract_all(text, '{bpe}')) AS BIGINT)
                    AS n_tokens_bpe
         FROM documents
+    """
+
+
+def _chunk_lang_sql() -> str:
+    """The chunk_lang_consistency composition in SQL: same planted
+    augmentation, same 32/24 chunking, same stopword vote and
+    tie-breaks as the engine stage."""
+    from ..stages.textstats import _STOPWORDS
+
+    rows = ", ".join(
+        f"(\'{lang}\', \'{w}\')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH stop(lang, word) AS (VALUES {rows}),
+        aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN repeat(\'{_DE_SUFFIX}\', 4) ELSE \'\' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN repeat(\'{_FR_SUFFIX}\', 2) ELSE \'\' END
+                       AS text
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, \'\\s+\'),
+                               x -> x <> \'\') AS w
+            FROM aug
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                       w[i * {_CHUNK_STRIDE} + 1 :
+                         i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+                       \' \') AS chunk_text
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(ceil(CAST(len(w) AS DOUBLE)
+                               / {_CHUNK_STRIDE}) AS BIGINT) - 1))
+                     AS i) t
+            WHERE len(w) > 0
+        ),
+        toks AS (
+            SELECT doc_id, chunk_idx,
+                   unnest(regexp_extract_all(lower(chunk_text),
+                       \'[a-zäöüéèêàçñ]+\')) AS tok
+            FROM chunks
+        ),
+        scores AS (
+            SELECT t.doc_id, t.chunk_idx, s.lang, count(*) AS n
+            FROM toks t JOIN stop s ON t.tok = s.word
+            GROUP BY t.doc_id, t.chunk_idx, s.lang
+        ),
+        best AS (
+            SELECT doc_id, chunk_idx, lang,
+                   row_number() OVER (PARTITION BY doc_id, chunk_idx
+                       ORDER BY n DESC, lang ASC) AS rn
+            FROM scores
+        ),
+        pred AS (
+            SELECT c.doc_id, c.chunk_idx,
+                   COALESCE(b.lang, \'und\') AS lang_pred
+            FROM chunks c
+            LEFT JOIN best b ON c.doc_id = b.doc_id
+                AND c.chunk_idx = b.chunk_idx AND b.rn = 1
+        ),
+        votes AS (
+            SELECT doc_id, lang_pred, count(*) AS cnt
+            FROM pred GROUP BY doc_id, lang_pred
+        ),
+        ranked AS (
+            SELECT doc_id, lang_pred, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_chunks,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, lang_pred ASC) AS rn
+            FROM votes
+        )
+        SELECT doc_id, n_chunks, lang_pred AS majority_lang,
+               CAST(1000 * cnt // n_chunks AS BIGINT)
+                   AS consistency_milli
+        FROM ranked WHERE rn = 1
     """
 
 

@@ -778,3 +778,71 @@ def bigram_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_blockwise(parts, ["w1", "w2"], final)
+
+
+def chunk_lang_consistency(
+    ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
+    chunk_tokens: int = 32, stride: int = 24,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Per-document language consistency across passage chunks — the
+    mixed-language / wrong-language-span detector of an LLM-corpus
+    quality pipeline: chunk with :func:`chunk_documents`, language-ID
+    every chunk (same stopword scorer + tie-break as :class:`LangId`),
+    then per document report ``(n_chunks, majority_lang,
+    consistency_milli)`` where consistency_milli = 1000 *
+    majority_count // n_chunks (integer-exact). Majority tie-break is
+    pinned: count desc, then language code asc ('und' sorts with the
+    rest). Empty documents produce no chunks and no output row.
+
+    Scale shape: chunk + score are shuffle-free per-batch maps; the
+    only shuffle is a (doc_id, lang) count — output-sized, never
+    text."""
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+
+    chunks = chunk_documents(ds, id_col=id_col, text_col=text_col,
+                             chunk_tokens=chunk_tokens, stride=stride)
+
+    class _ChunkLang:
+        def __init__(self):
+            self.token_re = re.compile(r"[a-zäöüéèêàçñ]+")
+            self.langs = sorted(_STOPWORDS)
+            self.sets = [_STOPWORDS[lang] for lang in self.langs]
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            preds = []
+            for text in b["chunk_text"]:
+                toks = self.token_re.findall(text.lower())
+                scores = [sum(t in s for t in toks) for s in self.sets]
+                best = max(range(len(self.langs)),
+                           key=lambda i: (scores[i], -i))
+                preds.append(self.langs[best] if toks and scores[best] > 0
+                             else "und")
+            return pd.DataFrame({id_col: b[id_col], "lang_pred": preds})
+
+    preds = chunks.map_batches(_ChunkLang, batch_format="pandas",
+                               concurrency=concurrency, num_cpus=0.5)
+    counts = scrub_empty_blocks(
+        preds.groupby([id_col, "lang_pred"]).count())
+
+    def majority(b: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        b = b.sort_values([id_col, "count()", "lang_pred"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = b.groupby(id_col, sort=False)
+        tot = g["count()"].transform("sum")
+        first = g.cumcount() == 0
+        top = b[first]
+        return pa.table({
+            id_col: pa.array(top[id_col].to_numpy(np.int64), pa.int64()),
+            "n_chunks": pa.array(tot[first].to_numpy(np.int64), pa.int64()),
+            "majority_lang": pa.array(top["lang_pred"].tolist(),
+                                      pa.string()),
+            "consistency_milli": pa.array(
+                1000 * top["count()"].to_numpy(np.int64)
+                // tot[first].to_numpy(np.int64), pa.int64()),
+        })
+
+    return grouped_blockwise(counts, [id_col], majority)

@@ -227,3 +227,28 @@ def test_knn_ivf_distributed_batching_invariant_and_recall():
         hits += len(g & w)
         total += len(w)
     assert hits / total >= 0.5, hits / total
+
+
+def test_chunk_lang_consistency_majority_tiebreak(ray_session):
+    """Equal chunk votes resolve to the lexicographically smaller
+    language; consistency is integer-exact milli."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.textstats import chunk_lang_consistency
+
+    en = "the and of to a in is for that with on as are this it"
+    de = "der die das und ist von mit für auf ein eine nicht den im zu"
+    # 2 chunks (chunk_tokens=15, stride=15): one pure en, one pure de
+    docs = rd.from_items([
+        {"doc_id": 1, "text": en + " " + de},
+        {"doc_id": 2, "text": en + " " + en + " " + de},  # 2 en + 1 de
+        {"doc_id": 3, "text": ""},  # no chunks, no row
+    ])
+    got = (chunk_lang_consistency(docs, chunk_tokens=15, stride=15)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got.loc[0, "majority_lang"] == "de"  # tie 1-1 -> 'de' < 'en'
+    assert got.loc[0, "n_chunks"] == 2
+    assert got.loc[0, "consistency_milli"] == 500
+    assert got.loc[1, "majority_lang"] == "en"
+    assert got.loc[1, "consistency_milli"] == 1000 * 2 // 3
