@@ -64,6 +64,27 @@ def test_connected_components():
     assert lab == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_long_chain_doubling():
+    # a 60-hop path with max_rounds=10: the single-hop recurrence needs
+    # ~diameter rounds and would raise; pointer doubling converges in
+    # O(log diameter) and must still pick the min node id as the label
+    n = 61
+    edges = pa.table(
+        {
+            "src_id": [f"p{i:03d}" for i in range(n - 1)],
+            "dst_id": [f"p{i+1:03d}" for i in range(n - 1)],
+        }
+    )
+    lab = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(
+            rd.from_arrow(edges), max_rounds=10
+        ).take_all()
+    }
+    assert len(lab) == n
+    assert set(lab.values()) == {"p000"}
+
+
 def test_connected_components_star_and_singleton_free():
     edges = pa.table(
         {"src_id": ["h", "h", "h"], "dst_id": ["s1", "s2", "s3"]}
