@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 16
+SKETCH_ORACLE_VERSION = 17
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -556,6 +556,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "bpe_encode.parquet")
     pq.write_table(golden_image_features(ids),
                    out / "image_features.parquet")
+    pq.write_table(golden_jpeg_features(ids),
+                   out / "jpeg_features.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),
@@ -1106,6 +1108,450 @@ def golden_image_features(ids, *, limit=128, dim=8) -> pa.Table:
         luma = np.array(
             [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
              for row in px for p in row], np.float64) / 255.0
+        feats = [round(float(c.mean()), 4) if len(c) else 0.0
+                 for c in np.array_split(luma, dim)]
+        rows.append((i, "image", _hl.sha1(payload).hexdigest(), *feats))
+    names = (["item_id", "kind", "digest"]
+             + [f"feat_{j}" for j in range(dim)])
+    types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)
+
+
+# spec constants shared with the engine BY VALUE (they are in the
+# bitstream / ISO 10918-1 text, like the Huffman tables): pinned
+# integer DCT basis round(C(u) cos((2x+1)u pi/16) * 2^18), Annex K.1
+# quant tables, zig-zag order, Annex K.3 Huffman tables. All code
+# below is an independent scalar reimplementation (quadruple-loop
+# DCTs, bit-by-bit Huffman) of the baseline-JFIF contract.
+_JB = (
+    (185364, 185364, 185364, 185364, 185364, 185364, 185364, 185364),
+    (257107, 217965, 145639, 51142, -51142, -145639, -217965, -257107),
+    (242189, 100318, -100318, -242189, -242189, -100318, 100318, 242189),
+    (217965, -51142, -257107, -145639, 145639, 257107, 51142, -217965),
+    (185364, -185364, -185364, 185364, 185364, -185364, -185364, 185364),
+    (145639, -257107, 51142, 217965, -217965, -51142, 257107, -145639),
+    (100318, -242189, 242189, -100318, -100318, 242189, -242189, 100318),
+    (51142, -145639, 217965, -257107, 257107, -217965, 145639, -51142),
+)
+_JQL = (
+    (16, 11, 10, 16, 24, 40, 51, 61), (12, 12, 14, 19, 26, 58, 60, 55),
+    (14, 13, 16, 24, 40, 57, 69, 56), (14, 17, 22, 29, 51, 87, 80, 62),
+    (18, 22, 37, 56, 68, 109, 103, 77), (24, 35, 55, 64, 81, 104, 113, 92),
+    (49, 64, 78, 87, 103, 121, 120, 101), (72, 92, 95, 98, 112, 100, 103, 99),
+)
+_JQC = (
+    (17, 18, 24, 47, 99, 99, 99, 99), (18, 21, 26, 66, 99, 99, 99, 99),
+    (24, 26, 56, 99, 99, 99, 99, 99), (47, 66, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99), (99, 99, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99), (99, 99, 99, 99, 99, 99, 99, 99),
+)
+_JZZ = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+)
+_JH_DC_L = ((0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+            tuple(range(12)))
+_JH_DC_C = ((0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+            tuple(range(12)))
+_JH_AC_L = (
+    (0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA),
+)
+_JH_AC_C = (
+    (0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA),
+)
+
+
+def _jpeg_scalar_encode(px, h, w, mode):
+    """Independent scalar baseline-JFIF encoder (quadruple-loop FDCT,
+    per-symbol bit writer). ``px[y][x]`` = (r, g, b)."""
+    import struct as _st
+
+    # color convert + pad to whole MCUs by edge replication
+    mcu = 16 if mode == "420" else 8
+    ph = ((h + mcu - 1) // mcu) * mcu
+    pw = ((w + mcu - 1) // mcu) * mcu
+    Y = [[0] * pw for _ in range(ph)]
+    CB = [[0] * pw for _ in range(ph)]
+    CR = [[0] * pw for _ in range(ph)]
+    for yy in range(ph):
+        sy = min(yy, h - 1)
+        for xx in range(pw):
+            sx = min(xx, w - 1)
+            r, g, b = px[sy][sx]
+            Y[yy][xx] = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+            CB[yy][xx] = (-11059 * r - 21709 * g + 32768 * b
+                          + 8421376) >> 16
+            CR[yy][xx] = (32768 * r - 27439 * g - 5329 * b
+                          + 8421376) >> 16
+    if mode == "420":
+        cbs = [[(CB[2 * j][2 * i] + CB[2 * j][2 * i + 1]
+                 + CB[2 * j + 1][2 * i] + CB[2 * j + 1][2 * i + 1] + 2)
+                >> 2 for i in range(pw // 2)] for j in range(ph // 2)]
+        crs = [[(CR[2 * j][2 * i] + CR[2 * j][2 * i + 1]
+                 + CR[2 * j + 1][2 * i] + CR[2 * j + 1][2 * i + 1] + 2)
+                >> 2 for i in range(pw // 2)] for j in range(ph // 2)]
+    else:
+        cbs, crs = CB, CR
+
+    def codes(table):
+        bits, vals = table
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_l, ac_l = codes(_JH_DC_L), codes(_JH_AC_L)
+    dc_c, ac_c = codes(_JH_DC_C), codes(_JH_AC_C)
+
+    bitbuf = []
+
+    def put(code, ln):
+        for i in range(ln - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def block_encode(plane, y0, x0, quant, dcc, acc, pred):
+        fi = [[0] * 8 for _ in range(8)]
+        for u in range(8):
+            for v in range(8):
+                s = 0
+                for yy in range(8):
+                    for xx in range(8):
+                        s += (_JB[u][yy] * (plane[y0 + yy][x0 + xx] - 128)
+                              * _JB[v][xx])
+                fi[u][v] = s
+        zz = []
+        for (rr, cc) in _JZZ:
+            den = quant[rr][cc] << 38
+            val = fi[rr][cc]
+            q = (abs(val) + (den >> 1)) // den
+            zz.append(-q if val < 0 else q)
+        diff = zz[0] - pred
+        a = abs(diff)
+        ssss = a.bit_length()
+        c, ln = dcc[ssss]
+        put(c, ln)
+        if ssss:
+            put(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = acc[0xF0]
+                put(c, ln)
+                run -= 16
+            ssss = abs(v).bit_length()
+            c, ln = acc[(run << 4) | ssss]
+            put(c, ln)
+            put(v if v > 0 else v + (1 << ssss) - 1, ssss)
+            run = 0
+        if run:
+            c, ln = acc[0x00]
+            put(c, ln)
+        return zz[0]
+
+    preds = [0, 0, 0]
+    nl = 2 if mode == "420" else 1
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            for by in range(nl):
+                for bx in range(nl):
+                    preds[0] = block_encode(
+                        Y, my * mcu + by * 8, mx * mcu + bx * 8,
+                        _JQL, dc_l, ac_l, preds[0])
+            if mode == "gray":
+                continue
+            preds[1] = block_encode(cbs, my * 8, mx * 8, _JQC,
+                                    dc_c, ac_c, preds[1])
+            preds[2] = block_encode(crs, my * 8, mx * 8, _JQC,
+                                    dc_c, ac_c, preds[2])
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    scan = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i:i + 8]:
+            byte = (byte << 1) | b
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, body):
+        return _st.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid, q):
+        return seg(0xFFDB, bytes([tid])
+                   + bytes(q[rr][cc] for (rr, cc) in _JZZ))
+
+    def dht(cls, tid, table):
+        bits, vals = table
+        return seg(0xFFC4, bytes([(cls << 4) | tid])
+                   + bytes(bits[1:17]) + bytes(vals))
+
+    samp_y = 0x22 if mode == "420" else 0x11
+    if mode == "gray":
+        sof = seg(0xFFC0, _st.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0]))
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        tables = dqt(0, _JQL) + dht(0, 0, _JH_DC_L) + dht(1, 0, _JH_AC_L)
+    else:
+        sof = seg(0xFFC0, _st.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, samp_y, 0]) + bytes([2, 0x11, 1])
+                  + bytes([3, 0x11, 1]))
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        tables = (dqt(0, _JQL) + dqt(1, _JQC)
+                  + dht(0, 0, _JH_DC_L) + dht(1, 0, _JH_AC_L)
+                  + dht(0, 1, _JH_DC_C) + dht(1, 1, _JH_AC_C))
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (b"\xff\xd8" + app0 + tables + sof + sos + bytes(scan)
+            + b"\xff\xd9")
+
+
+def _jpeg_scalar_decode(payload):
+    """Independent scalar baseline-JFIF decoder: bit-by-bit canonical
+    Huffman keyed by (length, code) strings, direct quadruple-loop
+    integer IDCT, nearest upsample, pinned scalar color convert.
+    Returns (h, w, pixel rows of (r, g, b))."""
+    import struct as _st
+
+    pos = 2
+    quant = {}
+    huff = {}
+    frame = None
+    scan_comps = None
+    scan = None
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = _st.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                tid = body[i] & 0xF
+                q = [[0] * 8 for _ in range(8)]
+                for k in range(64):
+                    rr, cc = _JZZ[k]
+                    q[rr][cc] = body[i + 1 + k]
+                quant[tid] = q
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = [0] + list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                # (length, code) -> symbol via canonical enumeration
+                table = {}
+                code = 0
+                k = 0
+                for l in range(1, 17):
+                    for _ in range(bits[l]):
+                        table[(l, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                i += 17 + n
+        elif marker == 0xC0:
+            _, fh, fw, nc = _st.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                           body[2 + 2 * c] & 0xF) for c in range(ns)]
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] != 0x00:
+                    break
+                end += 1
+            scan = payload[pos:end].replace(b"\xff\x00", b"\xff")
+            break
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mbx = (fw + 8 * hmax - 1) // (8 * hmax)
+    mby = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    bits = []
+    for byte in scan:
+        for i in range(7, -1, -1):
+            bits.append((byte >> i) & 1)
+    bp = [0]
+
+    def read(n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bits[bp[0]]
+            bp[0] += 1
+        return v
+
+    def huff_decode(table):
+        code = 0
+        for l in range(1, 17):
+            code = (code << 1) | bits[bp[0]]
+            bp[0] += 1
+            if (l, code) in table:
+                return table[(l, code)]
+        raise ValueError("bad code")
+
+    def extend(v, ssss):
+        if ssss == 0:
+            return 0
+        return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+    by_id = {cs: (td, ta) for cs, td, ta in scan_comps}
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append([[0] * (mbx * ch * 8) for _ in range(mby * cv * 8)])
+    preds = [0] * len(comps)
+    for m in range(mby * mbx):
+        my, mx = m // mbx, m % mbx
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            td, ta = by_id[cid]
+            dc, ac = huff[(0, td)], huff[(1, ta)]
+            q = quant[tq]
+            for bi in range(ch * cv):
+                by, bx = bi // ch, bi % ch
+                d = [[0] * 8 for _ in range(8)]
+                ssss = huff_decode(dc)
+                preds[ci] += extend(read(ssss), ssss)
+                d[0][0] = preds[ci] * q[0][0]
+                k = 1
+                while k < 64:
+                    rs = huff_decode(ac)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    rr, cc = _JZZ[k]
+                    d[rr][cc] = extend(read(s), s) * q[rr][cc]
+                    k += 1
+                y0 = (my * cv + by) * 8
+                x0 = (mx * ch + bx) * 8
+                for yy in range(8):
+                    for xx in range(8):
+                        s = 0
+                        for u in range(8):
+                            for v in range(8):
+                                s += _JB[u][yy] * d[u][v] * _JB[v][xx]
+                        val = ((s + (1 << 37)) >> 38) + 128
+                        planes[ci][y0 + yy][x0 + xx] = min(max(val, 0), 255)
+    # scalar nearest upsample + pinned color convert
+    out = []
+    for yy in range(fh):
+        row = []
+        for xx in range(fw):
+            if len(comps) == 1:
+                g = planes[0][yy][xx]
+                row.append((g, g, g))
+                continue
+            yv = planes[0][yy][xx]
+            _, ch1, cv1, _ = comps[1]
+            cb = planes[1][yy * cv1 // vmax][xx * ch1 // hmax]
+            cr = planes[2][yy * cv1 // vmax][xx * ch1 // hmax]
+            r = yv + ((91881 * (cr - 128) + 32768) >> 16)
+            g = yv - ((22554 * (cb - 128) + 46802 * (cr - 128)
+                       + 32768) >> 16)
+            b = yv + ((116130 * (cb - 128) + 32768) >> 16)
+            row.append((min(max(r, 0), 255), min(max(g, 0), 255),
+                        min(max(b, 0), 255)))
+        out.append(row)
+    return fh, fw, out
+
+
+def golden_jpeg_features(ids, *, limit=128, dim=8) -> pa.Table:
+    """Independent real-JPEG-decode golden: re-encodes each synthetic
+    payload from the fixture formulas (w = 9 + id%14, h = 7 + id%12,
+    byte = (5x + 3c + 17y + 11 id) mod 256, mode cycling 4:2:0 / 4:4:4
+    / grayscale) with the scalar spec encoder above — digest equality
+    proves the engine's vectorized encoder implements the same pinned
+    all-integer contract — then scalar-decodes those bytes bit by bit
+    and emits the pinned integer-luma bucket means. Everything here is
+    quadruple loops and Python ints; the engine side is batched int64
+    matmuls (stages/jpegcodec.py). Integer associativity makes the two
+    bit-identical when both are right."""
+    import hashlib as _hl
+
+    rows = []
+    for i in list(ids)[:limit]:
+        i = int(i)
+        w, h = 9 + i % 14, 7 + i % 12
+        px = [[tuple((5 * x + 3 * c + 17 * y + 11 * i) % 256
+                     for c in range(3)) for x in range(w)]
+              for y in range(h)]
+        mode = ("420", "444", "gray")[i % 3]
+        payload = _jpeg_scalar_encode(px, h, w, mode)
+        dh, dw, dec = _jpeg_scalar_decode(payload)
+        luma = np.array(
+            [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+             for row in dec for p in row], np.float64) / 255.0
         feats = [round(float(c.mean()), 4) if len(c) else 0.0
                  for c in np.array_split(luma, dim)]
         rows.append((i, "image", _hl.sha1(payload).hexdigest(), *feats))

@@ -2620,6 +2620,43 @@ def q_audio_headers(sf_dir: str) -> Dataset:
     return parse_audio_headers(media_from_documents_wav(docs))
 
 
+def q_jpeg_features(sf_dir: str) -> Dataset:
+    """REAL baseline-JPEG decode with NO external codec: synthetic
+    payloads are fully decodable JFIF files (real Huffman scans,
+    Annex-K tables, subsampling mode cycling 4:2:0 / 4:4:4 /
+    grayscale) and the DecodeFeatures actor pool entropy-decodes,
+    dequantizes and inverse-DCTs them with the in-repo all-integer
+    codec (stages/jpegcodec.py), converts to pinned integer luma and
+    emits 8 bucket means. The golden re-encodes AND re-decodes with an
+    independent scalar implementation (quadruple-loop DCTs, bit-by-bit
+    Huffman) — digest equality certifies the encoder contract, feature
+    equality the decoder (oracle_sketch.golden_jpeg_features)."""
+    from ..stages.multimodal import (
+        decode_features,
+        media_from_documents_jpeg_valid,
+    )
+
+    media = media_from_documents_jpeg_valid(
+        _t(sf_dir, "documents").limit(128))
+    feats = decode_features(media, engine="real")
+
+    def flatten(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {
+            "item_id": t["item_id"],
+            "kind": t["kind"],
+            "digest": t["digest"],
+        }
+        lists = t["feat"].to_pylist()
+        mat = np.asarray(lists, dtype=np.float64).round(4)
+        for j in range(mat.shape[1] if len(lists) else 8):
+            cols[f"feat_{j}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_video_headers(sf_dir: str) -> Dataset:
     """REAL MP4/ISO-BMFF box walking over synthetic structurally-valid
     payloads (stages/multimodal.py:parse_mp4_header) — ftyp brand,
@@ -2841,6 +2878,7 @@ def queries() -> dict[str, Callable]:
         "audio_headers": q_audio_headers,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
+        "jpeg_features": q_jpeg_features,
         "video_headers": q_video_headers,
         "merge_upserts": q_merge_upserts,
         "kg_neighborhood_jaccard": q_kg_neighborhood_jaccard,
@@ -4082,6 +4120,11 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
             SELECT item_id, kind, digest, feat_0, feat_1, feat_2,
                    feat_3, feat_4, feat_5, feat_6, feat_7
             FROM read_parquet('{d}/image_features.parquet')
+        """,
+        "jpeg_features": f"""
+            SELECT item_id, kind, digest, feat_0, feat_1, feat_2,
+                   feat_3, feat_4, feat_5, feat_6, feat_7
+            FROM read_parquet('{d}/jpeg_features.parquet')
         """,
         "gif_pixel_frames": f"""
             SELECT item_id, frame_idx, width, height, mean_luma_milli

@@ -69,10 +69,13 @@ class DecodeFeatures:
 
     ``engine="real"`` actually decodes what this container can decode:
     PCM WAV audio via the stdlib ``wave`` module (samples normalized to
-    [-1, 1), ``dim`` bucket means), and images via Pillow when it is
-    importable (grayscale pixel bucket means; the import is guarded in
-    ``__init__`` so the actor still constructs without it and only an
-    image payload raises). Video and non-PCM codecs raise
+    [-1, 1), ``dim`` bucket means), RGB PNG via the in-repo stdlib
+    inflate+unfilter decoder, baseline JFIF (JPEG) via the in-repo
+    all-integer codec (stages/jpegcodec.py), animated GIF via the
+    in-repo LZW decoder, and other image formats via Pillow when it is
+    importable (the import is guarded in ``__init__`` so the actor
+    still constructs without it and only such a payload raises).
+    Inter-frame-predicted video and non-PCM audio codecs raise
     NotImplementedError — declared, not silently faked.
     """
 
@@ -128,10 +131,20 @@ class DecodeFeatures:
                         + 114 * rgb[..., 2]) // 1000
                 return self._bucket_means(
                     luma.ravel().astype(np.float64) / 255.0)
+            if payload[:2] == b"\xff\xd8":
+                # baseline JFIF via the in-repo all-integer codec
+                # (stages/jpegcodec.py); same pinned luma contract
+                from .jpegcodec import decode_jpeg
+
+                rgb = decode_jpeg(payload).astype(np.int64)
+                luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
+                        + 114 * rgb[..., 2]) // 1000
+                return self._bucket_means(
+                    luma.ravel().astype(np.float64) / 255.0)
             if self._pil is None:
                 raise NotImplementedError(
-                    "non-PNG image decode requires Pillow, which is "
-                    "not importable in this environment")
+                    "non-PNG/JPEG image decode requires Pillow, which "
+                    "is not importable in this environment")
             img = self._pil.open(io.BytesIO(payload)).convert("L")
             a = np.asarray(img, dtype=np.float64) / 255.0
             return self._bucket_means(a.ravel())
@@ -922,6 +935,48 @@ def media_from_documents_png_valid(docs: Dataset) -> Dataset:
     def fn(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         payload = [valid_png_bytes(int(i)) for i in ids]
+        meta = [json.dumps({"kind": "image", "n_bytes": len(p)},
+                           sort_keys=True) for p in payload]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["image"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def valid_jpeg_bytes(item_id: int) -> bytes:
+    """Deterministic fully-decodable baseline JPEG: dimensions and
+    pixels derive from ``item_id`` (pixel byte = (5x + 3c + 17y +
+    11 id) mod 256); the subsampling mode cycles 4:2:0 / 4:4:4 /
+    grayscale with ``item_id`` so the decoder's every sampling branch
+    is exercised by the synthetic corpus itself."""
+    from .jpegcodec import encode_jpeg
+
+    w = 9 + item_id % 14
+    h = 7 + item_id % 12
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    rgb = ((5 * x + 3 * c + 17 * y + 11 * item_id) % 256).astype(np.uint8)
+    mode = ("420", "444", "gray")[item_id % 3]
+    return encode_jpeg(rgb, subsampling=mode)
+
+
+def media_from_documents_jpeg_valid(docs: Dataset) -> Dataset:
+    """Synthetic image table whose payloads are fully DECODABLE
+    baseline JPEGs (real Huffman scan, Annex-K tables, mixed
+    subsampling modes) — the JFIF counterpart of
+    :func:`media_from_documents_png_valid`."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [valid_jpeg_bytes(int(i)) for i in ids]
         meta = [json.dumps({"kind": "image", "n_bytes": len(p)},
                            sort_keys=True) for p in payload]
         return pa.Table.from_arrays(

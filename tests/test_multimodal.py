@@ -185,19 +185,22 @@ def test_decode_features_real_audio(ray_session):
 
 
 def test_decode_features_real_image_requires_pillow(ray_session):
-    """Non-PNG image decode under engine='real' needs Pillow (PNG has
-    its own stdlib decoder): decodes for real when importable, raises
-    the declared NotImplementedError when not."""
+    """Image formats with no in-repo decoder (PNG/JPEG have stdlib
+    codecs) need Pillow under engine='real': decode for real when it
+    is importable, raise the declared NotImplementedError when not."""
     import pytest
 
-    from kgdata_ray.stages.multimodal import DecodeFeatures, jpeg_bytes
+    from kgdata_ray.stages.multimodal import DecodeFeatures
     import pyarrow as pa
 
     dec = DecodeFeatures(engine="real")
+    # a syntactically minimal BMP header — a format the repo's stdlib
+    # codecs do not cover
+    bmp = b"BM" + b"\x00" * 60
     t = pa.table({
         "item_id": pa.array([1], pa.int64()),
         "kind": pa.array(["image"], pa.string()),
-        "payload": pa.array([jpeg_bytes(16, 16)], pa.binary()),
+        "payload": pa.array([bmp], pa.binary()),
         "meta": pa.array(["{}"], pa.string()),
     })
     try:
@@ -205,9 +208,103 @@ def test_decode_features_real_image_requires_pillow(ray_session):
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
             dec(t)
-        pytest.skip("Pillow not importable: real non-PNG decode declared")
+        pytest.skip(
+            "Pillow not importable: real non-PNG/JPEG decode declared")
     out = dec(t)
     assert out.num_rows == 1  # real decode ran
+
+
+def test_jpeg_codec_roundtrip_all_modes():
+    """The all-integer baseline-JFIF codec is deterministic and
+    round-trips with bounded loss in every subsampling mode."""
+    import numpy as np
+
+    from kgdata_ray.stages.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+    )
+
+    h, w = 21, 19
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(x * 3 + y * 2) % 256, (x + y * 5) % 256, (x * 7) % 256],
+        axis=-1).astype(np.uint8)
+    for mode in ("420", "444", "gray"):
+        b = encode_jpeg(rgb, subsampling=mode)
+        assert b == encode_jpeg(rgb, subsampling=mode)  # deterministic
+        out = decode_jpeg(b)
+        assert out.shape == rgb.shape
+        assert (decode_jpeg(b) == out).all()
+        if mode == "gray":
+            ref = rgb_to_ycbcr(rgb.astype(np.int64))[..., 0]
+            err = out[..., 0].astype(np.int64) - ref
+            assert (out[..., 0] == out[..., 1]).all()
+        else:
+            err = out.astype(np.int64) - rgb.astype(np.int64)
+        mse = float((np.asarray(err) ** 2).mean())
+        assert mse < 50.0, (mode, mse)
+
+
+def test_jpeg_codec_smooth_image_high_fidelity():
+    import numpy as np
+
+    from kgdata_ray.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+    h, w = 64, 48
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(x * 2 + y) % 200 + 20, (x + y * 2) % 200 + 20,
+         (x * 3) % 200 + 20], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    mse = float(
+        ((out.astype(np.int64) - rgb.astype(np.int64)) ** 2).mean())
+    assert 10 * np.log10(255 ** 2 / mse) > 35.0  # PSNR dB
+
+
+def test_jpeg_engine_matches_scalar_golden():
+    """Engine (vectorized int64 matmuls) and oracle (quadruple loops,
+    bit-by-bit Huffman) produce byte-identical files and
+    pixel-identical decodes — the all-integer contract at work."""
+    import numpy as np
+
+    from kgdata_ray.oracle_sketch import (
+        _jpeg_scalar_decode,
+        _jpeg_scalar_encode,
+    )
+    from kgdata_ray.stages.jpegcodec import decode_jpeg
+    from kgdata_ray.stages.multimodal import valid_jpeg_bytes
+
+    for i in (0, 1, 2, 7, 11):  # covers all three subsampling modes
+        eng = valid_jpeg_bytes(i)
+        w, h = 9 + i % 14, 7 + i % 12
+        px = [[tuple((5 * x + 3 * c + 17 * y + 11 * i) % 256
+                     for c in range(3)) for x in range(w)]
+              for y in range(h)]
+        gold = _jpeg_scalar_encode(px, h, w, ("420", "444", "gray")[i % 3])
+        assert eng == gold
+        _, _, dec_gold = _jpeg_scalar_decode(gold)
+        assert (decode_jpeg(eng).astype(np.int64)
+                == np.array(dec_gold, np.int64)).all()
+
+
+def test_jpeg_decode_declared_boundaries():
+    import pytest
+
+    from kgdata_ray.stages.jpegcodec import decode_jpeg
+    from kgdata_ray.stages.multimodal import jpeg_bytes, valid_jpeg_bytes
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x00")
+    # header-only stub payload: structurally a JPEG but no scan
+    with pytest.raises(ValueError, match="missing SOF0/SOS"):
+        decode_jpeg(jpeg_bytes(16, 16))
+    # progressive marker (SOF2) is a declared NotImplementedError
+    b = bytearray(valid_jpeg_bytes(0))
+    idx = b.find(b"\xff\xc0")
+    b[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(b))
 
 
 def test_decode_features_real_video_declared(ray_session):
