@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 17
+SKETCH_ORACLE_VERSION = 18
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -558,6 +558,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "image_features.parquet")
     pq.write_table(golden_jpeg_features(ids),
                    out / "jpeg_features.parquet")
+    pq.write_table(golden_mjpeg_frames(ids),
+                   out / "mjpeg_frames.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),
@@ -1558,6 +1560,91 @@ def golden_jpeg_features(ids, *, limit=128, dim=8) -> pa.Table:
     names = (["item_id", "kind", "digest"]
              + [f"feat_{j}" for j in range(dim)])
     types = [pa.int64(), pa.string(), pa.string()] + [pa.float64()] * dim
+    return _pair_table(rows, names, types)
+
+
+def _avi_scalar_assemble(payloads, w, h, nf, fps=10):
+    """Independent scalar RIFF/AVI assembler mirroring the documented
+    container layout (avih + strl('vids'/'MJPG') + movi '00dc' chunks
+    + idx1) byte for byte."""
+    import struct as _st
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _st.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    buf = max(len(p) for p in payloads)
+    avih = _st.pack("<14I", 1_000_000 // fps, buf * fps, 0, 0x10,
+                    nf, 0, 1, buf, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + _st.pack("<IHHIIIIIIi", 0, 0, 0, 0, 1, fps, 0, nf, buf, -1)
+            + _st.pack("<I", 0) + _st.pack("<4H", 0, 0, w, h))
+    strf = _st.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                    w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    idx = bytearray()
+    off = 4
+    for p in payloads:
+        idx += b"00dc" + _st.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+def golden_mjpeg_frames(ids, *, limit=128) -> pa.Table:
+    """Independent real-MJPEG-AVI-decode golden: re-encodes each
+    synthetic video from the fixture formulas (n_frames = 2 + id%3,
+    w = 9 + id%10, h = 7 + id%9, byte = (5x + 3c + 17y + 23f + 11 id)
+    mod 256, subsampling alternating 4:2:0 / 4:4:4) with the scalar
+    JPEG encoder + scalar AVI assembler above — digest equality
+    certifies both engine encoders — then walks the RIFF chunks with
+    its own scalar parser, bit-decodes every '00dc' JPEG and emits the
+    pinned per-frame integer mean luma."""
+    import hashlib as _hl
+    import struct as _st
+
+    rows = []
+    for i in list(ids)[:limit]:
+        i = int(i)
+        w, h, nf = 9 + i % 10, 7 + i % 9, 2 + i % 3
+        mode = ("420", "444")[i % 2]
+        payloads = []
+        for f in range(nf):
+            px = [[tuple((5 * x + 3 * c + 17 * y + 23 * f + 11 * i) % 256
+                         for c in range(3)) for x in range(w)]
+                  for y in range(h)]
+            payloads.append(_jpeg_scalar_encode(px, h, w, mode))
+        avi = _avi_scalar_assemble(payloads, w, h, nf)
+        dg = _hl.sha1(avi).hexdigest()
+        # independent scalar RIFF walk: collect '00dc' chunk bodies
+        jpegs = []
+        stack = [(12, 8 + _st.unpack("<I", avi[4:8])[0])]
+        while stack:
+            lo, hi = stack.pop()
+            p = lo
+            while p + 8 <= hi:
+                tag = avi[p:p + 4]
+                ln = _st.unpack("<I", avi[p + 4:p + 8])[0]
+                if tag == b"LIST":
+                    stack.append((p + 12, p + 8 + ln))
+                elif tag == b"00dc" and ln:
+                    jpegs.append(avi[p + 8:p + 8 + ln])
+                p += 8 + ln + (ln % 2)
+        for f, jb in enumerate(jpegs):
+            dh, dw, dec = _jpeg_scalar_decode(jb)
+            total = 0
+            for row in dec:
+                for (r, g, b) in row:
+                    total += (299 * r + 587 * g + 114 * b) // 1000
+            rows.append((i, f, dw, dh, 1000 * total // (dw * dh), dg))
+    names = ["item_id", "frame_idx", "width", "height",
+             "mean_luma_milli", "digest"]
+    types = [pa.int64()] * 5 + [pa.string()]
     return _pair_table(rows, names, types)
 
 

@@ -2343,6 +2343,27 @@ def q_gif_pixel_frames(sf_dir: str) -> Dataset:
     return gif_frame_stats(media)
 
 
+def q_mjpeg_frame_stats(sf_dir: str) -> Dataset:
+    """REAL VIDEO decode with NO external codec: payloads are complete
+    MJPEG AVI files (real RIFF container, every frame an independent
+    baseline-JPEG scan — stages/multimodal.py:encode_avi_mjpeg over
+    stages/jpegcodec.py) and mjpeg_frame_stats walks the movi chunks,
+    entropy-decodes + inverse-DCTs every frame and emits the pinned
+    per-frame integer mean luma plus the container digest. The golden
+    re-encodes AND re-decodes everything with independent scalar code
+    (oracle_sketch.golden_mjpeg_frames) — digest certifies the
+    encoders, stats the decoders. Inter-frame-predicted codecs remain
+    the declared NotImplementedError boundary."""
+    from ..stages.multimodal import (
+        media_from_documents_avi_valid,
+        mjpeg_frame_stats,
+    )
+
+    media = media_from_documents_avi_valid(
+        _t(sf_dir, "documents").limit(128))
+    return mjpeg_frame_stats(media)
+
+
 def q_mode_event_type(sf_dir: str) -> Dataset:
     """Grouped mode: each user's most frequent event type (ties ->
     lexicographically smallest) — count shuffle then per-group top-1
@@ -2894,6 +2915,7 @@ def queries() -> dict[str, Callable]:
         "retention_cohorts": q_retention_cohorts,
         "gif_frame_counts": q_gif_frame_counts,
         "gif_pixel_frames": q_gif_pixel_frames,
+        "mjpeg_frame_stats": q_mjpeg_frame_stats,
         "mode_event_type": q_mode_event_type,
         "dedup_representatives": q_dedup_representatives,
         "funnel_windowed": q_funnel_windowed,
@@ -4129,6 +4151,11 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "gif_pixel_frames": f"""
             SELECT item_id, frame_idx, width, height, mean_luma_milli
             FROM read_parquet('{d}/gif_frames.parquet')
+        """,
+        "mjpeg_frame_stats": f"""
+            SELECT item_id, frame_idx, width, height, mean_luma_milli,
+                   digest
+            FROM read_parquet('{d}/mjpeg_frames.parquet')
         """,
         "embedding_dbscan": f"""
             SELECT vec_id, role, cluster

@@ -4,11 +4,14 @@ Image/audio/video payloads are carried as Arrow ``binary`` columns next
 to a ``kind`` discriminator and a JSON ``meta`` column. The decode /
 feature-extract / resize / frame-sample operators are actor-pool
 ``map_batches`` stages whose Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested; the *codec* itself
-is stubbed — the decode libs are not in this container — behind either
-``NotImplementedError`` (``engine="real"``) or a deterministic fake
-(``engine="fake"``, byte-level statistics standing in for decoded
-features).
+actor signature, output layout) is real and tested. The codecs this
+container can implement from spec are REAL: PCM WAV (stdlib ``wave``),
+RGB PNG (zlib inflate + unfilter), animated GIF (LZW), baseline JPEG
+(all-integer DCT codec, stages/jpegcodec.py) and MJPEG AVI (RIFF +
+per-frame JPEG). Only formats that genuinely need external codec
+libraries (inter-frame-predicted video, non-PCM audio, other still
+formats without Pillow) raise the declared ``NotImplementedError``;
+``engine="fake"`` remains as a deterministic byte-level stand-in.
 
 Scale notes: binary rows are wide — callers should use small
 ``batch_size`` (default 256 here vs 8192 for text) so
@@ -156,9 +159,16 @@ class DecodeFeatures:
                         + 114 * rgb[..., 2]) // 1000
                 return self._bucket_means(
                     luma.ravel().astype(np.float64) / 255.0)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                # MJPEG AVI via the in-repo JPEG codec; same contract
+                rgb = decode_avi_mjpeg(payload).astype(np.int64)
+                luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
+                        + 114 * rgb[..., 2]) // 1000
+                return self._bucket_means(
+                    luma.ravel().astype(np.float64) / 255.0)
             raise NotImplementedError(
-                "non-GIF video decode (inter-frame-predicted codecs) "
-                "requires codec libraries not present in this "
+                "non-GIF/MJPEG video decode (inter-frame-predicted "
+                "codecs) requires codec libraries not present in this "
                 "environment")
         raise NotImplementedError(
             f"real decode for kind={kind!r} requires codec libraries "
@@ -1264,6 +1274,183 @@ def gif_frame_stats(media: Dataset, *, batch_size: int = 64) -> Dataset:
             "width": pa.array(widths, pa.int64()),
             "height": pa.array(heights, pa.int64()),
             "mean_luma_milli": pa.array(luma, pa.int64()),
+        })
+
+    return media.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# REAL MJPEG-in-AVI video decode. Motion JPEG is the one genuine VIDEO
+# codec (every frame an independent baseline JPEG — webcams, capture
+# cards) that needs no inter-frame prediction, so the in-repo JPEG
+# codec (stages/jpegcodec.py) makes whole AVI files decodable with no
+# external library. Inter-frame-predicted codecs (H.264 etc.) remain
+# the declared NotImplementedError boundary. Reference analog: none
+# (the reference has no media decode); this is the engine's
+# LLM-training-data multimodal surface.
+
+
+def encode_avi_mjpeg(frames: list, *, fps: int = 10,
+                     subsampling: str = "420") -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> minimal spec-shaped AVI
+    (RIFF 'AVI ': hdrl with avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER), movi with one '00dc' JPEG chunk per frame,
+    idx1). Deterministic: frame payloads come from the all-integer
+    JPEG encoder."""
+    from .jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, subsampling=subsampling) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    buf_size = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, buf_size * fps, 0, 0x10,  # HASINDEX
+        len(frames), 0, 1, buf_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIi", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), buf_size, -1)
+            + struct.pack("<I", 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of 'movi' fourcc
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> "np.ndarray":
+    """AVI bytes -> (n_frames, h, w, 3) uint8 via per-frame JPEG
+    decode of the '00dc'/'00db' movi chunks. Raises ValueError on a
+    non-AVI RIFF and NotImplementedError when the stream is not
+    MJPEG (inter-frame codecs are the declared boundary)."""
+    from .jpegcodec import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    # stream format check from the strl header when present
+    sp = payload.find(b"strh")
+    if sp != -1 and payload[sp + 8:sp + 12] == b"vids":
+        handler = payload[sp + 12:sp + 16]
+        if handler not in (b"MJPG", b"mjpg"):
+            raise NotImplementedError(
+                f"AVI video codec {handler!r} (inter-frame prediction) "
+                "is not decodable without codec libraries")
+    frames = []
+    pos = 12
+    end = 8 + struct.unpack("<I", payload[4:8])[0]
+    stack = [(pos, min(end, len(payload)))]
+    while stack:
+        lo, hi = stack.pop()
+        p = lo
+        while p + 8 <= hi:
+            tag = payload[p:p + 4]
+            ln = struct.unpack("<I", payload[p + 4:p + 8])[0]
+            body_lo = p + 8
+            if tag == b"LIST":
+                stack.append((body_lo + 4, body_lo + ln))
+            elif tag in (b"00dc", b"00db") and ln:
+                frames.append(decode_jpeg(payload[body_lo:body_lo + ln]))
+            p = body_lo + ln + (ln % 2)
+    if not frames:
+        raise ValueError("no video frames in movi")
+    return np.stack(frames)
+
+
+def valid_avi_bytes(item_id: int) -> bytes:
+    """Deterministic fully-decodable MJPEG AVI: n_frames = 2 +
+    id % 3, dimensions and pixels derive from ``item_id`` (pixel
+    byte = (5x + 3c + 17y + 23f + 11 id) mod 256), subsampling
+    alternating 4:2:0 / 4:4:4 with the id."""
+    w = 9 + item_id % 10
+    h = 7 + item_id % 9
+    nf = 2 + item_id % 3
+    frames = []
+    for f in range(nf):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        frames.append(((5 * x + 3 * c + 17 * y + 23 * f + 11 * item_id)
+                       % 256).astype(np.uint8))
+    return encode_avi_mjpeg(frames,
+                            subsampling=("420", "444")[item_id % 2])
+
+
+def media_from_documents_avi_valid(docs: Dataset) -> Dataset:
+    """Synthetic video table whose payloads are fully DECODABLE MJPEG
+    AVI files (real RIFF container, every frame a real baseline-JPEG
+    scan) — the video counterpart of
+    :func:`media_from_documents_png_valid`."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payload = [valid_avi_bytes(int(i)) for i in ids]
+        meta = [json.dumps({"kind": "video", "n_bytes": len(p)},
+                           sort_keys=True) for p in payload]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].cast(pa.int64()),
+                pa.array(["video"] * len(payload), pa.string()),
+                pa.array(payload, pa.binary()),
+                pa.array(meta, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=256
+    )
+
+
+def mjpeg_frame_stats(media: Dataset, *, batch_size: int = 64) -> Dataset:
+    """Per-frame pixel statistics from REAL MJPEG-AVI decode: one row
+    per (item, frame) with the pinned integer mean luma (same contract
+    as gif_frame_stats) plus the container digest — digest equality
+    against the golden certifies the engine's AVI+JPEG encoders, stat
+    equality its decoders."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        item_ids, frame_idx, widths, heights = [], [], [], []
+        luma, digests = [], []
+        for iid, p in zip(t["item_id"].to_pylist(),
+                          t["payload"].to_pylist()):
+            frames = decode_avi_mjpeg(p or b"")
+            dg = hashlib.sha1(p or b"").hexdigest()
+            nf, h, w, _ = frames.shape
+            px = frames.astype(np.int64)
+            lm = (299 * px[..., 0] + 587 * px[..., 1]
+                  + 114 * px[..., 2]) // 1000
+            sums = lm.reshape(nf, -1).sum(axis=1)
+            item_ids.extend([iid] * nf)
+            frame_idx.extend(range(nf))
+            widths.extend([w] * nf)
+            heights.extend([h] * nf)
+            luma.extend((1000 * sums // (w * h)).tolist())
+            digests.extend([dg] * nf)
+        return pa.table({
+            "item_id": pa.array(item_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "mean_luma_milli": pa.array(luma, pa.int64()),
+            "digest": pa.array(digests, pa.string()),
         })
 
     return media.map_batches(fn, batch_format="pyarrow",
