@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 18
+SKETCH_ORACLE_VERSION = 19
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -560,6 +560,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "jpeg_features.parquet")
     pq.write_table(golden_mjpeg_frames(ids),
                    out / "mjpeg_frames.parquet")
+    pq.write_table(golden_hybrid_rrf(ids, texts, vec_ids, vecs),
+                   out / "hybrid_rrf.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),
@@ -1646,6 +1648,72 @@ def golden_mjpeg_frames(ids, *, limit=128) -> pa.Table:
              "mean_luma_milli", "digest"]
     types = [pa.int64()] * 5 + [pa.string()]
     return _pair_table(rows, names, types)
+
+
+def golden_hybrid_rrf(ids, texts, vec_ids, vecs, *,
+                      query_terms=("hash", "sort", "window"),
+                      query_vec_id=7, k=20, k_cand=50,
+                      rrf_k=60) -> pa.Table:
+    """Independent Reciprocal-Rank-Fusion golden: scalar BM25
+    (Lucene +1 idf, the engine's pinned operand order re-derived with
+    Python floats and ``math``), naive full-matrix cosine kNN (6-dp
+    round, ties by neighbor id), then exact integer fusion
+    ``1_000_000 // (rrf_k + rank)`` per leg. No engine imports."""
+    import math as _m
+    import re as _re
+
+    k1, b = 1.2, 0.75
+    terms = sorted(set(query_terms))
+    run = _re.compile(r"[a-z0-9]+")
+    docs = [(int(i), t or "") for i, t in zip(ids, texts)]
+    n_docs = len(docs)
+    toks = {i: run.findall(t.lower()) for i, t in docs}
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = float(sum_dl) / float(n_docs)
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    idf = {t: _m.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+           for t, d in df.items() if d}
+    scores = {}
+    for i, tk in toks.items():
+        fx = 0
+        hit = False
+        for t in terms:
+            tf = float(tk.count(t))
+            if tf == 0.0 or t not in idf:
+                continue
+            hit = True
+            dl = float(len(tk))
+            w = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b
+                                                + b * (dl / avgdl)))
+            fx += _m.floor(idf[t] * w * 1e6 + 0.5)
+        if hit:
+            scores[i] = fx
+    lex = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_cand]
+    lex_rank = {i: r + 1 for r, (i, _) in enumerate(lex)}
+
+    vid = np.asarray([int(i) for i in vec_ids], np.int64)
+    mat = np.asarray([np.asarray(v, np.float64) for v in vecs])
+    nm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nm[nm == 0] = 1.0
+    matn = mat / nm
+    q = matn[vid.tolist().index(int(query_vec_id))]
+    sims = np.round(matn @ q, 6)
+    order = sorted(
+        (int(i) for i in vid if int(i) != int(query_vec_id)),
+        key=lambda i: (-sims[vid.tolist().index(i)], i))
+    dense_rank = {i: r + 1 for r, i in enumerate(order[:k_cand])}
+
+    fused = []
+    for did in sorted(set(lex_rank) | set(dense_rank)):
+        lr = lex_rank.get(did, 0)
+        dr = dense_rank.get(did, 0)
+        fx = (1_000_000 // (rrf_k + lr) if lr else 0) \
+            + (1_000_000 // (rrf_k + dr) if dr else 0)
+        fused.append((did, fx, lr, dr))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return _pair_table(fused[:k],
+                       ["doc_id", "rrf_fx", "lex_rank", "dense_rank"],
+                       [pa.int64()] * 4)
 
 
 def golden_gif_frames(ids, *, limit=128) -> pa.Table:

@@ -665,6 +665,23 @@ def q_bm25_topk(sf_dir: str) -> Dataset:
     return bm25_topk(_t(sf_dir, "documents"), BM25_QUERY_TERMS, k=20)
 
 
+def q_hybrid_rrf(sf_dir: str) -> Dataset:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    top-50 and the cosine-kNN dense top-50 over the aligned
+    doc_id/vec_id space (stages/retrieval.py:hybrid_rrf_topk, Cormack
+    et al. RRF with the pinned integer contribution
+    1_000_000 // (60 + rank)). Certified value-exact against an
+    independent golden that re-derives BM25 with scalar Python floats
+    and the dense leg with a naive full-matrix cosine
+    (oracle_sketch.golden_hybrid_rrf)."""
+    from ..stages.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _t(sf_dir, "documents"),
+        _t(sf_dir, "embeddings"),
+        BM25_QUERY_TERMS, query_vec_id=7, k=20, k_cand=50)
+
+
 def q_bpe_merges(sf_dir: str) -> Dataset:
     """First 8 BPE merge rules learned over the document corpus
     (stages/retrieval.py:bpe_merges): corpus reduced to its word
@@ -2872,6 +2889,7 @@ def queries() -> dict[str, Callable]:
         "semdedup": q_semdedup,
         "embedding_dbscan": q_embedding_dbscan,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "bpe_merges": q_bpe_merges,
         "embedding_quantize": q_embedding_quantize,
         "knn_ivfpq": q_knn_ivfpq,
@@ -4156,6 +4174,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
             SELECT item_id, frame_idx, width, height, mean_luma_milli,
                    digest
             FROM read_parquet('{d}/mjpeg_frames.parquet')
+        """,
+        "hybrid_rrf": f"""
+            SELECT doc_id, rrf_fx, lex_rank, dense_rank
+            FROM read_parquet('{d}/hybrid_rrf.parquet')
         """,
         "embedding_dbscan": f"""
             SELECT vec_id, role, cluster

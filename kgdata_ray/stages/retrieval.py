@@ -304,3 +304,68 @@ def bpe_encode(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         enc, batch_format="pandas")
+
+
+def hybrid_rrf_topk(
+    docs: Dataset,
+    emb: Dataset,
+    query_terms: "list[str]",
+    query_vec_id: int,
+    *,
+    k: int = 20,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): fuse a lexical BM25 candidate list with a dense
+    cosine-kNN candidate list over the same id space (the synthetic
+    corpus aligns ``doc_id`` and ``vec_id``).
+
+    Each leg contributes ``1_000_000 // (rrf_k + rank)`` — integer
+    floor division so the fused score is an exact int64 at any
+    summation order — and documents appearing in only one leg get the
+    other's contribution as 0. Output: the top ``k`` by
+    ``(rrf_fx desc, doc_id asc)`` with both per-leg ranks (0 = not in
+    that leg's top ``k_cand``).
+
+    Scale shape: both legs are the engine's existing distributed
+    operators (bm25_topk: one tokenize pass + shuffle-free global
+    top-k; knn_bruteforce: broadcast query x corpus batches); the
+    fusion itself runs on the driver over two candidate lists that
+    are <= k_cand rows BY CONSTRUCTION — bounded, never corpus-sized.
+    """
+    import ray.data as rd
+
+    from .similarity import knn_bruteforce
+
+    lex = bm25_topk(docs, query_terms, k=k_cand,
+                    id_col=id_col, text_col=text_col).take_all()
+    dense = knn_bruteforce(emb, [int(query_vec_id)], k=k_cand,
+                           id_col=vec_id_col, vec_col=vec_col).take_all()
+
+    lex.sort(key=lambda r: (-r["score_fx"], r[id_col]))
+    lex_rank = {int(r[id_col]): i + 1 for i, r in enumerate(lex)}
+    dense_rank = {int(r["neighbor_id"]): int(r["rank"]) for r in dense}
+
+    fused = []
+    for did in sorted(set(lex_rank) | set(dense_rank)):
+        lr = lex_rank.get(did, 0)
+        dr = dense_rank.get(did, 0)
+        fx = 0
+        if lr:
+            fx += 1_000_000 // (rrf_k + lr)
+        if dr:
+            fx += 1_000_000 // (rrf_k + dr)
+        fused.append((did, fx, lr, dr))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    fused = fused[:k]
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([t[0] for t in fused], pa.int64()),
+        "rrf_fx": pa.array([t[1] for t in fused], pa.int64()),
+        "lex_rank": pa.array([t[2] for t in fused], pa.int64()),
+        "dense_rank": pa.array([t[3] for t in fused], pa.int64()),
+    }))

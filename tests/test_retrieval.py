@@ -180,3 +180,44 @@ def test_bpe_encode_matches_naive(ray_session):
     # merges actually shrink the token stream vs characters
     assert got["n_bpe_tokens"].sum() < sum(
         len(w) for t in docs for w in _SPLIT.split(t.lower()) if w)
+
+
+def test_hybrid_rrf_fusion_semantics(ray_session):
+    """RRF fuses the two legs with exact integer contributions: a doc
+    ranked in both legs outranks single-leg docs with worse ranks, and
+    every rrf_fx equals 1_000_000 // (60+lex) + 1_000_000 // (60+dense)
+    recomputed from the reported per-leg ranks."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.retrieval import hybrid_rrf_topk
+
+    rng = np.random.default_rng(5)
+    n, d = 40, 8
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"hash sort doc {i} " + "filler " * (i % 5)
+                 for i in range(n)],
+    })
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(size=d).astype(np.float32).tolist()
+                      for _ in range(n)],
+    })
+    got = hybrid_rrf_topk(
+        rd.from_pandas(docs), rd.from_pandas(emb),
+        ["hash", "sort"], query_vec_id=3, k=10, k_cand=15,
+    ).to_pandas()
+    assert len(got) == 10
+    for _, r in got.iterrows():
+        want = 0
+        if r["lex_rank"]:
+            want += 1_000_000 // (60 + int(r["lex_rank"]))
+        if r["dense_rank"]:
+            want += 1_000_000 // (60 + int(r["dense_rank"]))
+        assert int(r["rrf_fx"]) == want
+        assert int(r["doc_id"]) != 3 or r["dense_rank"] == 0  # self excluded
+    # sorted by (rrf_fx desc, doc_id asc)
+    key = list(zip(-got["rrf_fx"], got["doc_id"]))
+    assert key == sorted(key)
+    # both legs contribute: at least one fused doc carries both ranks
+    assert ((got["lex_rank"] > 0) & (got["dense_rank"] > 0)).any()
