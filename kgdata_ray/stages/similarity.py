@@ -518,8 +518,6 @@ def kmeans_embeddings(
     Ray spills to disk past memory) — measured 2.4x on the bench.
     Pass ``cache=False`` to re-read from storage each pass instead.
     """
-    from ..functions.agg import grouped_blockwise
-
     ds = ds.select_columns([id_col, vec_col])
     if cache:
         ds = ds.materialize()
@@ -562,15 +560,16 @@ def kmeans_embeddings(
 
         parts = quant.map_batches(partial, batch_format="pandas")
 
-        def merge(b: pd.DataFrame) -> pa.Table:
-            out = (
-                b.groupby(["cluster", "pos"], sort=False)[["sum_fx", "n"]]
-                .sum().reset_index()
-            )
-            return pa.Table.from_pandas(out, preserve_index=False)
-
-        summed = grouped_blockwise(parts, ["cluster", "pos"], merge)
-        stats = summed.to_pandas()  # k x dim rows — tiny by design
+        # int64 partial sums are order-free, so the merge needs no
+        # key-boundary guarantees — the native hash groupby fuses map
+        # + shuffle + collect into ONE pipeline execution per
+        # iteration (grouped_blockwise here paid an extra materialize
+        # per iteration for a guard this all-commutative sum never
+        # needs; measured ~0.4-1 s per iteration at sf0.1)
+        stats = (parts.groupby(["cluster", "pos"])
+                 .sum(["sum_fx", "n"]).to_pandas())
+        stats = stats.rename(columns={"sum(sum_fx)": "sum_fx",
+                                      "sum(n)": "n"})
         new_cents = cents.copy()
         for cl, grp in stats.groupby("cluster"):
             grp = grp.sort_values("pos")
