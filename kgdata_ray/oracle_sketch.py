@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 19
+SKETCH_ORACLE_VERSION = 20
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -278,6 +278,42 @@ def golden_knn_ivf(vec_ids, vecs, *, query_ids=range(8), k=5,
             rows.append((int(q), c, rank))
     return _pair_table(rows, ["query_id", "neighbor_id", "rank"],
                        [pa.int64(), pa.int64(), pa.int64()])
+
+
+def golden_ann_recall(vec_ids, vecs, *, query_ids=range(8), k=5,
+                      num_centroids=8, nprobe=2, seed=13) -> pa.Table:
+    """Independent recall@k golden: exact leg by naive full-matrix
+    cosine (6-dp round, ties by id), approximate leg by the naive
+    seeded-IVF replication in :func:`golden_knn_ivf`, then the exact
+    integer recall ``1000 * |common| // k`` per query."""
+    ids = np.asarray([int(i) for i in vec_ids], np.int64)
+    mat = np.asarray([np.asarray(v, np.float64) for v in vecs])
+    nm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nm[nm == 0] = 1.0
+    matn = mat / nm
+    q_ids = sorted(set(int(q) for q in query_ids) & set(ids.tolist()))
+    pos = {int(i): r for r, i in enumerate(ids)}
+    exact = {}
+    for q in q_ids:
+        sims = np.round(matn @ matn[pos[q]], 6)
+        cands = sorted(
+            ((float(sims[pos[int(c)]]), int(c)) for c in ids
+             if int(c) != q),
+            key=lambda x: (-x[0], x[1]))
+        exact[q] = {c for _s, c in cands[:k]}
+    approx = {}
+    ivf = golden_knn_ivf(vec_ids, vecs, query_ids=q_ids, k=k,
+                         num_centroids=num_centroids, seed=seed,
+                         nprobe=nprobe)
+    for qd, nb in zip(ivf["query_id"].to_pylist(),
+                      ivf["neighbor_id"].to_pylist()):
+        approx.setdefault(int(qd), set()).add(int(nb))
+    rows = []
+    for q in q_ids:
+        n = len(exact[q] & approx.get(q, set()))
+        rows.append((q, n, 1000 * n // k))
+    return _pair_table(rows, ["query_id", "n_common", "recall_milli"],
+                       [pa.int64()] * 3)
 
 
 def golden_knn_ivf_perquery(vec_ids, vecs, *, query_mod=5, k=5,
@@ -562,6 +598,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "mjpeg_frames.parquet")
     pq.write_table(golden_hybrid_rrf(ids, texts, vec_ids, vecs),
                    out / "hybrid_rrf.parquet")
+    pq.write_table(golden_ann_recall(vec_ids, vecs),
+                   out / "ann_recall.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),

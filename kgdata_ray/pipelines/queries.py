@@ -526,6 +526,18 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_recall(sf_dir: str) -> Dataset:
+    """Recall@5 of the IVF index (nprobe=2 of 8 centroids) against
+    exact brute force per query (stages/similarity.py:ann_recall) —
+    the ANN quality diagnostic. Certified against an independent
+    golden combining a naive exact top-k with the naive seeded-IVF
+    replication (oracle_sketch.golden_ann_recall)."""
+    from ..stages.similarity import ann_recall
+
+    return ann_recall(_t(sf_dir, "embeddings"), list(range(8)),
+                      k=5, num_centroids=8, nprobe=2, seed=13)
+
+
 def q_knn_ivf_distributed(sf_dir: str) -> Dataset:
     """Large-Q IVF: a fifth of the embedding table is the query SET
     (a Dataset, never collected); per-query probe semantics
@@ -2900,6 +2912,7 @@ def queries() -> dict[str, Callable]:
         "temperature_mix": q_temperature_mix,
         "pq_codes": q_pq_codes,
         "knn_ivf_distributed": q_knn_ivf_distributed,
+        "ann_recall": q_ann_recall,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4178,6 +4191,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "hybrid_rrf": f"""
             SELECT doc_id, rrf_fx, lex_rank, dense_rank
             FROM read_parquet('{d}/hybrid_rrf.parquet')
+        """,
+        "ann_recall": f"""
+            SELECT query_id, n_common, recall_milli
+            FROM read_parquet('{d}/ann_recall.parquet')
         """,
         "embedding_dbscan": f"""
             SELECT vec_id, role, cluster

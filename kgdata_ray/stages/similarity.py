@@ -994,3 +994,48 @@ def embedding_dbscan(
         })
 
     return scrub_empty_blocks(j.map_batches(finish, batch_format="pandas"))
+
+
+def ann_recall(
+    ds: Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Recall@k of the IVF index against exact brute force — the
+    standard ANN quality diagnostic a curation pipeline runs before
+    trusting an approximate index: (query_id, n_common, recall_milli)
+    with ``recall_milli = 1000 * |ivf_topk ∩ exact_topk| // k``
+    (integer, order-free).
+
+    Both legs are the engine's distributed operators; the set
+    intersection runs on the driver over two result lists bounded at
+    ``len(query_ids) * k`` rows BY CONSTRUCTION."""
+    import ray.data as rd
+
+    index = build_ivf(ds, num_centroids=num_centroids, seed=seed,
+                      id_col=id_col, vec_col=vec_col)
+    exact = knn_bruteforce(ds, query_ids, k=k, id_col=id_col,
+                           vec_col=vec_col).take_all()
+    approx = knn_ivf(ds, query_ids, index, k=k, nprobe=nprobe,
+                     id_col=id_col, vec_col=vec_col).take_all()
+    ex: dict[int, set[int]] = {}
+    for r in exact:
+        ex.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    ap: dict[int, set[int]] = {}
+    for r in approx:
+        ap.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    rows = []
+    for q in sorted(ex):
+        n = len(ex[q] & ap.get(q, set()))
+        rows.append((q, n, 1000 * n // k))
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_common": pa.array([r[1] for r in rows], pa.int64()),
+        "recall_milli": pa.array([r[2] for r in rows], pa.int64()),
+    }))

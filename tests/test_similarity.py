@@ -1,0 +1,28 @@
+
+
+def test_ann_recall_full_probe_is_perfect(ray_session):
+    """With nprobe == num_centroids the IVF scans everything, so
+    recall@k must be exactly 1000 for every query; with nprobe=1 it
+    stays within [0, 1000] and n_common consistent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import ann_recall
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 6
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(size=d).astype(np.float32).tolist()
+                      for _ in range(n)],
+    }))
+    full = ann_recall(emb, [0, 1, 2, 3], k=4, num_centroids=4,
+                      nprobe=4).to_pandas()
+    assert (full["recall_milli"] == 1000).all()
+    assert (full["n_common"] == 4).all()
+    part = ann_recall(emb, [0, 1, 2, 3], k=4, num_centroids=4,
+                      nprobe=1).to_pandas()
+    assert ((part["recall_milli"] >= 0)
+            & (part["recall_milli"] <= 1000)).all()
+    assert (part["recall_milli"] == part["n_common"] * 1000 // 4).all()
