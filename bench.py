@@ -150,6 +150,10 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 additions
         "semdedup": q.q_semdedup,
         "kg_triples_bucketed": _bucketed_fresh,
+        # round-4 session-3 additions
+        "hybrid_rrf": q.q_hybrid_rrf,
+        "jpeg_features": q.q_jpeg_features,
+        "mjpeg_frame_stats": q.q_mjpeg_frame_stats,
     }
     out = {}
     for name, fn in picks.items():

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 20
+SKETCH_ORACLE_VERSION = 21
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -314,6 +314,49 @@ def golden_ann_recall(vec_ids, vecs, *, query_ids=range(8), k=5,
         rows.append((q, n, 1000 * n // k))
     return _pair_table(rows, ["query_id", "n_common", "recall_milli"],
                        [pa.int64()] * 3)
+
+
+def golden_embedding_pca(vec_ids, vecs, *, n_components=2,
+                         scale=1 << 20, out_scale=1_000_000) -> pa.Table:
+    """Independent exact-PCA golden: scalar accumulation of the
+    quantized integer moments over the full matrix (Python ints), the
+    same pinned covariance ``n*Sxx - sx sx^T``, numpy eigh on the
+    bit-identical float64 matrix, largest-|component|-positive sign
+    pin, and half-away micro rounding. No engine imports."""
+    ids = [int(i) for i in vec_ids]
+    mat = np.floor(
+        np.asarray([np.asarray(v, np.float64) for v in vecs]) * scale
+    ).astype(np.int64)
+    n, d = mat.shape
+    sx = [0] * d
+    sxx = [[0] * d for _ in range(d)]
+    for r in range(n):
+        row = [int(x) for x in mat[r]]
+        for i in range(d):
+            sx[i] += row[i]
+            ri = row[i]
+            for j in range(d):
+                sxx[i][j] += ri * row[j]
+    cov = np.array(
+        [[n * sxx[i][j] - sx[i] * sx[j] for j in range(d)]
+         for i in range(d)], np.float64)
+    _evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :n_components].copy()
+    for c in range(n_components):
+        m = int(np.argmax(np.abs(comp[:, c])))
+        if comp[m, c] < 0:
+            comp[:, c] = -comp[:, c]
+    mean = np.array([(float(sx[j]) / float(n)) / float(scale)
+                     for j in range(d)], np.float64)
+    x = mat.astype(np.float64) / float(scale)
+    p = (x - mean) @ comp
+    rows = []
+    for r in range(n):
+        rows.append((ids[r],
+                     *(int(np.floor(p[r, c] * out_scale + 0.5))
+                       for c in range(n_components))))
+    names = ["vec_id"] + [f"pc{c}_micro" for c in range(n_components)]
+    return _pair_table(rows, names, [pa.int64()] * (n_components + 1))
 
 
 def golden_knn_ivf_perquery(vec_ids, vecs, *, query_mod=5, k=5,
@@ -600,6 +643,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "hybrid_rrf.parquet")
     pq.write_table(golden_ann_recall(vec_ids, vecs),
                    out / "ann_recall.parquet")
+    pq.write_table(golden_embedding_pca(vec_ids, vecs),
+                   out / "embedding_pca.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),

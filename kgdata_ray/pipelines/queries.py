@@ -526,6 +526,18 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_embedding_pca(sf_dir: str) -> Dataset:
+    """Exact distributed PCA projection of every embedding onto the
+    top-2 principal axes (stages/similarity.py:embedding_pca): int64
+    fixed-point moment partials make the covariance bit-identical at
+    any batching; eigh/sign/rounding are pinned. Certified against an
+    independent scalar-accumulation golden
+    (oracle_sketch.golden_embedding_pca)."""
+    from ..stages.similarity import embedding_pca
+
+    return embedding_pca(_t(sf_dir, "embeddings"), n_components=2)
+
+
 def q_ann_recall(sf_dir: str) -> Dataset:
     """Recall@5 of the IVF index (nprobe=2 of 8 centroids) against
     exact brute force per query (stages/similarity.py:ann_recall) —
@@ -2913,6 +2925,7 @@ def queries() -> dict[str, Callable]:
         "pq_codes": q_pq_codes,
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "ann_recall": q_ann_recall,
+        "embedding_pca": q_embedding_pca,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4195,6 +4208,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "ann_recall": f"""
             SELECT query_id, n_common, recall_milli
             FROM read_parquet('{d}/ann_recall.parquet')
+        """,
+        "embedding_pca": f"""
+            SELECT vec_id, pc0_micro, pc1_micro
+            FROM read_parquet('{d}/embedding_pca.parquet')
         """,
         "embedding_dbscan": f"""
             SELECT vec_id, role, cluster

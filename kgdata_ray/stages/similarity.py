@@ -1039,3 +1039,102 @@ def ann_recall(
         "n_common": pa.array([r[1] for r in rows], pa.int64()),
         "recall_milli": pa.array([r[2] for r in rows], pa.int64()),
     }))
+
+
+PCA_SCALE = 1 << 20
+
+
+def embedding_pca(
+    ds: Dataset,
+    *,
+    n_components: int = 2,
+    scale: int = PCA_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_scale: int = 1_000_000,
+) -> Dataset:
+    """Exact distributed PCA over an embedding column: project every
+    vector onto the top ``n_components`` principal axes
+    (vec_id, pc0_micro, .., pc{n-1}_micro as int64 micro-units).
+
+    Determinism recipe (same as the fixed-point k-means): vectors are
+    quantized ONCE to ``floor(v * scale)`` int64 and the second-moment
+    matrix is accumulated as EXACT integer partial sums (one
+    map_batches pass emitting d x d + d + 1 rows per batch, merged by
+    one tiny hash groupby), so the driver-side covariance
+    ``n * S_xx - s_x s_x^T`` is bit-identical at any batching. The
+    eigendecomposition of that exact matrix and the projection math
+    are pinned (eigh input identical -> identical basis; eigenvector
+    sign fixed by making the largest-|.| component positive; outputs
+    rounded half-away at ``out_scale``), so an independent golden
+    reproduces every output integer.
+
+    Scale shape: the shuffle carries only d^2-row partials per batch
+    (d=64 -> 4 KB); vectors never shuffle. The projection pass
+    broadcasts the (d x n_components) basis via closure capture and
+    streams the corpus once more.
+    """
+    import ray.data as rd
+
+    quant = ds.select_columns([id_col, vec_col]).materialize()
+
+    def moments(b: pd.DataFrame) -> pa.Table:
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        d = fx.shape[1]
+        gram = fx.T @ fx  # exact int64 (bounded by quantization)
+        sums = fx.sum(axis=0)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        rows_i = np.concatenate(
+            [ii, np.full(d, -1, np.int64), np.array([-2], np.int64)])
+        rows_j = np.concatenate(
+            [jj, np.arange(d, dtype=np.int64), np.array([0], np.int64)])
+        rows_s = np.concatenate(
+            [gram.ravel(), sums, np.array([fx.shape[0]], np.int64)])
+        return pa.table({
+            "i": pa.array(rows_i, pa.int64()),
+            "j": pa.array(rows_j, pa.int64()),
+            "s": pa.array(rows_s, pa.int64()),
+        })
+
+    stats = (quant.map_batches(moments, batch_format="pandas")
+             .groupby(["i", "j"]).sum(["s"]).to_pandas())
+    stats = stats.rename(columns={"sum(s)": "s"})
+    n = int(stats.loc[stats["i"] == -2, "s"].iloc[0])
+    d = int(stats["j"].max()) + 1
+    sx = np.zeros(d, dtype=object)
+    sxx = np.zeros((d, d), dtype=object)
+    for _, r in stats.iterrows():
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            sx[j] = s
+        elif i >= 0:
+            sxx[i, j] = s
+    # exact integer centered second moment: n*Sxx - sx sx^T (python
+    # ints on the driver -- no int64 overflow at any corpus size)
+    cov_int = [[n * int(sxx[i, j]) - int(sx[i]) * int(sx[j])
+                for j in range(d)] for i in range(d)]
+    cov = np.array(cov_int, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :n_components].copy()  # descending
+    for c in range(n_components):
+        m = int(np.argmax(np.abs(comp[:, c])))
+        if comp[m, c] < 0:
+            comp[:, c] = -comp[:, c]
+    mean = np.array([(float(int(sx[j])) / float(n)) / float(scale)
+                     for j in range(d)], np.float64)
+    comp_ref = ray.put((mean, comp))
+
+    def project(b: pd.DataFrame) -> pa.Table:
+        mn, cp = ray.get(comp_ref)
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        x = fx.astype(np.float64) / float(scale)
+        p = (x - mn) @ cp
+        out = {id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64())}
+        for c in range(cp.shape[1]):
+            out[f"pc{c}_micro"] = pa.array(
+                np.floor(p[:, c] * out_scale + 0.5).astype(np.int64),
+                pa.int64())
+        return pa.table(out)
+
+    return quant.map_batches(project, batch_format="pandas")

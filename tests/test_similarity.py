@@ -26,3 +26,30 @@ def test_ann_recall_full_probe_is_perfect(ray_session):
     assert ((part["recall_milli"] >= 0)
             & (part["recall_milli"] <= 1000)).all()
     assert (part["recall_milli"] == part["n_common"] * 1000 // 4).all()
+
+
+def test_embedding_pca_batching_invariant(ray_session):
+    """The int64 moment accumulation makes the projection bit-identical
+    under different block layouts, and the pinned sign rule makes the
+    largest-loading dimension's coefficient positive."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import embedding_pca
+
+    rng = np.random.default_rng(3)
+    n, d = 90, 5
+    base = rng.normal(size=(n, d)) * np.array([3.0, 1.0, 0.5, 0.2, 0.1])
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32).tolist() for r in base],
+    })
+    a = embedding_pca(rd.from_pandas(df), n_components=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = embedding_pca(rd.from_pandas(df).repartition(7), n_components=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    # pc0 should capture the dominant axis: correlation with dim 0
+    c = np.corrcoef(a["pc0_micro"].to_numpy(np.float64), base[:, 0])[0, 1]
+    assert abs(c) > 0.95
