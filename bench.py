@@ -152,6 +152,7 @@ def bench_queries(sf_dir: str) -> dict:
         "kg_triples_bucketed": _bucketed_fresh,
         # round-4 session-3 additions
         "hybrid_rrf": q.q_hybrid_rrf,
+        "dsir_sample": q.q_dsir_sample,
         "jpeg_features": q.q_jpeg_features,
         "mjpeg_frame_stats": q.q_mjpeg_frame_stats,
     }

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 21
+SKETCH_ORACLE_VERSION = 22
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -359,6 +359,69 @@ def golden_embedding_pca(vec_ids, vecs, *, n_components=2,
     return _pair_table(rows, names, [pa.int64()] * (n_components + 1))
 
 
+def golden_dsir(ids, texts, sources, *, target_source="src0",
+                buckets=4096, k=100, scale=1_000_000):
+    """Independent DSIR golden: scalar dict counting of md5-hashed
+    unigram+bigram buckets (Python ints, per-gram loop — a genuinely
+    different accumulation than the engine's vectorized bincount), the
+    same pinned add-one log-ratio freeze, exact integer per-doc weight
+    sums, and the md5-derived Gumbel key. Returns (scores, sample)."""
+    import hashlib
+    import re
+
+    grams_per_doc = []
+    for txt in texts:
+        toks = [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+        grams_per_doc.append(
+            toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])])
+
+    def bucket(g: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(g.encode()).digest()[:8], "big") % buckets
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for s, grams in zip(sources, grams_per_doc):
+        for g in grams:
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if s == target_source:
+                tgt[b] = tgt.get(b, 0) + 1
+    r = np.zeros(buckets, np.int64)
+    t = np.zeros(buckets, np.int64)
+    for b, n in raw.items():
+        r[b] = n
+    for b, n in tgt.items():
+        t[b] = n
+    total_r = float(r.sum() + buckets)
+    total_t = float(t.sum() + buckets)
+    lam = np.floor(
+        (np.log((t + 1).astype(np.float64) / total_t)
+         - np.log((r + 1).astype(np.float64) / total_r)) * scale
+        + 0.5).astype(np.int64)
+
+    score_rows = []
+    key_rows = []
+    for i, grams in zip(ids, grams_per_doc):
+        w = 0
+        for g in grams:
+            w += int(lam[bucket(g)])
+        score_rows.append((int(i), len(grams), w))
+        h = int.from_bytes(
+            hashlib.md5(f"dsir|{int(i)}".encode()).digest()[:8], "big")
+        u = (np.float64(h) + np.float64(0.5)) / np.float64(1 << 64)
+        gum = -np.log(-np.log(u))
+        key_rows.append((int(i), w,
+                         w + int(np.floor(gum * scale + 0.5))))
+    sel = sorted(key_rows, key=lambda x: (-x[2], x[0]))[:k]
+    return (
+        _pair_table(score_rows, ["doc_id", "n_grams", "weight_micro"],
+                    [pa.int64()] * 3),
+        _pair_table(sel, ["doc_id", "weight_micro", "key_micro"],
+                    [pa.int64()] * 3),
+    )
+
+
 def golden_knn_ivf_perquery(vec_ids, vecs, *, query_mod=5, k=5,
                             num_centroids=8, sample_size=2048, iters=5,
                             seed=13, nprobe=2) -> pa.Table:
@@ -598,9 +661,10 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     out.mkdir(parents=True, exist_ok=True)
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text", "source"])
     ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
+    sources = docs["source"].to_pylist()
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     vec_ids = emb["vec_id"].to_pylist()
@@ -645,6 +709,9 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "ann_recall.parquet")
     pq.write_table(golden_embedding_pca(vec_ids, vecs),
                    out / "embedding_pca.parquet")
+    dsir_scores_tbl, dsir_sample_tbl = golden_dsir(ids, texts, sources)
+    pq.write_table(dsir_scores_tbl, out / "dsir_scores.parquet")
+    pq.write_table(dsir_sample_tbl, out / "dsir_sample.parquet")
     pq.write_table(golden_gif_frames(ids),
                    out / "gif_frames.parquet")
     pq.write_table(golden_dbscan(vec_ids, vecs),

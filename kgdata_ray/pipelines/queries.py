@@ -674,6 +674,29 @@ def q_semdedup(sf_dir: str) -> Dataset:
                     threshold=0.95)
 
 
+def q_dsir_scores(sf_dir: str) -> Dataset:
+    """DSIR importance weights for every document against the src0
+    target domain (stages/selection.py:dsir_scores): md5-hashed
+    unigram+bigram buckets, ONE bucket-bounded counting shuffle, the
+    log-ratio frozen to int64 micro-units on the driver, exact integer
+    per-doc weight sums — certified against an independent scalar
+    dict-counting golden (oracle_sketch.golden_dsir)."""
+    from ..stages.selection import dsir_scores
+
+    return dsir_scores(_t(sf_dir, "documents"), target_source="src0")
+
+
+def q_dsir_sample(sf_dir: str) -> Dataset:
+    """Gumbel-top-100 DSIR resample (stages/selection.py:dsir_select):
+    md5-derived deterministic Gumbel perturbation on the frozen
+    weights, selected with the combiner top-k (no global sort) —
+    same independent golden as q_dsir_scores."""
+    from ..stages.selection import dsir_select
+
+    return dsir_select(_t(sf_dir, "documents"), k=100,
+                       target_source="src0")
+
+
 BM25_QUERY_TERMS = ["hash", "sort", "window"]
 
 
@@ -2926,6 +2949,8 @@ def queries() -> dict[str, Callable]:
         "knn_ivf_distributed": q_knn_ivf_distributed,
         "ann_recall": q_ann_recall,
         "embedding_pca": q_embedding_pca,
+        "dsir_scores": q_dsir_scores,
+        "dsir_sample": q_dsir_sample,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4212,6 +4237,14 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "embedding_pca": f"""
             SELECT vec_id, pc0_micro, pc1_micro
             FROM read_parquet('{d}/embedding_pca.parquet')
+        """,
+        "dsir_scores": f"""
+            SELECT doc_id, n_grams, weight_micro
+            FROM read_parquet('{d}/dsir_scores.parquet')
+        """,
+        "dsir_sample": f"""
+            SELECT doc_id, weight_micro, key_micro
+            FROM read_parquet('{d}/dsir_sample.parquet')
         """,
         "embedding_dbscan": f"""
             SELECT vec_id, role, cluster
