@@ -570,6 +570,34 @@ def group_percent_rank(
     return grouped_blockwise(ds, [key], block)
 
 
+def merge_bounded_partials(
+    parts: Dataset, keys: "Sequence[str]", cols: "Sequence[str]",
+    *, fanin: int = 32,
+) -> pd.DataFrame:
+    """Exact merge for BOUNDED commutative integer partial tables —
+    the centroid/moment/bucket-count shapes where every input block is
+    already map-side combined down to <= K rows for a K fixed by the
+    operator (k x dim, d^2, n_buckets, ...).
+
+    Ray's hash-aggregate pays a multi-second all-to-all fixed cost
+    (measured 5.5 s at sf0.1/32cpu on a 1024-key merge the driver
+    folds in 0.3 s), which dominates iterative loops like Lloyd
+    k-means. Instead: ONE ``repartition(fanin)`` funnel, a blockwise
+    pandas sum that collapses each funnel block back to <= K rows, and
+    a final driver fold of the <= fanin * K surviving rows. Exact at
+    any batching because the sums are commutative/associative ints;
+    scale-bounded because each funnel task sees at most
+    (input_blocks / fanin) * K partial rows, never data rows."""
+    ks, cs = list(keys), list(cols)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(ks, sort=False)[cs].sum().reset_index()
+
+    few = parts.repartition(fanin).map_batches(
+        merge, batch_format="pandas").to_pandas()
+    return few.groupby(ks, sort=False)[cs].sum().reset_index()
+
+
 def global_topk(
     ds: Dataset, sort_cols: "Sequence[str]",
     ascending: "Sequence[bool]", k: int,

@@ -114,11 +114,11 @@ def dsir_bucket_counts(ds: Dataset, *, target_source: str,
             "n_tgt": pa.array(tgt[nz], pa.int64()),
         })
 
+    from ..functions.agg import merge_bounded_partials
+
     parts = ds.select_columns([text_col, source_col]).map_batches(
         partial, batch_format="pandas")
-    merged = parts.groupby("bucket").sum(["n_raw", "n_tgt"]).to_pandas()
-    return merged.rename(columns={"sum(n_raw)": "n_raw",
-                                  "sum(n_tgt)": "n_tgt"})
+    return merge_bounded_partials(parts, ["bucket"], ["n_raw", "n_tgt"])
 
 
 def dsir_score_table(counts: pd.DataFrame, *,

@@ -561,15 +561,13 @@ def kmeans_embeddings(
         parts = quant.map_batches(partial, batch_format="pandas")
 
         # int64 partial sums are order-free, so the merge needs no
-        # key-boundary guarantees — the native hash groupby fuses map
-        # + shuffle + collect into ONE pipeline execution per
-        # iteration (grouped_blockwise here paid an extra materialize
-        # per iteration for a guard this all-commutative sum never
-        # needs; measured ~0.4-1 s per iteration at sf0.1)
-        stats = (parts.groupby(["cluster", "pos"])
-                 .sum(["sum_fx", "n"]).to_pandas())
-        stats = stats.rename(columns={"sum(sum_fx)": "sum_fx",
-                                      "sum(n)": "n"})
+        # key-boundary guarantees — and the k*dim-bounded partials are
+        # kilobytes, so the funnel merge skips the hash-aggregate
+        # fixed cost entirely (~4 s/iteration at sf0.1; see
+        # functions.agg.merge_bounded_partials)
+        from ..functions.agg import merge_bounded_partials
+        stats = merge_bounded_partials(parts, ["cluster", "pos"],
+                                       ["sum_fx", "n"])
         new_cents = cents.copy()
         for cl, grp in stats.groupby("cluster"):
             grp = grp.sort_values("pos")
@@ -1097,9 +1095,10 @@ def embedding_pca(
             "s": pa.array(rows_s, pa.int64()),
         })
 
-    stats = (quant.map_batches(moments, batch_format="pandas")
-             .groupby(["i", "j"]).sum(["s"]).to_pandas())
-    stats = stats.rename(columns={"sum(s)": "s"})
+    from ..functions.agg import merge_bounded_partials
+    stats = merge_bounded_partials(
+        quant.map_batches(moments, batch_format="pandas"),
+        ["i", "j"], ["s"])
     n = int(stats.loc[stats["i"] == -2, "s"].iloc[0])
     d = int(stats["j"].max()) + 1
     sx = np.zeros(d, dtype=object)
