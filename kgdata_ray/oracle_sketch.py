@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 22
+SKETCH_ORACLE_VERSION = 23
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -359,6 +359,44 @@ def golden_embedding_pca(vec_ids, vecs, *, n_components=2,
     return _pair_table(rows, names, [pa.int64()] * (n_components + 1))
 
 
+def golden_linear_probe(vec_ids, vecs, labels, *, target_label=0,
+                        ridge=1.0, scale=1 << 20,
+                        out_scale=1_000_000) -> pa.Table:
+    """Independent linear-probe golden: scalar Python-int accumulation
+    of the augmented normal-equation moments (bias column at
+    ``scale``), the same pinned ridge solve on the bit-identical
+    float64 reduction, and half-away micro rounding of every score.
+    No engine imports."""
+    ids = [int(i) for i in vec_ids]
+    mat = np.floor(
+        np.asarray([np.asarray(v, np.float64) for v in vecs]) * scale
+    ).astype(np.int64)
+    n, d = mat.shape
+    dd = d + 1
+    y = [1 if int(l) == target_label else 0 for l in labels]
+    sxx = [[0] * dd for _ in range(dd)]
+    sxy = [0] * dd
+    for r in range(n):
+        row = [int(x) for x in mat[r]] + [scale]
+        yr = y[r]
+        for i in range(dd):
+            ri = row[i]
+            sxy[i] += ri * yr
+            for j in range(dd):
+                sxx[i][j] += ri * row[j]
+    m = np.array(sxx, np.float64) / float(scale) ** 2
+    v = np.array(sxy, np.float64) / float(scale)
+    for i in range(dd - 1):
+        m[i, i] += float(ridge)
+    w = np.linalg.solve(m, v)
+    x = mat.astype(np.float64) / float(scale)
+    s = x @ w[:-1] + w[-1]
+    rows = [(ids[r], y[r], int(np.floor(s[r] * out_scale + 0.5)))
+            for r in range(n)]
+    return _pair_table(rows, ["vec_id", "is_target", "score_micro"],
+                       [pa.int64()] * 3)
+
+
 def golden_dsir(ids, texts, sources, *, target_source="src0",
                 buckets=4096, k=100, scale=1_000_000):
     """Independent DSIR golden: scalar dict counting of md5-hashed
@@ -666,9 +704,10 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     texts = docs["text"].to_pylist()
     sources = docs["source"].to_pylist()
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding", "label"])
     vec_ids = emb["vec_id"].to_pylist()
     vecs = emb["embedding"].to_pylist()
+    vec_labels = emb["label"].to_pylist()
 
     mh = golden_minhash_pairs(ids, texts)
     pq.write_table(mh, out / "minhash_pairs.parquet")
@@ -709,6 +748,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "ann_recall.parquet")
     pq.write_table(golden_embedding_pca(vec_ids, vecs),
                    out / "embedding_pca.parquet")
+    pq.write_table(golden_linear_probe(vec_ids, vecs, vec_labels),
+                   out / "linear_probe.parquet")
     dsir_scores_tbl, dsir_sample_tbl = golden_dsir(ids, texts, sources)
     pq.write_table(dsir_scores_tbl, out / "dsir_scores.parquet")
     pq.write_table(dsir_sample_tbl, out / "dsir_sample.parquet")

@@ -674,6 +674,18 @@ def q_semdedup(sf_dir: str) -> Dataset:
                     threshold=0.95)
 
 
+def q_linear_probe(sf_dir: str) -> Dataset:
+    """One-pass distributed ridge classifier over the embeddings table
+    (stages/similarity.py:linear_probe): exact int64 normal-equation
+    moments (funnel-merged, vectors never shuffle), driver solve with
+    unpenalized bias, per-row micro-scored — the fastText-style
+    quality-filter training step. Certified against an independent
+    scalar-accumulation golden (oracle_sketch.golden_linear_probe)."""
+    from ..stages.similarity import linear_probe
+
+    return linear_probe(_t(sf_dir, "embeddings"), target_label=0)
+
+
 def q_dsir_scores(sf_dir: str) -> Dataset:
     """DSIR importance weights for every document against the src0
     target domain (stages/selection.py:dsir_scores): md5-hashed
@@ -2951,6 +2963,7 @@ def queries() -> dict[str, Callable]:
         "embedding_pca": q_embedding_pca,
         "dsir_scores": q_dsir_scores,
         "dsir_sample": q_dsir_sample,
+        "linear_probe": q_linear_probe,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4241,6 +4254,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "dsir_scores": f"""
             SELECT doc_id, n_grams, weight_micro
             FROM read_parquet('{d}/dsir_scores.parquet')
+        """,
+        "linear_probe": f"""
+            SELECT vec_id, is_target, score_micro
+            FROM read_parquet('{d}/linear_probe.parquet')
         """,
         "dsir_sample": f"""
             SELECT doc_id, weight_micro, key_micro

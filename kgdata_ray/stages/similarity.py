@@ -1137,3 +1137,101 @@ def embedding_pca(
         return pa.table(out)
 
     return quant.map_batches(project, batch_format="pandas")
+
+
+def linear_probe(
+    ds: Dataset,
+    *,
+    target_label: int = 0,
+    ridge: float = 1.0,
+    scale: int = PCA_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    out_scale: int = 1_000_000,
+) -> Dataset:
+    """Train a linear quality classifier on the WHOLE corpus in one
+    distributed pass (ridge regression on is-target-label) and score
+    every vector with it: (vec_id, is_target, score_micro).
+
+    This is the curation move behind fastText-style quality filters
+    (CCNet / RefinedWeb): fit a cheap linear probe, keep what scores
+    high. Expressed exactly like :func:`embedding_pca`: vectors
+    quantize ONCE to ``floor(v * scale)`` int64 with a constant bias
+    column at ``scale``; the (d+1)^2 normal-equation moments
+    ``A^T A`` and ``A^T y`` accumulate as EXACT int64 partials (one
+    map_batches pass, funnel-merged — the shuffle carries
+    (d+1)^2-row partials, never vectors); the driver solves
+    ``(A^T A / scale^2 + ridge * I) w = A^T y / scale`` (bias
+    unpenalized) from the bit-identical float64 reduction, so the
+    weights — and therefore every per-row score
+    ``floor((x.w + b) * out_scale + 0.5)`` — are reproduced exactly by
+    an independent scalar-accumulation golden.
+
+    Moment magnitude contract (same as the PCA/k-means family): int64
+    partials bound corpus size by ``N * (scale * |v|_max)^2 < 2^63``;
+    at web scale lower ``scale`` or shard the moment pass.
+    """
+    import ray
+
+    from ..functions.agg import merge_bounded_partials
+    from ..functions.broadcast import get_broadcast
+
+    quant = ds.select_columns([id_col, vec_col, label_col]).materialize()
+
+    def moments(b: pd.DataFrame) -> pa.Table:
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        n, d = fx.shape
+        a = np.concatenate(
+            [fx, np.full((n, 1), scale, np.int64)], axis=1)
+        y = (b[label_col].to_numpy(np.int64) == target_label) \
+            .astype(np.int64)
+        gram = a.T @ a
+        xty = a.T @ y
+        dd = d + 1
+        ii = np.repeat(np.arange(dd, dtype=np.int64), dd)
+        jj = np.tile(np.arange(dd, dtype=np.int64), dd)
+        rows_i = np.concatenate([ii, np.full(dd, -1, np.int64)])
+        rows_j = np.concatenate([jj, np.arange(dd, dtype=np.int64)])
+        rows_s = np.concatenate([gram.ravel(), xty])
+        return pa.table({
+            "i": pa.array(rows_i, pa.int64()),
+            "j": pa.array(rows_j, pa.int64()),
+            "s": pa.array(rows_s, pa.int64()),
+        })
+
+    stats = merge_bounded_partials(
+        quant.map_batches(moments, batch_format="pandas"),
+        ["i", "j"], ["s"])
+    dd = int(stats["j"].max()) + 1
+    sxx = np.zeros((dd, dd), np.int64)
+    sxy = np.zeros(dd, np.int64)
+    for _, r in stats.iterrows():
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            sxy[j] = s
+        else:
+            sxx[i, j] = s
+    m = sxx.astype(np.float64) / float(scale) ** 2
+    v = sxy.astype(np.float64) / float(scale)
+    for i in range(dd - 1):          # bias (last row/col) unpenalized
+        m[i, i] += float(ridge)
+    w = np.linalg.solve(m, v)
+    w_ref = ray.put(w)
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        ww = get_broadcast(w_ref)
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        x = fx.astype(np.float64) / float(scale)
+        s = x @ ww[:-1] + ww[-1]
+        y = (b[label_col].to_numpy(np.int64) == target_label) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+            "is_target": pa.array(y, pa.int64()),
+            "score_micro": pa.array(
+                np.floor(s * out_scale + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    return quant.map_batches(score, batch_format="pandas")

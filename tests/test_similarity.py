@@ -53,3 +53,32 @@ def test_embedding_pca_batching_invariant(ray_session):
     # pc0 should capture the dominant axis: correlation with dim 0
     c = np.corrcoef(a["pc0_micro"].to_numpy(np.float64), base[:, 0])[0, 1]
     assert abs(c) > 0.95
+
+
+def test_linear_probe_batching_invariant_and_separates(ray_session):
+    """Identical moments under any block layout; on linearly-separable
+    data the probe actually separates the target class."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import linear_probe
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 6
+    y = (np.arange(n) % 3 == 0).astype(np.int64)
+    base = rng.normal(size=(n, d)) * 0.3
+    base[:, 0] += y * 2.0  # dim 0 carries the class signal
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32).tolist() for r in base],
+        "label": np.where(y == 1, 0, 5).astype(np.int32),
+    })
+    a = linear_probe(rd.from_pandas(df), target_label=0) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = linear_probe(rd.from_pandas(df).repartition(8), target_label=0) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    pos = a.loc[a["is_target"] == 1, "score_micro"]
+    neg = a.loc[a["is_target"] == 0, "score_micro"]
+    assert pos.mean() > neg.mean() + 200_000  # clear margin in micro
