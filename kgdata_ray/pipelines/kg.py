@@ -161,3 +161,45 @@ def kg_triples_checkpointed(
         input_manifests=[linked_m],
     )
     return triples_ds
+
+
+def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
+    """Temporal fact table (SCD-2): for every (subj, pred) the
+    time-ordered succession of asserted objects, as
+    (subj, pred, obj, valid_from, valid_to) — ``valid_from`` = the ts
+    of the turn that first asserted the fact (the deduped triple's
+    provenance), ``valid_to`` = the next assertion's ts for the same
+    (subj, pred) (NULL while current). The knowledge-base versioning
+    step a real KG build runs after extraction: functional predicates
+    supersede, history is queryable as of any instant.
+
+    Plan: ONE hash join recovers ts from the transcript provenance
+    (conv_id, turn_idx) — the join ships (subj,pred,obj) rows, never
+    text — then one grouped shuffle on (subj, pred) orders each fact
+    chain (ties pinned by conv_id, turn_idx, obj) and a vectorized
+    per-group shift(-1) closes the intervals. Reference analog: none
+    (kgdata snapshots are point-in-time); SQL-oracle-checked against
+    a DuckDB lead() window over the same golden triples.
+    """
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+
+    ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
+    j = triples.join(ts, join_type="inner", num_partitions=8,
+                     on=("conv_id", "turn_idx"))
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["subj", "pred", "ts", "conv_id", "turn_idx",
+                           "obj"], kind="mergesort")
+        out = pd.DataFrame({
+            "subj": b["subj"],
+            "pred": b["pred"],
+            "obj": b["obj"],
+            "valid_from": b["ts"],
+            "valid_to": b.groupby(["subj", "pred"], sort=False)["ts"]
+            .shift(-1),
+        })
+        return out
+
+    return grouped_blockwise(scrub_empty_blocks(j), ["subj", "pred"],
+                             block)

@@ -992,6 +992,19 @@ def q_kg_conversations_salted(sf_dir: str) -> Dataset:
     return conversations_salted(transcripts_source(cfg), turns_per_salt=8)
 
 
+def q_kg_fact_history(sf_dir: str) -> Dataset:
+    """SCD-2 temporal fact intervals (pipelines/kg.py:kg_fact_history):
+    per (subj, pred) the time-ordered succession of objects with
+    valid_from/valid_to closed by the next assertion — one provenance
+    join + one grouped shuffle. Oracle: DuckDB lead() window over the
+    independent golden triples + transcripts."""
+    from .kg import kg_fact_history
+
+    cfg, _, _ = _kg_world(sf_dir)
+    triples = q_kg_triples(sf_dir)
+    return kg_fact_history(triples, transcripts_source(cfg))
+
+
 def q_kg_pred_type_dicts(sf_dir: str) -> Dataset:
     """dict-sum monoid reduceByKey (reference property_domains shape,
     kgdata/wikidata/datasets/property_domains.py:11-72): per predicate,
@@ -2934,6 +2947,7 @@ def queries() -> dict[str, Callable]:
         "kg_meta_graph": q_kg_meta_graph,
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
+        "kg_fact_history": q_kg_fact_history,
         "kg_unlinkable": q_kg_unlinkable,
         "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
@@ -4678,6 +4692,19 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_pred_counts": f"""
             SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_fact_history": f"""
+            WITH a AS (
+                SELECT t.subj, t.pred, t.obj, tr.ts,
+                       t.conv_id, t.turn_idx
+                FROM {golden} t
+                JOIN {tr} tr ON t.conv_id = tr.conv_id
+                            AND t.turn_idx = tr.turn_idx
+            )
+            SELECT subj, pred, obj, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY subj, pred
+                       ORDER BY ts, conv_id, turn_idx, obj) AS valid_to
+            FROM a
         """,
         "kg_triples_bucketed": f"""
             WITH o AS (SELECT subj AS entity_id, count(*) AS out_degree

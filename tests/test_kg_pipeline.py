@@ -207,3 +207,38 @@ def test_kg_triples_exact_under_tiny_blocks(world, golden, small_cfg):
     assert p == 1.0 and r == 1.0, (p, r)
     # dedup still exact: one provenance row per unique triple
     assert len(df) == len(predicted)
+
+
+def test_kg_fact_history_interval_chain(ray_session):
+    """Planted succession: E1's 'role' fact changes twice; intervals
+    must chain exactly (valid_to = next valid_from, last one open)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.pipelines.kg import kg_fact_history
+
+    ts = pd.to_datetime(
+        ["2026-01-01", "2026-02-01", "2026-03-01", "2026-04-01"])
+    transcripts = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 1, 0, 1],
+        "ts": ts,
+    })
+    triples = pd.DataFrame({
+        "subj": ["E1", "E1", "E1", "E2"],
+        "pred": ["role", "role", "role", "role"],
+        "obj": ["eng", "mgr", "dir", "eng"],
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 1, 0, 1],
+    })
+    out = kg_fact_history(
+        rd.from_pandas(triples).repartition(3),
+        rd.from_pandas(transcripts),
+    ).to_pandas().sort_values(["subj", "valid_from"]).reset_index(drop=True)
+    e1 = out[out["subj"] == "E1"].reset_index(drop=True)
+    assert list(e1["obj"]) == ["eng", "mgr", "dir"]
+    assert (e1["valid_to"].iloc[:-1].to_numpy()
+            == e1["valid_from"].iloc[1:].to_numpy()).all()
+    assert pd.isna(e1["valid_to"].iloc[-1])
+    e2 = out[out["subj"] == "E2"]
+    assert len(e2) == 1 and pd.isna(e2["valid_to"].iloc[0])
