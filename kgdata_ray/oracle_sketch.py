@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 23
+SKETCH_ORACLE_VERSION = 24
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -357,6 +357,43 @@ def golden_embedding_pca(vec_ids, vecs, *, n_components=2,
                        for c in range(n_components))))
     names = ["vec_id"] + [f"pc{c}_micro" for c in range(n_components)]
     return _pair_table(rows, names, [pa.int64()] * (n_components + 1))
+
+
+def golden_leakage_split(ids, pairs: pa.Table, *,
+                         fractions=(0.8, 0.1, 0.1),
+                         labels=("train", "val", "test"),
+                         salt="lsplit") -> pa.Table:
+    """Independent leakage-safe-split golden: union-find components
+    over the golden pair table, group key = component id (own id when
+    unpaired), and the published keyed-md5 banding contract — cut[i]
+    = format(int(running_fraction * 16**8), '08x'), accumulated
+    left-to-right exactly as documented."""
+    import hashlib
+
+    comp_tbl = golden_clusters(pairs)
+    comp = dict(zip(comp_tbl["node_id"].to_pylist(),
+                    comp_tbl["component_id"].to_pylist()))
+    cuts = []
+    acc = 0.0
+    for f in list(fractions)[:-1]:
+        acc += f
+        cuts.append("g" if acc >= 1.0 else format(int(acc * 16**8),
+                                                  "08x"))
+    rows = []
+    for i in ids:
+        g = int(comp.get(int(i), int(i)))
+        h = hashlib.md5((salt + str(g)).encode()).hexdigest()[:8]
+        lab = labels[-1]
+        for ci, c in enumerate(cuts):
+            if h < c:
+                lab = labels[ci]
+                break
+        rows.append((int(i), g, lab))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "group_id": pa.array([r[1] for r in rows], pa.int64()),
+        "split": pa.array([r[2] for r in rows], pa.string()),
+    })
 
 
 def golden_linear_probe(vec_ids, vecs, labels, *, target_label=0,
@@ -750,6 +787,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "embedding_pca.parquet")
     pq.write_table(golden_linear_probe(vec_ids, vecs, vec_labels),
                    out / "linear_probe.parquet")
+    pq.write_table(golden_leakage_split(ids, mh),
+                   out / "leakage_split.parquet")
     dsir_scores_tbl, dsir_sample_tbl = golden_dsir(ids, texts, sources)
     pq.write_table(dsir_scores_tbl, out / "dsir_scores.parquet")
     pq.write_table(dsir_sample_tbl, out / "dsir_sample.parquet")

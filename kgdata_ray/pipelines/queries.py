@@ -457,6 +457,19 @@ def q_minhash_clusters(sf_dir: str) -> Dataset:
     return dedup_clusters(q_minhash_pairs(sf_dir))
 
 
+def q_leakage_safe_split(sf_dir: str) -> Dataset:
+    """Group-aware train/val/test split over documents
+    (stages/dedup.py:leakage_safe_split): near-dup MinHash components
+    become the split key so duplicates never straddle a boundary —
+    GroupShuffleSplit semantics at corpus scale. Certified against an
+    independent union-find + keyed-md5-banding golden
+    (oracle_sketch.golden_leakage_split)."""
+    from ..stages.dedup import leakage_safe_split
+
+    return leakage_safe_split(_t(sf_dir, "documents"),
+                              q_minhash_pairs(sf_dir))
+
+
 def q_pii_scrub(sf_dir: str) -> Dataset:
     """PII redaction over documents with deterministically injected
     emails/phones (the corpus carries none): doc_id%3==0 gains an
@@ -2978,6 +2991,7 @@ def queries() -> dict[str, Callable]:
         "dsir_scores": q_dsir_scores,
         "dsir_sample": q_dsir_sample,
         "linear_probe": q_linear_probe,
+        "leakage_safe_split": q_leakage_safe_split,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4272,6 +4286,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "linear_probe": f"""
             SELECT vec_id, is_target, score_micro
             FROM read_parquet('{d}/linear_probe.parquet')
+        """,
+        "leakage_safe_split": f"""
+            SELECT doc_id, group_id, split
+            FROM read_parquet('{d}/leakage_split.parquet')
         """,
         "dsir_sample": f"""
             SELECT doc_id, weight_micro, key_micro

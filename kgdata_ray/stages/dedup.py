@@ -1201,3 +1201,47 @@ def incremental_dedup(
         fresh.map_batches(pre, batch_format="pandas"), ["__ckey"], final)
     return semi_join(new, winners, id_col,
                      num_partitions=num_partitions)
+
+
+def leakage_safe_split(
+    docs: Dataset,
+    pairs: Dataset,
+    *,
+    fractions: "Sequence[float]" = (0.8, 0.1, 0.1),
+    labels: "Sequence[str]" = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "lsplit",
+) -> Dataset:
+    """Group-aware train/val/test split: near-duplicate documents can
+    NEVER straddle a split boundary — the classic eval-contamination
+    leak a per-document split commits silently. Duplicate-pair edges
+    become connected components; every document's split key is its
+    component id (its own id when it has no near-dup), and the split
+    is the repo's standard keyed-md5 banding (disjoint, exhaustive,
+    restart-safe). Output: (doc_id, group_id, split).
+
+    Scale shape: the component table is pair-bounded (only docs that
+    HAVE a near-dup appear), one left-outer hash join tags the corpus,
+    the banding pass is shuffle-free. Reference analog: none — this is
+    the engine's training-data surface (GroupShuffleSplit semantics
+    at corpus scale)."""
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
+    from ..functions.sampling import split_assign
+    from .canonicalize import connected_components
+
+    comp = rename_cols(
+        connected_components(pairs, src_col="id_a", dst_col="id_b"),
+        {"node_id": id_col, "component_id": "group_id"},
+    )
+    tagged = docs.select_columns([id_col]).join(
+        comp, join_type="left_outer", num_partitions=8, on=(id_col,))
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        g = b["group_id"].fillna(b[id_col]).astype("int64")
+        return pd.DataFrame({id_col: b[id_col].astype("int64"),
+                             "group_id": g})
+
+    grouped = scrub_empty_blocks(tagged).map_batches(
+        fill, batch_format="pandas")
+    return split_assign(grouped, "group_id", fractions=list(fractions),
+                        labels=list(labels), salt=salt)

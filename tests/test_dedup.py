@@ -262,3 +262,30 @@ def test_segment_and_span_dedup_batching_invariance():
 
     pd.testing.assert_frame_equal(base_seg, got_seg)
     pd.testing.assert_frame_equal(base_span, got_span)
+
+
+def test_leakage_safe_split_no_pair_straddles(ray_session):
+    """Every near-dup pair must land in ONE split; fractions roughly
+    honored; unpaired docs keyed by their own id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.dedup import leakage_safe_split
+
+    docs = pd.DataFrame({"doc_id": range(200),
+                         "text": [f"t{i}" for i in range(200)]})
+    # chain 0-1-2, pair (10,11), pair (50,51)
+    pairs = pd.DataFrame({"id_a": [0, 1, 10, 50],
+                          "id_b": [1, 2, 11, 51]})
+    out = leakage_safe_split(rd.from_pandas(docs).repartition(5),
+                             rd.from_pandas(pairs)).to_pandas()
+    assert len(out) == 200 and out["doc_id"].is_unique
+    by_id = out.set_index("doc_id")
+    for a, b in [(0, 1), (1, 2), (10, 11), (50, 51)]:
+        assert by_id.loc[a, "split"] == by_id.loc[b, "split"]
+        assert by_id.loc[a, "group_id"] == by_id.loc[b, "group_id"]
+    assert by_id.loc[0, "group_id"] == 0  # min-id component rep
+    lone = by_id.drop([0, 1, 2, 10, 11, 50, 51])
+    assert (lone["group_id"] == lone.index).all()
+    frac = (out["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
