@@ -457,6 +457,16 @@ def q_minhash_clusters(sf_dir: str) -> Dataset:
     return dedup_clusters(q_minhash_pairs(sf_dir))
 
 
+def q_keyword_extract(sf_dir: str) -> Dataset:
+    """Per-document top-5 TF-IDF keywords
+    (stages/textstats.py:keyword_extract): row-local tf and top-k, one
+    vocabulary-bounded df count broadcast once — pure-SQL oracle
+    (DuckDB window over the same frozen micro scores)."""
+    from ..stages.textstats import keyword_extract
+
+    return keyword_extract(_t(sf_dir, "documents"), k=5)
+
+
 def q_leakage_safe_split(sf_dir: str) -> Dataset:
     """Group-aware train/val/test split over documents
     (stages/dedup.py:leakage_safe_split): near-dup MinHash components
@@ -2902,6 +2912,7 @@ def queries() -> dict[str, Callable]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
+        "keyword_extract": q_keyword_extract,
         "rolling_fingerprints": q_rolling_fp,
         "knn_ivf": q_knn_ivf,
         "media_features": q_media_features,
@@ -3601,6 +3612,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "keyword_extract": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            ),
+            idf AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks WHERE term <> '' GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT t.doc_id, t.term,
+                       CAST(floor(t.tf * ln(CAST(n.n AS DOUBLE) / d.df)
+                           * 1e6 + 0.5e0) AS BIGINT) AS tfidf_micro
+                FROM tf t JOIN idf d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf_micro,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_micro DESC, term) - 1
+                       AS BIGINT) AS rank
+            FROM s QUALIFY rank < 5
         """,
         "word_counts": """
             SELECT term, CAST(COUNT(*) AS BIGINT) AS n

@@ -846,3 +846,77 @@ def chunk_lang_consistency(
         })
 
     return grouped_blockwise(counts, [id_col], majority)
+
+
+def keyword_extract(
+    ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5,
+) -> Dataset:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    -> (doc_id, term, tfidf_micro, rank). Tokens are the corpus's raw
+    space-separated words (same split as :func:`word_counts`, matching
+    the SQL oracle's string_split).
+
+    Score = ``floor(tf * ln(N / df) * 1e6 + 0.5)`` frozen to int64
+    micro-units on BOTH sides (engine and DuckDB), rank ordered by
+    (tfidf_micro DESC, term ASC) — fully pinned, so this is one of the
+    pure-SQL-oracle operators (no golden parquet).
+
+    Scale shape: a document is one row, so tf AND the per-doc top-k
+    are row-local (no shuffle); the only exchange is the
+    vocabulary-sized df count (map-side combined), broadcast once via
+    ray.put. For a web-scale heavy-tailed vocabulary swap the
+    broadcast for the distributed join plan exactly as
+    :func:`unigram_logprob_scores` documents."""
+    import ray
+
+    from ..functions.agg import partial_group_count
+    from ..functions.broadcast import get_broadcast
+
+    def explode_distinct(b: pd.DataFrame) -> pa.Table:
+        terms: set = set()
+        rows = []
+        for txt in b[text_col]:
+            for t in set(txt.split(" ")):
+                if t:
+                    rows.append(t)
+        return pa.table({"term": pa.array(rows, pa.string())})
+
+    df_ds = partial_group_count(
+        ds.select_columns([text_col]).map_batches(
+            explode_distinct, batch_format="pandas"),
+        "term", count_name="df").materialize()
+    n_docs = int(ds.count())
+    dfp = df_ds.to_pandas()
+    lut_ref = ray.put(dict(zip(dfp["term"], dfp["df"].astype(int))))
+
+    def topk(b: pd.DataFrame) -> pa.Table:
+        lut = get_broadcast(lut_ref)
+        out_id, out_term, out_s, out_r = [], [], [], []
+        for i, txt in zip(b[id_col], b[text_col]):
+            words = [t for t in txt.split(" ") if t]
+            if not words:
+                continue
+            tf = pd.Series(words).value_counts()
+            terms = tf.index.to_numpy(object)
+            dfv = np.fromiter((lut[t] for t in terms), np.float64,
+                              count=len(terms))
+            score = np.floor(
+                tf.to_numpy(np.float64) * np.log(float(n_docs) / dfv)
+                * 1e6 + 0.5).astype(np.int64)
+            top = (pd.DataFrame({"term": terms, "s": score})
+                   .sort_values(["s", "term"], ascending=[False, True],
+                                kind="mergesort").head(k))
+            out_id.extend([int(i)] * len(top))
+            out_term.extend(top["term"])
+            out_s.extend(top["s"])
+            out_r.extend(range(len(top)))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tfidf_micro": pa.array(out_s, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        topk, batch_format="pandas")

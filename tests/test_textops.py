@@ -114,3 +114,29 @@ def test_ngram_contamination_matches_naive():
         if grams(t) & pg
     )
     assert got == ref == [1, 2, 4]
+
+
+def test_keyword_extract_batching_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.textstats import keyword_extract
+
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(["alpha", "beta", "gamma"][: 1 + i % 3]
+                          * (1 + i % 4)) + f" unique{i}"
+                 for i in range(40)],
+    })
+    a = keyword_extract(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    b = keyword_extract(rd.from_pandas(df).repartition(7)).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    # every document's doc-unique token (the highest-idf term) makes
+    # its keyword set, and scores are non-increasing in rank
+    g = a.groupby("doc_id")
+    assert (g["term"].apply(
+        lambda t: t.str.startswith("unique").any())).all()
+    assert (g["tfidf_micro"].apply(
+        lambda s: (s.diff().dropna() <= 0).all())).all()
