@@ -1028,6 +1028,26 @@ def q_kg_fact_history(sf_dir: str) -> Dataset:
     return kg_fact_history(triples, transcripts_source(cfg))
 
 
+KG_SNAPSHOT_TS = "2025-01-15 00:00:00"
+
+
+def q_kg_snapshot_at(sf_dir: str) -> Dataset:
+    """Time-travel query: the knowledge graph AS OF a fixed instant —
+    the facts whose validity interval covers KG_SNAPSHOT_TS, read off
+    the SCD-2 table (kg_fact_history filtered, no extra shuffle).
+    Oracle: the same DuckDB window + interval predicate."""
+
+    hist = q_kg_fact_history(sf_dir)
+    t = pd.Timestamp(KG_SNAPSHOT_TS)
+
+    def live(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["valid_from"] <= t) & (b["valid_to"].isna()
+                                      | (b["valid_to"] > t))
+        return b.loc[m, ["subj", "pred", "obj"]]
+
+    return hist.map_batches(live, batch_format="pandas")
+
+
 def q_kg_pred_type_dicts(sf_dir: str) -> Dataset:
     """dict-sum monoid reduceByKey (reference property_domains shape,
     kgdata/wikidata/datasets/property_domains.py:11-72): per predicate,
@@ -2972,6 +2992,7 @@ def queries() -> dict[str, Callable]:
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_fact_history": q_kg_fact_history,
+        "kg_snapshot_at": q_kg_snapshot_at,
         "kg_unlinkable": q_kg_unlinkable,
         "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
@@ -4747,6 +4768,26 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_pred_counts": f"""
             SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_snapshot_at": f"""
+            WITH a AS (
+                SELECT t.subj, t.pred, t.obj, tr.ts,
+                       t.conv_id, t.turn_idx
+                FROM {golden} t
+                JOIN {tr} tr ON t.conv_id = tr.conv_id
+                            AND t.turn_idx = tr.turn_idx
+            ),
+            h AS (
+                SELECT subj, pred, obj, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY subj, pred
+                           ORDER BY ts, conv_id, turn_idx, obj)
+                           AS valid_to
+                FROM a
+            )
+            SELECT subj, pred, obj FROM h
+            WHERE valid_from <= TIMESTAMP '{KG_SNAPSHOT_TS}'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '{KG_SNAPSHOT_TS}')
         """,
         "kg_fact_history": f"""
             WITH a AS (
