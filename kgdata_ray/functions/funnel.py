@@ -21,6 +21,7 @@ from typing import Sequence
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
+from .joins import default_join_partitions
 
 
 def funnel_stages(
@@ -139,7 +140,7 @@ def retention_cohorts(
 
     j = scrub_empty_blocks(cohorts).join(
         rename_cols(scrub_empty_blocks(weeks), {user_col: "u2"}),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=default_join_partitions(),
         on=(user_col,), right_on=("u2",))
 
     def retained(b: pd.DataFrame) -> pd.DataFrame:

@@ -33,6 +33,25 @@ from ray.data import Dataset
 from .broadcast import as_ref, get_broadcast
 
 
+def default_join_partitions() -> int:
+    """Hash-shuffle join partition count: at least 8, scaling with the
+    cluster (one partition per 4 CPUs), so a single 32-CPU box keeps
+    the all-to-all fixed cost low while a 256-node cluster shuffles
+    into thousands of partitions instead of funneling 100 TB through
+    8. Override with ``KGR_JOIN_PARTITIONS``. Every join call site in
+    the repo resolves through this instead of pinning a constant."""
+    import os
+
+    v = os.environ.get("KGR_JOIN_PARTITIONS")
+    if v:
+        return max(1, int(v))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(8, cpus // 4)
+
+
 def equi_join(
     left: Dataset,
     right: Dataset,

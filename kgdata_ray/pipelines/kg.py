@@ -34,6 +34,7 @@ from ..stages.linking import (
     link_via_join,
 )
 from ..stages.reconstruct import reconstruct_turns
+from ..functions.joins import default_join_partitions
 
 TRIPLE_COLUMNS = ("subj", "pred", "obj", "conv_id", "turn_idx")
 
@@ -185,7 +186,7 @@ def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
     from ..functions.blocks import scrub_empty_blocks
 
     ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
-    j = triples.join(ts, join_type="inner", num_partitions=8,
+    j = triples.join(ts, join_type="inner", num_partitions=default_join_partitions(),
                      on=("conv_id", "turn_idx"))
 
     def block(b: pd.DataFrame) -> pd.DataFrame:

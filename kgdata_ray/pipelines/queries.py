@@ -43,6 +43,7 @@ from ..stages.dedup import embedding_pairs, embedding_pairs_lsh, \
     exact_dedup_ids, minhash_pairs, ngram_jaccard_pairs, simhash_pairs
 from ..stages.similarity import build_ivf, knn_bruteforce, knn_ivf
 from ..stages.multimodal import decode_features, media_from_documents
+from ..functions.joins import default_join_partitions
 from ..synth import config_for_sf, gazetteer_table, redirects_table, \
     sf_from_dir, transcripts_source
 
@@ -131,7 +132,7 @@ def q_join_orders_customers(sf_dir: str) -> Dataset:
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
     j1 = equi_join(orders, cust, "o_custkey", right_on="c_custkey",
-                   num_partitions=8)
+                   num_partitions=default_join_partitions())
     j2 = broadcast_join(j1, nation.to_pandas(), on="c_nationkey",
                         right_on="n_nationkey", how="inner")
     return j2.select_columns(["o_orderkey", "c_name", "n_name"])
@@ -146,7 +147,7 @@ def q_salted_join(sf_dir: str) -> Dataset:
     j = salted_join(
         li.rename_columns({"l_suppkey": "k"}),
         supp.rename_columns({"s_suppkey": "k"}),
-        "k", hot_threshold=100, salt_batch=500, num_partitions=8,
+        "k", hot_threshold=100, salt_batch=500, num_partitions=default_join_partitions(),
         hot_sample_fraction=0.05,  # keys are ~1000x over threshold
     )
     return j.select_columns(["l_orderkey", "l_linenumber", "s_name"])
@@ -341,7 +342,7 @@ def q_fk_explode(sf_dir: str) -> Dataset:
         lists,
         orders.select_columns(["o_orderkey", "o_totalprice"]),
         fk_col="fk", id_col="c_custkey", right_key="o_orderkey",
-        num_partitions=8,
+        num_partitions=default_join_partitions(),
     )
     return j.select_columns(["c_custkey", "fk", "o_totalprice"])
 
@@ -1057,7 +1058,7 @@ def q_kg_pred_type_dicts(sf_dir: str) -> Dataset:
     triples = q_kg_triples(sf_dir)
     et = _entity_types_ds(sf_dir)
     typed = triples.select_columns(["subj", "pred"]).join(
-        et, join_type="inner", num_partitions=8,
+        et, join_type="inner", num_partitions=default_join_partitions(),
         on=("subj",), right_on=("entity_id",),
     )
     return dict_merge_aggregate(typed, "pred", "etype", out_col="counts")
@@ -1094,7 +1095,7 @@ def q_kg_triples_salted(sf_dir: str) -> Dataset:
     cfg, gz, rt = _kg_world(sf_dir)
     raw = extract_raw(transcripts_source(cfg))
     cands = alias_candidates(rd_.from_arrow(gz))
-    linked = link_via_join(raw, cands, num_partitions=8,
+    linked = link_via_join(raw, cands, num_partitions=default_join_partitions(),
                            hot_threshold=200, salt_batch=100)
     canon = apply_canonical_map(
         linked, ray.put(canonical_map_from_table(rt)), ("subj", "obj")
@@ -2431,7 +2432,7 @@ def q_dedup_representatives(sf_dir: str) -> Dataset:
     quality = textstats.quality_scores(_t(sf_dir, "documents"))
     j = scrub_empty_blocks(clusters).join(
         rename_cols(scrub_empty_blocks(quality), {"doc_id": "qd"}),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=default_join_partitions(),
         on=("node_id",), right_on=("qd",))
     top = group_top_k(scrub_empty_blocks(j), "component_id",
                       sort_cols=["quality", "node_id"],

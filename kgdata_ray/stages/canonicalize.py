@@ -26,6 +26,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.blocks import rename_cols, scrub_empty_blocks
+from ..functions.joins import default_join_partitions
 
 
 # --------------------------------------------------------------------------
@@ -170,7 +171,7 @@ def connected_components(
                 sym.join(
                     labels,
                     join_type="inner",
-                    num_partitions=8,
+                    num_partitions=default_join_partitions(),
                     on=("v",),
                     right_on=("node_id",),
                 )
@@ -180,7 +181,7 @@ def connected_components(
             {"u": "node_id", "min(component_id)": "cand"},
         )
         merged = labels.join(
-            cand, join_type="left_outer", num_partitions=8, on=("node_id",)
+            cand, join_type="left_outer", num_partitions=default_join_partitions(), on=("node_id",)
         )
 
         if rnd < plain_rounds:
@@ -223,7 +224,7 @@ def connected_components(
                     hopped.drop_columns(["old_label"]),
                     {"node_id": "ptr", "component_id": "ptr_label"},
                 ),
-                join_type="left_outer", num_partitions=8,
+                join_type="left_outer", num_partitions=default_join_partitions(),
                 on=("component_id",), right_on=("ptr",),
             )
 

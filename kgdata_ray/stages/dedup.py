@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+from ..functions.joins import default_join_partitions
 
 _MASK32 = np.uint64(0xFFFFFFFF)
 
@@ -1234,7 +1235,7 @@ def leakage_safe_split(
         {"node_id": id_col, "component_id": "group_id"},
     )
     tagged = docs.select_columns([id_col]).join(
-        comp, join_type="left_outer", num_partitions=8, on=(id_col,))
+        comp, join_type="left_outer", num_partitions=default_join_partitions(), on=(id_col,))
 
     def fill(b: pd.DataFrame) -> pd.DataFrame:
         g = b["group_id"].fillna(b[id_col]).astype("int64")

@@ -28,6 +28,7 @@ from ray.data import Dataset
 
 from ..functions.agg import grouped_blockwise, partial_group_count
 from ..functions.blocks import rename_cols, scrub_empty_blocks
+from ..functions.joins import default_join_partitions
 
 
 def entity_degrees(triples: Dataset, *, num_partitions: int = 8) -> Dataset:
@@ -663,13 +664,13 @@ def pmi_pairs(convs: Dataset) -> Dataset:
         ["p", "q"], count_name="cpq")
 
     j = cpq.join(rename_cols(cx, {"subj": "pe", "cx": "cp"}),
-                 join_type="inner", num_partitions=8,
+                 join_type="inner", num_partitions=default_join_partitions(),
                  on=("p",), right_on=("pe",))
     # a join emits schema-less blocks for empty partitions; rebuild
     # before the next Arrow join keys on them
     j = scrub_empty_blocks(j).join(
         rename_cols(cx, {"subj": "qe", "cx": "cq"}),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=default_join_partitions(),
         on=("q",), right_on=("qe",))
 
     def score(b: pd.DataFrame) -> pa.Table:

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
+from ..functions.joins import default_join_partitions
 
 _TOKEN_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[.,;:!?]")
@@ -718,7 +719,7 @@ def _unigram_join_plan(ds: Dataset, counts_ds: Dataset, total: float,
     pairs = scrub_empty_blocks(
         ds.select_columns([id_col, text_col]).map_batches(
             explode_ids, batch_format="pandas"))
-    j = pairs.join(counts_ds, join_type="inner", num_partitions=8,
+    j = pairs.join(counts_ds, join_type="inner", num_partitions=default_join_partitions(),
                    on=("term",), right_on=("term",))
 
     def neg_logp(b: pd.DataFrame) -> pd.DataFrame:
