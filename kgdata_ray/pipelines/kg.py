@@ -204,3 +204,30 @@ def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
 
     return grouped_blockwise(scrub_empty_blocks(j), ["subj", "pred"],
                              block)
+
+
+def kg_entity_cards(triples: Dataset) -> Dataset:
+    """Materialize per-entity fact cards: (subj, card) with ``card``
+    the canonical sorted-key JSON ``{"pred": ["obj", ...], ...}``
+    (preds ascending, objects ascending within a pred) — the
+    entity-document view a KG serves to consumers, reference analog
+    ``entity_dump``'s grouped statement view. One grouped shuffle on
+    subj; card assembly is a vectorized-enough per-block pandas pass;
+    canonical ordering makes the JSON reproducible by the string_agg
+    SQL oracle byte-for-byte."""
+    from ..functions.agg import grouped_blockwise
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["subj", "pred", "obj"], kind="mergesort")
+        subjs, cards = [], []
+        for subj, g in b.groupby("subj", sort=False):
+            parts = []
+            for pred, gg in g.groupby("pred", sort=False):
+                objs = ", ".join(f'"{o}"' for o in gg["obj"])
+                parts.append(f'"{pred}": [{objs}]')
+            subjs.append(subj)
+            cards.append("{" + ", ".join(parts) + "}")
+        return pd.DataFrame({"subj": subjs, "card": cards})
+
+    return grouped_blockwise(
+        triples.select_columns(["subj", "pred", "obj"]), ["subj"], block)

@@ -1029,6 +1029,15 @@ def q_kg_fact_history(sf_dir: str) -> Dataset:
     return kg_fact_history(triples, transcripts_source(cfg))
 
 
+def q_kg_entity_cards(sf_dir: str) -> Dataset:
+    """Per-entity JSON fact cards (pipelines/kg.py:kg_entity_cards):
+    canonical sorted pred/obj ordering, one grouped shuffle — oracle is
+    a DuckDB nested string_agg over the independent golden triples."""
+    from .kg import kg_entity_cards
+
+    return kg_entity_cards(q_kg_triples(sf_dir))
+
+
 KG_SNAPSHOT_TS = "2025-01-15 00:00:00"
 
 
@@ -2994,6 +3003,7 @@ def queries() -> dict[str, Callable]:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_fact_history": q_kg_fact_history,
         "kg_snapshot_at": q_kg_snapshot_at,
+        "kg_entity_cards": q_kg_entity_cards,
         "kg_unlinkable": q_kg_unlinkable,
         "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
@@ -4769,6 +4779,18 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_pred_counts": f"""
             SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_entity_cards": f"""
+            WITH po AS (
+                SELECT subj, pred,
+                       '[' || string_agg('"' || obj || '"', ', '
+                           ORDER BY obj) || ']' AS objs
+                FROM {golden} GROUP BY subj, pred
+            )
+            SELECT subj,
+                   '{{' || string_agg('"' || pred || '": ' || objs, ', '
+                       ORDER BY pred) || '}}' AS card
+            FROM po GROUP BY subj
         """,
         "kg_snapshot_at": f"""
             WITH a AS (
