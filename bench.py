@@ -153,6 +153,8 @@ def bench_queries(sf_dir: str) -> dict:
         # round-4 session-3 additions
         "hybrid_rrf": q.q_hybrid_rrf,
         "dsir_sample": q.q_dsir_sample,
+        "linear_probe": q.q_linear_probe,
+        "kg_fact_history": q.q_kg_fact_history,
         "jpeg_features": q.q_jpeg_features,
         "mjpeg_frame_stats": q.q_mjpeg_frame_stats,
     }
