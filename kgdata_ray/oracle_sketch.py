@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 24
+SKETCH_ORACLE_VERSION = 25
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -357,6 +357,48 @@ def golden_embedding_pca(vec_ids, vecs, *, n_components=2,
                        for c in range(n_components))))
     names = ["vec_id"] + [f"pc{c}_micro" for c in range(n_components)]
     return _pair_table(rows, names, [pa.int64()] * (n_components + 1))
+
+
+def golden_contrastive_pairs(vec_ids, vecs, labels, *, query_mod=50,
+                             scale=1 << 20) -> pa.Table:
+    """Independent contrastive-mining golden: scalar Python-int
+    squared-L2 loops over every (query, candidate) pair, smallest
+    distance then smallest candidate id, query's own row excluded
+    from positives. No engine imports."""
+    ids = [int(i) for i in vec_ids]
+    labs = [int(l) for l in labels]
+    fx = [[int(x) for x in np.floor(
+        np.asarray(v, np.float64) * scale).astype(np.int64)]
+        for v in vecs]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    rows = []
+    for qpos, qid in enumerate(ids):
+        if qid % query_mod != 0:
+            continue
+        best = {"pos": (None, None), "neg": (None, None)}
+        for cpos, cid in enumerate(ids):
+            same = labs[cpos] == labs[qpos]
+            kind = "pos" if same else "neg"
+            if kind == "pos" and cid == qid:
+                continue
+            dist = d2(fx[qpos], fx[cpos])
+            bd, bc = best[kind]
+            if bd is None or dist < bd or (dist == bd and cid < bc):
+                best[kind] = (dist, cid)
+        for kind in ("pos", "neg"):
+            bd, bc = best[kind]
+            if bd is not None:
+                rows.append((qid, kind, bc, bd))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "cand_id": pa.array([r[2] for r in rows], pa.int64()),
+        "dist_q": pa.array([r[3] for r in rows], pa.int64()),
+    })
 
 
 def golden_leakage_split(ids, pairs: pa.Table, *,
@@ -789,6 +831,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "linear_probe.parquet")
     pq.write_table(golden_leakage_split(ids, mh),
                    out / "leakage_split.parquet")
+    pq.write_table(golden_contrastive_pairs(vec_ids, vecs, vec_labels),
+                   out / "contrastive_pairs.parquet")
     dsir_scores_tbl, dsir_sample_tbl = golden_dsir(ids, texts, sources)
     pq.write_table(dsir_scores_tbl, out / "dsir_scores.parquet")
     pq.write_table(dsir_sample_tbl, out / "dsir_sample.parquet")

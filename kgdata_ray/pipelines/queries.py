@@ -710,6 +710,18 @@ def q_linear_probe(sf_dir: str) -> Dataset:
     return linear_probe(_t(sf_dir, "embeddings"), target_label=0)
 
 
+def q_contrastive_pairs(sf_dir: str) -> Dataset:
+    """Contrastive training-pair mining over the embeddings table
+    (stages/similarity.py:contrastive_pairs): per query the nearest
+    same-label positive + nearest other-label hard negative by exact
+    integer squared-L2, block-local bests reduced by one tiny grouped
+    shuffle — certified against an independent scalar pairwise golden
+    (oracle_sketch.golden_contrastive_pairs)."""
+    from ..stages.similarity import contrastive_pairs
+
+    return contrastive_pairs(_t(sf_dir, "embeddings"), query_mod=50)
+
+
 def q_dsir_scores(sf_dir: str) -> Dataset:
     """DSIR importance weights for every document against the src0
     target domain (stages/selection.py:dsir_scores): md5-hashed
@@ -3035,6 +3047,7 @@ def queries() -> dict[str, Callable]:
         "dsir_sample": q_dsir_sample,
         "linear_probe": q_linear_probe,
         "leakage_safe_split": q_leakage_safe_split,
+        "contrastive_pairs": q_contrastive_pairs,
         "bloom_join": q_bloom_join,
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
@@ -4359,6 +4372,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "leakage_safe_split": f"""
             SELECT doc_id, group_id, split
             FROM read_parquet('{d}/leakage_split.parquet')
+        """,
+        "contrastive_pairs": f"""
+            SELECT query_id, kind, cand_id, dist_q
+            FROM read_parquet('{d}/contrastive_pairs.parquet')
         """,
         "dsir_sample": f"""
             SELECT doc_id, weight_micro, key_micro

@@ -1235,3 +1235,91 @@ def linear_probe(
         })
 
     return quant.map_batches(score, batch_format="pandas")
+
+
+def contrastive_pairs(
+    ds: Dataset,
+    *,
+    query_mod: int = 50,
+    scale: int = PCA_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> Dataset:
+    """Contrastive training-pair mining for embedding-model training:
+    for every query vector (``id % query_mod == 0``) the nearest
+    SAME-label corpus vector (the positive) and the nearest
+    OTHER-label vector (the hard negative) — the (anchor, positive,
+    hard-negative) triplets a contrastive/metric-learning run consumes.
+    Output: (query_id, kind 'pos'|'neg', cand_id, dist_q).
+
+    Exactness: distances are integer squared-L2 on the fixed-point
+    quantization ``floor(v * scale)`` — pure int64 arithmetic, so the
+    argmin (ties pinned to the smallest candidate id; the query's own
+    row is excluded from its positives) is bit-identical under any
+    batching and an independent scalar golden reproduces every row.
+
+    Scale shape: the Q queries broadcast once via ray.put; every
+    corpus block emits at most 2Q local-best rows (a combiner), and
+    one tiny grouped shuffle on (query_id, kind) reduces the
+    block-local bests exactly. The corpus streams once; nothing
+    quadratic leaves a task."""
+    import ray
+
+    from ..functions.agg import grouped_blockwise
+    from ..functions.broadcast import get_broadcast
+
+    base = ds.select_columns([id_col, vec_col, label_col])
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b[id_col] % query_mod) == 0]
+
+    q_rows = base.map_batches(pick, batch_format="pandas").take_all()
+    q_ids = np.asarray(sorted(int(r[id_col]) for r in q_rows), np.int64)
+    by_id = {int(r[id_col]): r for r in q_rows}
+    qfx = np.vstack([
+        np.floor(np.asarray(by_id[i][vec_col], np.float64) * scale)
+        .astype(np.int64) for i in q_ids])
+    q_lab = np.asarray([int(by_id[i][label_col]) for i in q_ids],
+                       np.int64)
+    q_ref = ray.put((q_ids, qfx, q_lab))
+    big = np.iinfo(np.int64).max
+
+    def local_best(b: pd.DataFrame) -> pa.Table:
+        qi, qf, ql = get_broadcast(q_ref)
+        fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
+        cid = b[id_col].to_numpy(np.int64)
+        clab = b[label_col].to_numpy(np.int64)
+        # exact integer squared L2: |q|^2 + |c|^2 - 2 q.c
+        d = (np.einsum("ij,ij->i", qf, qf)[:, None]
+             + np.einsum("ij,ij->i", fx, fx)[None, :]
+             - 2 * (qf @ fx.T))
+        same = ql[:, None] == clab[None, :]
+        not_self = qi[:, None] != cid[None, :]
+        out_q, out_k, out_c, out_d = [], [], [], []
+        for kind, mask in (("pos", same & not_self), ("neg", ~same)):
+            dm = np.where(mask, d, big)
+            bestv = dm.min(axis=1)
+            # among equal-distance candidates keep the smallest id
+            bestc = np.where(dm == bestv[:, None], cid[None, :],
+                             big).min(axis=1)
+            ok = bestv < big
+            out_q.extend(qi[ok])
+            out_k.extend([kind] * int(ok.sum()))
+            out_c.extend(bestc[ok])
+            out_d.extend(bestv[ok])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "kind": pa.array(out_k, pa.string()),
+            "cand_id": pa.array(out_c, pa.int64()),
+            "dist_q": pa.array(out_d, pa.int64()),
+        })
+
+    parts = base.map_batches(local_best, batch_format="pandas")
+
+    def reduce_block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["query_id", "kind", "dist_q", "cand_id"],
+                          kind="mergesort")
+        return b.drop_duplicates(["query_id", "kind"], keep="first")
+
+    return grouped_blockwise(parts, ["query_id", "kind"], reduce_block)

@@ -82,3 +82,36 @@ def test_linear_probe_batching_invariant_and_separates(ray_session):
     pos = a.loc[a["is_target"] == 1, "score_micro"]
     neg = a.loc[a["is_target"] == 0, "score_micro"]
     assert pos.mean() > neg.mean() + 200_000  # clear margin in micro
+
+
+def test_contrastive_pairs_exact_and_batching_invariant(ray_session):
+    """Positives share the query's label (never the query itself),
+    negatives never do; results identical under any block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import contrastive_pairs
+
+    rng = np.random.default_rng(5)
+    n, d = 80, 6
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(size=d).astype(np.float32).tolist()
+                      for _ in range(n)],
+        "label": (np.arange(n) % 4).astype(np.int32),
+    })
+    a = contrastive_pairs(rd.from_pandas(df), query_mod=10) \
+        .to_pandas().sort_values(["query_id", "kind"]) \
+        .reset_index(drop=True)
+    b = contrastive_pairs(rd.from_pandas(df).repartition(9),
+                          query_mod=10) \
+        .to_pandas().sort_values(["query_id", "kind"]) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 16  # 8 queries x (pos, neg)
+    lab = df.set_index("vec_id")["label"]
+    for _, r in a.iterrows():
+        same = lab[r["query_id"]] == lab[r["cand_id"]]
+        assert same == (r["kind"] == "pos")
+        assert r["kind"] == "neg" or r["cand_id"] != r["query_id"]
