@@ -875,13 +875,15 @@ def keyword_extract(
     from ..functions.broadcast import get_broadcast
 
     def explode_distinct(b: pd.DataFrame) -> pa.Table:
-        terms: set = set()
-        rows = []
-        for txt in b[text_col]:
-            for t in set(txt.split(" ")):
-                if t:
-                    rows.append(t)
-        return pa.table({"term": pa.array(rows, pa.string())})
+        toks = b[text_col].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(b)
+                else np.array([], dtype=object))
+        row = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        pairs = pd.DataFrame({"row": row, "term": flat})
+        pairs = pairs[pairs["term"] != ""].drop_duplicates()
+        return pa.table({"term": pa.array(pairs["term"].to_numpy(object),
+                                          pa.string())})
 
     df_ds = partial_group_count(
         ds.select_columns([text_col]).map_batches(
@@ -893,30 +895,31 @@ def keyword_extract(
 
     def topk(b: pd.DataFrame) -> pa.Table:
         lut = get_broadcast(lut_ref)
-        out_id, out_term, out_s, out_r = [], [], [], []
-        for i, txt in zip(b[id_col], b[text_col]):
-            words = [t for t in txt.split(" ") if t]
-            if not words:
-                continue
-            tf = pd.Series(words).value_counts()
-            terms = tf.index.to_numpy(object)
-            dfv = np.fromiter((lut[t] for t in terms), np.float64,
-                              count=len(terms))
-            score = np.floor(
-                tf.to_numpy(np.float64) * np.log(float(n_docs) / dfv)
-                * 1e6 + 0.5).astype(np.int64)
-            top = (pd.DataFrame({"term": terms, "s": score})
-                   .sort_values(["s", "term"], ascending=[False, True],
-                                kind="mergesort").head(k))
-            out_id.extend([int(i)] * len(top))
-            out_term.extend(top["term"])
-            out_s.extend(top["s"])
-            out_r.extend(range(len(top)))
+        toks = b[text_col].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(b)
+                else np.array([], dtype=object))
+        doc = np.repeat(b[id_col].to_numpy(np.int64), lens)
+        pairs = pd.DataFrame({"doc": doc, "term": flat})
+        pairs = pairs[pairs["term"] != ""]
+        tf = (pairs.groupby(["doc", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        dfv = tf["term"].map(lut).to_numpy(np.float64)
+        tf["s"] = np.floor(
+            tf["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / dfv) * 1e6 + 0.5).astype(np.int64)
+        tf = tf.sort_values(["doc", "s", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = tf.groupby("doc", sort=False)
+        tf["rank"] = g.cumcount().astype("int64")
+        top = tf[tf["rank"] < k]
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
-            "term": pa.array(out_term, pa.string()),
-            "tfidf_micro": pa.array(out_s, pa.int64()),
-            "rank": pa.array(out_r, pa.int64()),
+            id_col: pa.array(top["doc"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(top["term"].to_numpy(object), pa.string()),
+            "tfidf_micro": pa.array(top["s"].to_numpy(np.int64),
+                                    pa.int64()),
+            "rank": pa.array(top["rank"].to_numpy(np.int64), pa.int64()),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
