@@ -68,14 +68,15 @@ def _doc_grams(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     every row: lowercase, split on non-alphanumeric, empties dropped.
     Vectorized: one concatenate + boundary mask, no per-token loop."""
     toks = texts.str.lower().str.split(WORD_SPLIT_PATTERN, regex=True)
-    lists = [[t for t in ts if t] for ts in toks]
-    lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
-                       count=len(lists))
-    if lens.sum() == 0:
+    lens = toks.str.len().to_numpy(np.int64)
+    if len(texts) == 0 or lens.sum() == 0:
         return (np.array([], dtype=object), np.array([], dtype=np.int64))
-    flat = np.concatenate([np.asarray(x, dtype=object)
-                           for x in lists if x])
-    rows = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    flat = np.concatenate(toks.to_numpy())
+    rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    keep = flat != ""          # regex split yields '' at boundaries
+    flat, rows = flat[keep], rows[keep]
+    if len(flat) == 0:
+        return (np.array([], dtype=object), np.array([], dtype=np.int64))
     # bigram positions: consecutive flat slots belonging to one row
     keep = rows[:-1] == rows[1:] if len(rows) > 1 else \
         np.array([], dtype=bool)
