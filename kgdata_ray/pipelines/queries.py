@@ -1050,6 +1050,17 @@ def q_kg_entity_cards(sf_dir: str) -> Dataset:
     return kg_entity_cards(q_kg_triples(sf_dir))
 
 
+def q_kg_entity_distances(sf_dir: str) -> Dataset:
+    """Bounded multi-source BFS over the entity graph
+    (stages/graph.py:entity_distances): min hop count from E0000001
+    within 4 hops, frontier-join + anti-join per round. Oracle:
+    DuckDB recursive CTE with min-distance fold."""
+    from ..stages.graph import entity_distances
+
+    return entity_distances(q_kg_triples(sf_dir), ["E0000001"],
+                            max_hops=4)
+
+
 KG_SNAPSHOT_TS = "2025-01-15 00:00:00"
 
 
@@ -3016,6 +3027,7 @@ def queries() -> dict[str, Callable]:
         "kg_fact_history": q_kg_fact_history,
         "kg_snapshot_at": q_kg_snapshot_at,
         "kg_entity_cards": q_kg_entity_cards,
+        "kg_entity_distances": q_kg_entity_distances,
         "kg_unlinkable": q_kg_unlinkable,
         "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
@@ -4796,6 +4808,24 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "kg_pred_counts": f"""
             SELECT pred, count(*) AS n FROM {golden} GROUP BY pred
+        """,
+        "kg_entity_distances": f"""
+            WITH RECURSIVE e AS (
+                SELECT subj AS u, obj AS v FROM {golden}
+                WHERE regexp_matches(obj, '^E[0-9]+$')
+                UNION
+                SELECT obj AS u, subj AS v FROM {golden}
+                WHERE regexp_matches(obj, '^E[0-9]+$')
+            ),
+            walk(entity_id, dist) AS (
+                SELECT 'E0000001', 0
+                UNION
+                SELECT e.v, w.dist + 1
+                FROM walk w JOIN e ON w.entity_id = e.u
+                WHERE w.dist < 4
+            )
+            SELECT entity_id, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY entity_id
         """,
         "kg_entity_cards": f"""
             WITH po AS (

@@ -955,3 +955,83 @@ def walk_skipgram_pairs(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return grouped_blockwise(per_walk, ["node", "context"], merge)
+
+
+def entity_distances(
+    triples: Dataset,
+    seeds: "list[str]",
+    *,
+    max_hops: int = 6,
+) -> Dataset:
+    """Multi-source BFS over the undirected entity-entity graph:
+    (entity_id, dist) = minimum hop count from any seed, bounded by
+    ``max_hops`` — the neighborhood/relatedness query a KG serves
+    ("everything within k hops of these entities"). Literal-valued
+    objects (years, quantities) are not graph nodes and are filtered
+    at the edge build.
+
+    BFS discovers each node at its true minimum distance, so the
+    per-round work is ONE frontier join + ONE anti join against the
+    settled set — per-round volume is frontier-sized, never
+    graph-sized, and rounds are bounded by ``max_hops``. Certified
+    against a DuckDB recursive-CTE min-distance oracle.
+    """
+    import ray.data as rd
+
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+    from ..functions.joins import anti_join, default_join_partitions
+
+    def edges_fn(b: pd.DataFrame) -> pa.Table:
+        m = b["obj"].str.match(r"^E[0-9]+$")
+        e = b.loc[m, ["subj", "obj"]]
+        both = pd.concat([
+            pd.DataFrame({"u": e["subj"], "v": e["obj"]}),
+            pd.DataFrame({"u": e["obj"], "v": e["subj"]}),
+        ], ignore_index=True).drop_duplicates()
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    edges = (triples.select_columns(["subj", "obj"])
+             .map_batches(edges_fn, batch_format="pandas")
+             .materialize())
+
+    dist = rd.from_arrow(pa.table({
+        "entity_id": pa.array(sorted(set(seeds)), pa.string()),
+        "dist": pa.array([0] * len(set(seeds)), pa.int64()),
+    })).materialize()
+    frontier = dist
+
+    def first_block(b: pd.DataFrame) -> pa.Table:
+        out = b.drop_duplicates(["entity_id"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    for h in range(1, max_hops + 1):
+        ext = frontier.join(
+            edges, join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("entity_id",), right_on=("u",),
+        )
+
+        def hop(b: pd.DataFrame, _h=h) -> pa.Table:
+            return pa.Table.from_pandas(pd.DataFrame({
+                "entity_id": b["v"],
+                "dist": np.full(len(b), _h, dtype=np.int64),
+            }).drop_duplicates(["entity_id"]), preserve_index=False)
+
+        cand = grouped_blockwise(
+            scrub_empty_blocks(ext.map_batches(hop,
+                                               batch_format="pandas")),
+            ["entity_id"], first_block)
+        def arrow_out(b: pd.DataFrame) -> pa.Table:
+            # keep every block Arrow: mixed pandas/Arrow unions break
+            # downstream aggregates (see kgdata-ray block-type gotcha)
+            return pa.Table.from_pandas(b, preserve_index=False)
+
+        new = scrub_empty_blocks(
+            anti_join(cand, dist, "entity_id")
+            .map_batches(arrow_out, batch_format="pandas")).materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist

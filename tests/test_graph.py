@@ -223,3 +223,26 @@ def test_core_numbers_matches_peeling():
     }
     assert got == want
     assert max(c for _, c in want) >= 2  # fixture non-trivial
+
+
+def test_entity_distances_bfs_minimality(ray_session):
+    """Chain + shortcut: BFS must report the SHORTEST hop count;
+    disconnected nodes and literal objects never appear."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import entity_distances
+
+    tri = pd.DataFrame({
+        "subj": ["E0000001", "E0000002", "E0000003", "E0000001",
+                 "E0000001", "E0000008"],
+        "pred": ["p"] * 6,
+        "obj": ["E0000002", "E0000003", "E0000004", "E0000004",
+                "1999", "E0000009"],
+    })
+    out = entity_distances(rd.from_pandas(tri).repartition(3),
+                           ["E0000001"], max_hops=5) \
+        .to_pandas().set_index("entity_id")["dist"]
+    # E4 is 3 hops down the chain but 1 hop via the shortcut edge
+    assert out.to_dict() == {"E0000001": 0, "E0000002": 1,
+                             "E0000004": 1, "E0000003": 2}
