@@ -723,26 +723,39 @@ def golden_clusters(pairs: pa.Table) -> pa.Table:
 
 
 def golden_pagerank(edges: list[tuple[str, str]], *, damping=0.85,
-                    iters=5) -> pa.Table:
+                    iters=5, personalization=None) -> pa.Table:
     """Dense power iteration over the golden triple edges (multi-edges
     kept; dangling mass redistributed uniformly so ranks sum to 1 —
-    the engine's documented graph-tool-compatible semantics). Ranks
-    rounded to 6 dp; the engine query rounds identically, so the only
-    tolerated difference is distributed-float summation order (~1e-15,
-    invisible at 6 dp)."""
+    the engine's documented graph-tool-compatible semantics). With
+    ``personalization`` (seed node list) the teleport and the dangling
+    mass land on the seed vector instead — personalized PageRank.
+    Ranks rounded to 6 dp; the engine query rounds identically, so the
+    only tolerated difference is distributed-float summation order
+    (~1e-15, invisible at 6 dp)."""
     nodes = sorted({x for e in edges for x in e})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     out = np.zeros(n)
     for s, _d in edges:
         out[idx[s]] += 1
-    r = np.full(n, 1.0 / n)
+    if personalization is not None:
+        seeds = sorted(set(personalization))
+        p = np.zeros(n)
+        for s in seeds:
+            p[idx[s]] = 1.0 / len(seeds)
+    else:
+        p = np.full(n, 1.0 / n)
+    r = p.copy()
     for _ in range(iters):
         contrib = np.zeros(n)
         for s, d in edges:
             contrib[idx[d]] += r[idx[s]] / out[idx[s]]
         dangling = max(0.0, 1.0 - contrib.sum())
-        r = (1 - damping) / n + damping * (contrib + dangling / n)
+        if personalization is not None:
+            r = damping * contrib + ((1 - damping)
+                                     + damping * dangling) * p
+        else:
+            r = (1 - damping) / n + damping * (contrib + dangling / n)
     return pa.table(
         {"node_id": pa.array(nodes, pa.string()),
          "rank": pa.array(np.round(r, 6), pa.float64())}

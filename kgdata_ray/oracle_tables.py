@@ -49,7 +49,7 @@ from .synth import (
 ORACLE_BASE = os.environ.get("KGR_ORACLE_DIR", "/tmp/kgr_oracle")
 
 # bump when the set of materialized tables or their schemas change
-ORACLE_TABLES_VERSION = 8
+ORACLE_TABLES_VERSION = 9
 
 
 def oracle_dir(sf: float) -> str:
@@ -165,6 +165,12 @@ def ensure_oracle_tables(sf: float) -> str:
     pq.write_table(
         golden_pagerank([(t["subj"], t["obj"]) for t in golden]),
         out / "pagerank.parquet",
+    )
+
+    pq.write_table(
+        golden_pagerank([(t["subj"], t["obj"]) for t in golden],
+                        personalization=["E0000001"]),
+        out / "ppr.parquet",
     )
 
     pq.write_table(

@@ -2001,6 +2001,25 @@ def q_kg_pagerank(sf_dir: str) -> Dataset:
     return ranks.map_batches(rounded, batch_format="pandas")
 
 
+def q_kg_ppr(sf_dir: str) -> Dataset:
+    """Personalized PageRank from seed E0000001
+    (stages/graph.py:pagerank with personalization): teleport and
+    dangling mass land on the seed vector — seed-relative entity
+    relatedness. Same 6-dp certifiable boundary as kg_pagerank, golden
+    is the same dense power iteration with the seed vector."""
+    from ..stages.graph import pagerank
+
+    ranks = pagerank(q_kg_triples(sf_dir), iters=5,
+                     personalization=["E0000001"])
+
+    def rounded(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node_id": b["node_id"], "rank": b["rank"].round(6)}
+        )
+
+    return ranks.map_batches(rounded, batch_format="pandas")
+
+
 def q_kg_pred_counts(sf_dir: str) -> Dataset:
     """Predicate frequency stats (class_count/property_count analog)."""
     return partial_group_count(q_kg_triples(sf_dir), "pred")
@@ -3028,6 +3047,7 @@ def queries() -> dict[str, Callable]:
         "kg_snapshot_at": q_kg_snapshot_at,
         "kg_entity_cards": q_kg_entity_cards,
         "kg_entity_distances": q_kg_entity_distances,
+        "kg_ppr": q_kg_ppr,
         "kg_unlinkable": q_kg_unlinkable,
         "kg_raw_candidates": q_kg_raw_candidates,
         "kg_class_closure": q_kg_class_closure,
@@ -4400,6 +4420,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "kg_pagerank": f"""
             SELECT node_id, rank
             FROM read_parquet('{oracle_dir(kg_sf)}/pagerank.parquet')
+        """,
+        "kg_ppr": f"""
+            SELECT node_id, rank
+            FROM read_parquet('{oracle_dir(kg_sf)}/ppr.parquet')
         """,
         "minhash_clusters": f"""
             SELECT node_id, component_id

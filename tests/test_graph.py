@@ -246,3 +246,24 @@ def test_entity_distances_bfs_minimality(ray_session):
     # E4 is 3 hops down the chain but 1 hop via the shortcut edge
     assert out.to_dict() == {"E0000001": 0, "E0000002": 1,
                              "E0000004": 1, "E0000003": 2}
+
+
+def test_personalized_pagerank_localizes_mass(ray_session):
+    """PPR mass concentrates around the seed; unreachable nodes get 0;
+    total mass stays 1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import pagerank
+
+    tri = pd.DataFrame({
+        "subj": ["A", "B", "C", "X"],
+        "obj": ["B", "C", "A", "Y"],
+    })
+    r = pagerank(rd.from_pandas(tri), iters=6,
+                 personalization=["A"]).to_pandas() \
+        .set_index("node_id")["rank"]
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert r["A"] > r["B"] > 0
+    # X/Y are unreachable from A: zero PPR mass
+    assert r["X"] == 0.0 and r["Y"] == 0.0
