@@ -252,3 +252,43 @@ def test_chunk_lang_consistency_majority_tiebreak(ray_session):
     assert got.loc[0, "consistency_milli"] == 500
     assert got.loc[1, "majority_lang"] == "en"
     assert got.loc[1, "consistency_milli"] == 1000 * 2 // 3
+
+
+def test_chunk_lang_consistency_four_langs_und_and_overlap(ray_session):
+    """Richer corpus: all four stopword languages plus numeric 'und'
+    chunks, an overlapping stride (chunks share tokens), and block
+    layout invariance."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.textstats import chunk_lang_consistency
+
+    en = "the and of to a in is for that with on as are this it"
+    de = "der die das und ist von mit für auf ein eine nicht den im zu"
+    fr = "le la les et de des un une est pour dans que qui sur avec"
+    es = "el la los las y de que en un una es por con para del"
+    num = "111 222 333 444 555 666 777 888 999 000 123 456 789 321 654"
+    docs = rd.from_items([
+        {"doc_id": 1, "text": " ".join([fr, fr, fr, es])},  # mostly fr
+        {"doc_id": 2, "text": " ".join([es, es])},          # pure es
+        {"doc_id": 3, "text": " ".join([num, num])},        # all 'und'
+        {"doc_id": 4, "text": " ".join([en, de, fr, es])},  # 4-way tie
+    ])
+    kw = dict(chunk_tokens=15, stride=15)
+    a = chunk_lang_consistency(docs, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = chunk_lang_consistency(docs.repartition(3), **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    r = a.set_index("doc_id")
+    assert r.loc[1, "majority_lang"] == "fr"
+    assert r.loc[1, "consistency_milli"] == 750
+    assert r.loc[2, "majority_lang"] == "es"
+    assert r.loc[2, "consistency_milli"] == 1000
+    assert r.loc[3, "majority_lang"] == "und"  # no stopword hits at all
+    assert r.loc[4, "majority_lang"] == "de"   # 4-way tie -> min code
+    assert r.loc[4, "consistency_milli"] == 250
+    # overlapping stride: chunks share tokens but counts stay exact
+    ov = chunk_lang_consistency(docs, chunk_tokens=15, stride=10) \
+        .to_pandas().set_index("doc_id")
+    assert ov.loc[2, "majority_lang"] == "es"
+    assert ov.loc[2, "n_chunks"] > r.loc[2, "n_chunks"]
