@@ -177,10 +177,14 @@ def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
     Plan: ONE hash join recovers ts from the transcript provenance
     (conv_id, turn_idx) — the join ships (subj,pred,obj) rows, never
     text — then one grouped shuffle on (subj, pred) orders each fact
-    chain (ties pinned by conv_id, turn_idx, obj) and a vectorized
-    per-group shift(-1) closes the intervals. Reference analog: none
-    (kgdata snapshots are point-in-time); SQL-oracle-checked against
-    a DuckDB lead() window over the same golden triples.
+    chain by (ts, obj) — a TOTAL order, because dedup leaves each obj
+    at most once per (subj, pred) — and a vectorized per-group
+    shift(-1) closes the intervals. The ordering deliberately uses
+    only columns the history table itself retains, so
+    :func:`kg_fact_history_merge` re-chains touched keys identically.
+    Reference analog: none (kgdata snapshots are point-in-time);
+    SQL-oracle-checked against a DuckDB lead() window over the same
+    golden triples.
     """
     from ..functions.agg import grouped_blockwise
     from ..functions.blocks import scrub_empty_blocks
@@ -190,8 +194,8 @@ def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
                      on=("conv_id", "turn_idx"))
 
     def block(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["subj", "pred", "ts", "conv_id", "turn_idx",
-                           "obj"], kind="mergesort")
+        b = b.sort_values(["subj", "pred", "ts", "obj"],
+                          kind="mergesort")
         out = pd.DataFrame({
             "subj": b["subj"],
             "pred": b["pred"],
@@ -231,3 +235,72 @@ def kg_entity_cards(triples: Dataset) -> Dataset:
 
     return grouped_blockwise(
         triples.select_columns(["subj", "pred", "obj"]), ["subj"], block)
+
+
+def kg_fact_history_merge(old_history: Dataset,
+                          new_facts: Dataset) -> Dataset:
+    """Incrementally fold NEW dated assertions into an existing SCD-2
+    fact table without recomputing untouched keys — the maintenance
+    path of a living knowledge base (reference analog: none; kgdata
+    rebuilds snapshots from scratch).
+
+    ``old_history``: (subj, pred, obj, valid_from, valid_to) as built
+    by :func:`kg_fact_history`. ``new_facts``: (subj, pred, obj,
+    valid_from) dated assertions (ties against existing rows pinned by
+    (valid_from, obj) — the reduced form of the full recompute's
+    ordering once conv/turn provenance has collapsed into timestamps).
+
+    Plan: the touched (subj, pred) keys are new-side-bounded; ONE
+    anti join streams every untouched history row through unchanged
+    (a pass-through, not a rebuild), and only the touched keys pay the
+    grouped re-chaining over (old intervals' valid_from rows + new
+    assertions). Equality with the from-scratch rebuild is
+    pytest-enforced and the registered incremental query shares the
+    full recompute's SQL oracle verbatim.
+    """
+    from ..functions.agg import grouped_blockwise
+    from ..functions.blocks import scrub_empty_blocks
+    from ..functions.joins import anti_join, semi_join
+
+    SEP = "\x1f"
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["k"] = b["subj"] + SEP + b["pred"]
+        return b
+
+    old_k = old_history.map_batches(keyed, batch_format="pandas")
+    new_k = new_facts.map_batches(keyed,
+                                  batch_format="pandas").materialize()
+
+    untouched = anti_join(old_k, new_k, "k").drop_columns(["k"])
+    touched_old = semi_join(old_k, new_k, "k")
+
+    def as_assertions(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["subj", "pred", "obj", "valid_from"]]
+
+    assertions = scrub_empty_blocks(
+        touched_old.map_batches(as_assertions, batch_format="pandas")
+        .union(new_k.map_batches(as_assertions, batch_format="pandas")))
+
+    def rechain(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["subj", "pred", "valid_from", "obj"],
+                          kind="mergesort")
+        b = b.drop_duplicates(["subj", "pred", "obj", "valid_from"])
+        return pd.DataFrame({
+            "subj": b["subj"],
+            "pred": b["pred"],
+            "obj": b["obj"],
+            "valid_from": b["valid_from"],
+            "valid_to": b.groupby(["subj", "pred"], sort=False)
+            ["valid_from"].shift(-1),
+        })
+
+    rebuilt = grouped_blockwise(assertions, ["subj", "pred"], rechain)
+
+    def arrow_out(b: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    return scrub_empty_blocks(
+        untouched.map_batches(arrow_out, batch_format="pandas")
+    ).union(rebuilt)

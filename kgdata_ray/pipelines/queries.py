@@ -1061,6 +1061,51 @@ def q_kg_entity_distances(sf_dir: str) -> Dataset:
                             max_hops=4)
 
 
+def q_kg_fact_history_incremental(sf_dir: str) -> Dataset:
+    """Incremental SCD-2 maintenance
+    (pipelines/kg.py:kg_fact_history_merge): the triples split
+    deterministically (md5 band on conv_id) into an 'already built'
+    80% and a 'newly arrived' 20%; the old history is folded with the
+    new dated assertions — untouched keys stream through an anti join
+    unchanged, only touched keys re-chain. The result must equal the
+    from-scratch rebuild, so this query shares kg_fact_history's
+    DuckDB window oracle verbatim."""
+    import hashlib
+
+    from .kg import kg_fact_history, kg_fact_history_merge
+
+    cfg, _, _ = _kg_world(sf_dir)
+    tr = transcripts_source(cfg)
+    triples = q_kg_triples(sf_dir).materialize()
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(("hist|" + c).encode()).hexdigest()[:8]
+             for c in b["conv_id"]]
+        b = b.copy()
+        b["_old"] = pd.Series(h, index=b.index) < "cccccccc"
+        return b
+
+    tagged = triples.map_batches(tag, batch_format="pandas") \
+        .materialize()
+    old_t = tagged.map_batches(
+        lambda b: b[b["_old"]].drop(columns=["_old"]),
+        batch_format="pandas")
+    new_t = tagged.map_batches(
+        lambda b: b[~b["_old"]].drop(columns=["_old"]),
+        batch_format="pandas")
+
+    old_hist = kg_fact_history(old_t, tr)
+    ts = tr.select_columns(["conv_id", "turn_idx", "ts"])
+    new_facts = new_t.join(
+        ts, join_type="inner", num_partitions=default_join_partitions(),
+        on=("conv_id", "turn_idx"),
+    ).map_batches(
+        lambda b: pd.DataFrame({"subj": b["subj"], "pred": b["pred"],
+                                "obj": b["obj"], "valid_from": b["ts"]}),
+        batch_format="pandas")
+    return kg_fact_history_merge(old_hist, new_facts)
+
+
 KG_SNAPSHOT_TS = "2025-01-15 00:00:00"
 
 
@@ -3044,6 +3089,7 @@ def queries() -> dict[str, Callable]:
         "kg_pagerank": q_kg_pagerank,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_fact_history": q_kg_fact_history,
+        "kg_fact_history_incremental": q_kg_fact_history_incremental,
         "kg_snapshot_at": q_kg_snapshot_at,
         "kg_entity_cards": q_kg_entity_cards,
         "kg_entity_distances": q_kg_entity_distances,
@@ -4874,7 +4920,7 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             h AS (
                 SELECT subj, pred, obj, ts AS valid_from,
                        lead(ts) OVER (PARTITION BY subj, pred
-                           ORDER BY ts, conv_id, turn_idx, obj)
+                           ORDER BY ts, obj)
                            AS valid_to
                 FROM a
             )
@@ -4893,7 +4939,20 @@ def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
             )
             SELECT subj, pred, obj, ts AS valid_from,
                    lead(ts) OVER (PARTITION BY subj, pred
-                       ORDER BY ts, conv_id, turn_idx, obj) AS valid_to
+                       ORDER BY ts, obj) AS valid_to
+            FROM a
+        """,
+        "kg_fact_history_incremental": f"""
+            WITH a AS (
+                SELECT t.subj, t.pred, t.obj, tr.ts,
+                       t.conv_id, t.turn_idx
+                FROM {golden} t
+                JOIN {tr} tr ON t.conv_id = tr.conv_id
+                            AND t.turn_idx = tr.turn_idx
+            )
+            SELECT subj, pred, obj, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY subj, pred
+                       ORDER BY ts, obj) AS valid_to
             FROM a
         """,
         "kg_triples_bucketed": f"""

@@ -242,3 +242,47 @@ def test_kg_fact_history_interval_chain(ray_session):
     assert pd.isna(e1["valid_to"].iloc[-1])
     e2 = out[out["subj"] == "E2"]
     assert len(e2) == 1 and pd.isna(e2["valid_to"].iloc[0])
+
+
+def test_kg_fact_history_merge_equals_full_rebuild(ray_session):
+    """Planted same-ts collision + an untouched key: the incremental
+    merge must reproduce the from-scratch rebuild exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.pipelines.kg import (kg_fact_history,
+                                         kg_fact_history_merge)
+
+    ts = pd.to_datetime(["2026-01-01", "2026-01-01", "2026-02-01",
+                         "2026-03-01"])
+    transcripts = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "turn_idx": [0, 0, 0, 0],
+        "ts": ts,
+    })
+    # E1/role: two assertions share a ts (order pinned by obj), then a
+    # third arrives "later"; E9/tag is untouched by the new batch
+    triples = pd.DataFrame({
+        "subj": ["E1", "E1", "E1", "E9"],
+        "pred": ["role", "role", "role", "tag"],
+        "obj": ["zzz", "aaa", "mid", "x"],
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "turn_idx": [0, 0, 0, 0],
+    })
+    tr_ds = rd.from_pandas(transcripts)
+    full = kg_fact_history(rd.from_pandas(triples), tr_ds) \
+        .to_pandas().sort_values(["subj", "pred", "valid_from", "obj"]) \
+        .reset_index(drop=True)
+    old = kg_fact_history(rd.from_pandas(triples.iloc[:2]), tr_ds)
+    new_facts = pd.DataFrame({
+        "subj": ["E1", "E9"], "pred": ["role", "tag"],
+        "obj": ["mid", "x"],
+        "valid_from": [ts[2], ts[3]],
+    })
+    merged = kg_fact_history_merge(old, rd.from_pandas(new_facts)) \
+        .to_pandas().sort_values(["subj", "pred", "valid_from", "obj"]) \
+        .reset_index(drop=True)
+    assert merged.equals(full)
+    # the same-ts pair chained by obj: 'aaa' precedes 'zzz'
+    e1 = full[full["subj"] == "E1"]
+    assert list(e1["obj"]) == ["aaa", "zzz", "mid"]
