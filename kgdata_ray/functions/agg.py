@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+
+from .joins import resolve_join_partitions
 from ray.data.aggregate import AggregateFn
 
 
@@ -282,10 +284,11 @@ def partial_group_count(ds: Dataset, key: str | Sequence[str],
 
 def count_zero_fill(
     ds: Dataset, key: str, domain: Dataset, domain_key: str,
-    *, count_name: str = "n", num_partitions: int = 8,
+    *, count_name: str = "n", num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Counts per key, left-joined onto the full key domain with
     missing counts as 0 (reference ``class_count`` zero-fill)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     counts = partial_group_count(ds, key, count_name=count_name)
     joined = domain.join(
         counts,
@@ -595,6 +598,12 @@ def merge_bounded_partials(
 
     few = parts.repartition(fanin).map_batches(
         merge, batch_format="pandas").to_pandas()
+    if len(few) == 0:
+        # empty input loses its schema entirely (map UDFs never run on
+        # schema-less blocks) -> return a typed empty frame instead of
+        # a pandas groupby error on missing key columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ks + cs})
     return few.groupby(ks, sort=False)[cs].sum().reset_index()
 
 

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from .joins import resolve_join_partitions
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -117,12 +119,13 @@ def bloom_join(
     right_on: Optional[str] = None,
     bits_per_key: int = 10, num_hashes: int = 4,
     expected_build_keys: Optional[int] = None,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Inner equi-join with Bloom-pruned probe side: build a filter of
     ``right``'s keys, drop ``left`` rows that cannot match BEFORE the
     join shuffle, then exact hash join. Results are exactly
     ``equi_join(left, right)`` — false positives die in the join."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import ray
 
     from .joins import equi_join

@@ -17,6 +17,8 @@ from typing import Optional, Sequence
 import pandas as pd
 from ray.data import Dataset
 
+from .joins import resolve_join_partitions
+
 _MOD = 1 << 256
 
 
@@ -61,10 +63,11 @@ def commutative_checksum(ds: Dataset, cols: Optional[Sequence[str]] = None) -> i
 
 
 def diff_datasets(
-    a: Dataset, b: Dataset, key: str, *, num_partitions: int = 8
+    a: Dataset, b: Dataset, key: str, *, num_partitions: Optional[int] = None
 ) -> Dataset:
     """Rows differing between two datasets, keyed by ``key``: output
     (key, status) with status in {left_only, right_only, changed}."""
+    num_partitions = resolve_join_partitions(num_partitions)
     cols_a = [c for c in a.schema().names]
     cols_b = [c for c in b.schema().names]
 

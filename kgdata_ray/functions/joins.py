@@ -52,6 +52,15 @@ def default_join_partitions() -> int:
     return max(8, cpus // 4)
 
 
+def resolve_join_partitions(num_partitions: Optional[int]) -> int:
+    """Resolve a join/shuffle partition count: an explicit value wins
+    (deliberate tiny-vocab pins stay pinned); ``None`` — the default on
+    every join-bearing signature in the repo — scales with the cluster
+    via :func:`default_join_partitions`, so no call site ever funnels a
+    cluster-sized all-to-all through a literal 8."""
+    return num_partitions if num_partitions is not None else default_join_partitions()
+
+
 def equi_join(
     left: Dataset,
     right: Dataset,
@@ -59,9 +68,10 @@ def equi_join(
     *,
     how: str = "inner",
     right_on: Optional[str] = None,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Plain hash-shuffle equi-join on one key."""
+    num_partitions = resolve_join_partitions(num_partitions)
     return left.join(
         right,
         join_type=how,
@@ -196,7 +206,7 @@ def salted_join(
     how: str = "inner",
     hot_threshold: int = 10_000,
     salt_batch: int = 1_000,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     precomputed_hot: Optional[dict] = None,
     hot_sample_fraction: float = 1.0,
 ) -> Dataset:
@@ -206,6 +216,7 @@ def salted_join(
     sub-key. Semantics identical to :func:`equi_join`; right side must
     be the smaller / build side.
     """
+    num_partitions = resolve_join_partitions(num_partitions)
     hot = (
         precomputed_hot if precomputed_hot is not None
         else hot_keys(left, on, hot_threshold,
@@ -357,13 +368,14 @@ def _existence_join(left: Dataset, right: Dataset, on: str,
 def semi_join(
     left: Dataset, right: Dataset, on: str, *,
     right_on: Optional[str] = None, plan: str = "auto",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Rows of ``left`` whose key appears in ``right``. ``plan``:
     "broadcast" (key set via ray.put — small right sides), "shuffle"
     (distributed existence join — the scale path), or "auto" (size
     guard at BROADCAST_KEYS_MAX rows). Both plans produce identical
     rows (tested)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     return _existence_join(left, right, on, right_on, True, plan,
                            num_partitions)
 
@@ -371,12 +383,13 @@ def semi_join(
 def anti_join(
     left: Dataset, right: Dataset, on: str, *,
     right_on: Optional[str] = None, plan: str = "auto",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Rows of ``left`` whose key does NOT appear in ``right``
     (reference ``subtract``; dangling/unknown-id computations where the
     right side is the full entity-id table — hence the shuffle plan at
     scale)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     return _existence_join(left, right, on, right_on, False, plan,
                            num_partitions)
 
@@ -392,7 +405,7 @@ def fk_explode_join(
     fk_col: str,
     id_col: str,
     right_key: str,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Explode ``fk_col`` (list column) of ``left`` to one row per
     (id, fk), equi-join each fk against ``right``, return the exploded
@@ -400,6 +413,7 @@ def fk_explode_join(
     ``left_outer_join`` over list-valued foreign keys,
     ``kgdata/spark/common.py:307-390``."""
 
+    num_partitions = resolve_join_partitions(num_partitions)
     def _explode(b: pd.DataFrame) -> pd.DataFrame:
         out = b[[id_col, fk_col]].explode(fk_col, ignore_index=True)
         out = out[out[fk_col].notna()]
@@ -516,7 +530,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket: str = "1D",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     plan: str = "shuffle",
     left_cols: Optional[Sequence[str]] = None,
     interval_cols: Optional[Sequence[str]] = None,
@@ -545,6 +559,7 @@ def interval_join(
     ``Dataset.schema()`` on a mapped pipeline costs a limit-1
     execution of that pipeline (two of them here — ~1.5 s of fixed
     overhead per call that explicit columns avoid)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import pandas as pd
 
     left_cols = (list(left_cols) if left_cols is not None
@@ -614,7 +629,7 @@ def interval_join(
 
 def bucketed_join(
     left_dir, right_dir, *, on: str, right_on: Optional[str] = None,
-    join_type: str = "inner", num_partitions: int = 2,
+    join_type: str = "inner", num_partitions: Optional[int] = None,
     map_side_budget_bytes: int = 256 << 20,
 ) -> "Dataset":
     """Co-partitioned join over two bucketed sinks
@@ -670,6 +685,10 @@ def bucketed_join(
         return _bucket_map_join(shards, on=on, right_on=right_on,
                                 join_type=join_type)
 
+    # per-shard fallback partitions: shards are already co-partitioned
+    # and task-sized, so a small per-shard fan-out suffices; an
+    # explicit value still wins for oversized hot shards
+    num_partitions = 2 if num_partitions is None else num_partitions
     out = None
     for (lf, _), (rf, _) in shards:
         # partitioning=None: the shard=NNNNN path segment must not be

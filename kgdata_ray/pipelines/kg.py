@@ -34,7 +34,7 @@ from ..stages.linking import (
     link_via_join,
 )
 from ..stages.reconstruct import reconstruct_turns
-from ..functions.joins import default_join_partitions
+from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 TRIPLE_COLUMNS = ("subj", "pred", "obj", "conv_id", "turn_idx")
 
@@ -68,7 +68,7 @@ def kg_triples(
     redirects: pa.Table,
     *,
     linking: str = "broadcast",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     reconstruct_first: bool = False,
 ) -> Dataset:
     """transcripts Dataset -> deduplicated canonical triples Dataset.
@@ -90,6 +90,7 @@ def kg_triples(
     (``stages.reconstruct.conversations``) always use the conv_id
     shuffle.
     """
+    num_partitions = resolve_join_partitions(num_partitions)
     src = reconstruct_turns(transcripts) if reconstruct_first else transcripts
     raw = extract_raw(src)
 
@@ -216,22 +217,34 @@ def kg_entity_cards(triples: Dataset) -> Dataset:
     (preds ascending, objects ascending within a pred) — the
     entity-document view a KG serves to consumers, reference analog
     ``entity_dump``'s grouped statement view. One grouped shuffle on
-    subj; card assembly is a vectorized-enough per-block pandas pass;
-    canonical ordering makes the JSON reproducible by the string_agg
-    SQL oracle byte-for-byte."""
+    subj; card assembly is fully vectorized Arrow (hash_list +
+    binary_join kernels — no per-row Python in the serving-surface
+    pass); canonical ordering makes the JSON reproducible by the
+    string_agg SQL oracle byte-for-byte."""
     from ..functions.agg import grouped_blockwise
 
-    def block(b: pd.DataFrame) -> pd.DataFrame:
+    def block(b: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
         b = b.sort_values(["subj", "pred", "obj"], kind="mergesort")
-        subjs, cards = [], []
-        for subj, g in b.groupby("subj", sort=False):
-            parts = []
-            for pred, gg in g.groupby("pred", sort=False):
-                objs = ", ".join(f'"{o}"' for o in gg["obj"])
-                parts.append(f'"{pred}": [{objs}]')
-            subjs.append(subj)
-            cards.append("{" + ", ".join(parts) + "}")
-        return pd.DataFrame({"subj": subjs, "card": cards})
+        t = pa.Table.from_pandas(b[["subj", "pred", "obj"]],
+                                 preserve_index=False)
+        # use_threads=False: single-threaded group scan keeps list
+        # ELEMENTS in row order (objs ascending) and avoids thread
+        # oversubscription inside Ray workers; GROUP order is not
+        # guaranteed, so re-sort the small grouped table explicitly
+        g1 = t.group_by(["subj", "pred"], use_threads=False) \
+            .aggregate([("obj", "list")]) \
+            .sort_by([("subj", "ascending"), ("pred", "ascending")])
+        objs = pc.binary_join(g1["obj_list"], '", "')
+        part = pc.binary_join_element_wise(
+            '"', g1["pred"], '": ["', objs, '"]', "")
+        g2 = pa.table({"subj": g1["subj"], "part": part}) \
+            .group_by(["subj"], use_threads=False) \
+            .aggregate([("part", "list")])
+        card = pc.binary_join_element_wise(
+            "{", pc.binary_join(g2["part_list"], ", "), "}", "")
+        return pa.table({"subj": g2["subj"], "card": card})
 
     return grouped_blockwise(
         triples.select_columns(["subj", "pred", "obj"]), ["subj"], block)
@@ -283,18 +296,21 @@ def kg_fact_history_merge(old_history: Dataset,
         touched_old.map_batches(as_assertions, batch_format="pandas")
         .union(new_k.map_batches(as_assertions, batch_format="pandas")))
 
-    def rechain(b: pd.DataFrame) -> pd.DataFrame:
+    def rechain(b: pd.DataFrame) -> pa.Table:
+        # returns pa.Table so BOTH union branches carry Arrow blocks —
+        # mixed pandas/Arrow block unions break downstream aggregates
+        # (Ray 2.49 BlockType assertion)
         b = b.sort_values(["subj", "pred", "valid_from", "obj"],
                           kind="mergesort")
         b = b.drop_duplicates(["subj", "pred", "obj", "valid_from"])
-        return pd.DataFrame({
+        return pa.Table.from_pandas(pd.DataFrame({
             "subj": b["subj"],
             "pred": b["pred"],
             "obj": b["obj"],
             "valid_from": b["valid_from"],
             "valid_to": b.groupby(["subj", "pred"], sort=False)
             ["valid_from"].shift(-1),
-        })
+        }), preserve_index=False)
 
     rebuilt = grouped_blockwise(assertions, ["subj", "pred"], rechain)
 

@@ -18,7 +18,7 @@ step the reference outsources to graph-tool; we keep it in-engine).
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import pandas as pd
 import pyarrow as pa
@@ -26,7 +26,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.blocks import rename_cols, scrub_empty_blocks
-from ..functions.joins import default_join_partitions
+from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 
 # --------------------------------------------------------------------------
@@ -62,7 +62,7 @@ def canonical_map_from_table(redirects: pa.Table) -> dict[str, str]:
 
 
 def resolve_redirects_distributed(
-    redirects: Dataset, *, num_partitions: int = 8, max_rounds: int = 32
+    redirects: Dataset, *, num_partitions: Optional[int] = None, max_rounds: int = 32
 ) -> Dataset:
     """(src_id, dst_id) -> (src_id, canonical_id), chains collapsed.
 
@@ -71,6 +71,7 @@ def resolve_redirects_distributed(
     doubling rounds otherwise. Each round: join dst against src,
     substitute, count changes.
     """
+    num_partitions = resolve_join_partitions(num_partitions)
     cur = redirects.select_columns(["src_id", "dst_id"]).materialize()
     for _ in range(max_rounds):
         hop = rename_cols(cur, {"src_id": "h_src", "dst_id": "h_dst"})

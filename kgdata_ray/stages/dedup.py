@@ -36,7 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ..functions.joins import default_join_partitions
+from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 _MASK32 = np.uint64(0xFFFFFFFF)
 
@@ -261,7 +261,7 @@ def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
 
 def _join_pair_sides(
     pairs: Dataset, corpus: Dataset, *, id_col: str, cols: list[str],
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Attach per-side feature columns to a pair table with two hash
     joins: (id_a, id_b) ⋈ corpus on id_a -> ``<col>_a``, then on id_b
@@ -277,6 +277,7 @@ def _join_pair_sides(
     driver-side under a hard cap (the repo's bounded-collect pattern,
     same as the hot-key pre-pass) — above the cap the prune is
     skipped, and the direct join is already the scale path."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.broadcast import get_broadcast
     from ..functions.blocks import rename_cols
     from ..functions.joins import BROADCAST_KEYS_MAX
@@ -324,11 +325,12 @@ def _join_pair_sides(
 def _verify_pairs_join(
     cand: Dataset, corpus: Dataset, *, kind: str, shingle_k: int,
     ngram_n: int, threshold: float, id_col: str, text_col: str,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Exact-Jaccard verification of candidate pairs via pair-side
     joins; per-batch feature memoization keeps each text sketched once
     per batch. Plain task functions — fuses with the join output."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.blocks import scrub_empty_blocks
 
     j = _join_pair_sides(
@@ -737,7 +739,7 @@ def embedding_pairs_lsh(
     bits: int = 10,
     seed: int = 23,
     max_bucket: int = 2000,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Sub-quadratic APPROXIMATE near-dup pairs: hyperplane-LSH bucket
     candidates (two vectors at angle θ share one table's bucket with
@@ -746,6 +748,7 @@ def embedding_pairs_lsh(
     pair passes the threshold); recall < 1 for pairs near the
     threshold — tested >= 0.9 on the fixture. The candidate shuffle
     moves (id, table, sig) sketches, never vectors."""
+    num_partitions = resolve_join_partitions(num_partitions)
     first = ds.take(1)
     dim = len(first[0][vec_col])
     vecs = ds.select_columns([id_col, vec_col])
@@ -1152,7 +1155,7 @@ def span_dedup(
 
 def incremental_dedup(
     new: Dataset, old: Dataset, *, text_col: str = "text",
-    id_col: str = "doc_id", num_partitions: int = 8,
+    id_col: str = "doc_id", num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Cross-corpus incremental dedup — the "don't re-ingest what a
     previous run already took" step of a continuously-growing training
@@ -1166,6 +1169,7 @@ def incremental_dedup(
     :func:`segment_dedup`: ~2^-128 per pair, a collision drops one doc,
     never crashes); the text travels exactly once, in the final
     id-keyed semi join that rehydrates winner rows."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.agg import grouped_blockwise
     from ..functions.joins import anti_join, semi_join
 
@@ -1237,12 +1241,17 @@ def leakage_safe_split(
     tagged = docs.select_columns([id_col]).join(
         comp, join_type="left_outer", num_partitions=default_join_partitions(), on=(id_col,))
 
-    def fill(b: pd.DataFrame) -> pd.DataFrame:
-        g = b["group_id"].fillna(b[id_col]).astype("int64")
-        return pd.DataFrame({id_col: b[id_col].astype("int64"),
-                             "group_id": g})
+    def fill(t: pa.Table) -> pa.Table:
+        # Arrow-native null fill: the left-outer join's nulls must not
+        # round-trip group_id through pandas float64, which silently
+        # corrupts hash-derived ids above 2^53
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t[id_col], pa.int64())
+        g = pc.cast(pc.coalesce(t["group_id"], ids), pa.int64())
+        return pa.table({id_col: ids, "group_id": g})
 
     grouped = scrub_empty_blocks(tagged).map_batches(
-        fill, batch_format="pandas")
+        fill, batch_format="pyarrow")
     return split_assign(grouped, "group_id", fractions=list(fractions),
                         labels=list(labels), salt=salt)

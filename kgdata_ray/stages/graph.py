@@ -18,7 +18,7 @@ Reference analogs:
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 import pandas as pd
@@ -28,13 +28,14 @@ from ray.data import Dataset
 
 from ..functions.agg import grouped_blockwise, partial_group_count
 from ..functions.blocks import rename_cols, scrub_empty_blocks
-from ..functions.joins import default_join_partitions
+from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 
-def entity_degrees(triples: Dataset, *, num_partitions: int = 8) -> Dataset:
+def entity_degrees(triples: Dataset, *, num_partitions: Optional[int] = None) -> Dataset:
     """(entity_id, out_degree, in_degree) over a (subj, pred, obj)
     triple table; entities appearing only as subject or only as object
     get 0 for the missing side."""
+    num_partitions = resolve_join_partitions(num_partitions)
     out_c = rename_cols(
         partial_group_count(triples, "subj", count_name="out_degree"),
         {"subj": "entity_id"},
@@ -86,7 +87,7 @@ def meta_graph(
 
 
 def meta_graph_join(
-    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+    triples: Dataset, entity_types: Dataset, *, num_partitions: Optional[int] = None
 ) -> Dataset:
     """:func:`meta_graph` without the broadcast dict — the scale plan
     when the entity→type table is entity-table-sized (reference
@@ -95,6 +96,7 @@ def meta_graph_join(
     subject and object types ('unknown' fill), then the same map-side
     combined count. The broadcast variant stays as the fast path for
     vocabulary-sized type maps; pytest asserts both plans equal."""
+    num_partitions = resolve_join_partitions(num_partitions)
     j1 = triples.select_columns(["subj", "pred", "obj"]).join(
         rename_cols(entity_types, {"etype": "subj_type"}),
         join_type="left_outer", num_partitions=num_partitions,
@@ -142,13 +144,14 @@ def entity_outlinks(triples: Dataset) -> Dataset:
 
 
 def property_domains(
-    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+    triples: Dataset, entity_types: Dataset, *, num_partitions: Optional[int] = None
 ) -> Dataset:
     """(pred, subj_type, n): per-property distribution of subject types
     (reference ``property_domains``,
     ``kgdata/wikidata/datasets/property_domains.py:11-72`` — the
     dict-sum reduceByKey re-expressed as one hash join + map-side
     combined count; the shuffle moves (pred, type) partials)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     j = triples.select_columns(["subj", "pred"]).join(
         entity_types, join_type="inner", num_partitions=num_partitions,
         on=("subj",), right_on=("entity_id",),
@@ -159,7 +162,7 @@ def property_domains(
 
 
 def property_ranges(
-    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+    triples: Dataset, entity_types: Dataset, *, num_partitions: Optional[int] = None
 ) -> Dataset:
     """(pred, obj_type, n): per-property distribution of object-value
     types (reference ``property_ranges``,
@@ -167,6 +170,7 @@ def property_ranges(
     reduce→join→flatMap→reduce — here join-then-combine; literal-valued
     objects have no entity type and drop out of the inner join, matching
     the reference's "empty types produce nothing")."""
+    num_partitions = resolve_join_partitions(num_partitions)
     j = triples.select_columns(["pred", "obj"]).join(
         entity_types, join_type="inner", num_partitions=num_partitions,
         on=("obj",), right_on=("entity_id",),
@@ -177,7 +181,7 @@ def property_ranges(
 
 
 def property_connections(
-    triples: Dataset, entity_types: Dataset, *, num_partitions: int = 8
+    triples: Dataset, entity_types: Dataset, *, num_partitions: Optional[int] = None
 ) -> Dataset:
     """(pred, subj_type, obj_type, freq): schema-level connection table
     (reference ``main_property_connections``,
@@ -185,6 +189,7 @@ def property_connections(
     combineByKey→leftOuterJoin→reduceByKey). Literal objects keep an
     empty obj_type (the reference's target_type=None connections) —
     unlike :func:`meta_graph`, which rolls unknowns up as 'unknown'."""
+    num_partitions = resolve_join_partitions(num_partitions)
     j1 = triples.select_columns(["subj", "pred", "obj"]).join(
         entity_types, join_type="inner", num_partitions=num_partitions,
         on=("subj",), right_on=("entity_id",),
@@ -217,7 +222,7 @@ def pagerank(
     dst_col: str = "obj",
     damping: float = 0.85,
     iters: int = 10,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     personalization: "Optional[Sequence[str]]" = None,
 ) -> Dataset:
     """Distributed PageRank: (node_id, rank) after ``iters`` power
@@ -235,6 +240,7 @@ def pagerank(
     rank vector never leaves the cluster.
     """
 
+    num_partitions = resolve_join_partitions(num_partitions)
     def edge_pairs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"src": b[src_col], "dst": b[dst_col]})
 
@@ -287,8 +293,26 @@ def pagerank(
         from ..functions.broadcast import get_broadcast
 
         seeds = sorted(set(personalization))
-        pshare = 1.0 / len(seeds)
-        seed_ref = ray.put(set(seeds))
+        seed_probe = set(seeds)
+
+        # Seeds absent from the edge-derived node universe would make
+        # the pers vector silently all-zero (degenerate all-zero
+        # ranks). Renormalize over the seeds actually present; raise
+        # when none are. The probe result is bounded by len(seeds).
+        def find_present(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node_id": b["node_id"][b["node_id"].isin(seed_probe)]})
+
+        present = sorted(
+            r["node_id"]
+            for r in nodes.map_batches(
+                find_present, batch_format="pandas").take_all())
+        if not present:
+            raise ValueError(
+                "pagerank personalization: none of the "
+                f"{len(seeds)} seed(s) appear in the graph's node set")
+        pshare = 1.0 / len(present)
+        seed_ref = ray.put(set(present))
 
         def add_pers(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
@@ -420,7 +444,7 @@ def co_mention_edges(triples: Dataset) -> Dataset:
     return distinct_rows(edged, ["u", "v"])
 
 
-def triangles(edges: Dataset, *, num_partitions: int = 8) -> Dataset:
+def triangles(edges: Dataset, *, num_partitions: Optional[int] = None) -> Dataset:
     """All triangles (a < b < c) of an undirected edge Dataset with
     columns ``u < v`` — one output row per triangle, found exactly
     once.
@@ -432,6 +456,7 @@ def triangles(edges: Dataset, *, num_partitions: int = 8) -> Dataset:
     close them with one two-column hash join back against the oriented
     edge list. Nothing collects on the driver; the degree count and
     the three hash joins are the only wide ops."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import numpy as np
 
     from ..functions.blocks import scrub_empty_blocks
@@ -552,7 +577,7 @@ def k_core(edges: Dataset, k: int, *, max_rounds: int = 200) -> Dataset:
 
 
 def core_numbers(edges: Dataset, *, max_rounds: int = 100,
-                 num_partitions: int = 8) -> Dataset:
+                 num_partitions: Optional[int] = None) -> Dataset:
     """(node, core) for every node of an undirected edge Dataset — the
     full k-core decomposition via H-index iteration (Lü et al. 2016,
     "The H-index of a network node and its relation to degree and
@@ -564,6 +589,7 @@ def core_numbers(edges: Dataset, *, max_rounds: int = 100,
     edge list against the estimate table + one grouped vectorized
     H-index kernel. Estimates only ever decrease, so convergence is
     detected by a scalar sum comparison — no per-node diff join."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import numpy as np
 
     def both_dirs(b: pd.DataFrame) -> pa.Table:
@@ -725,7 +751,7 @@ def pmi_pairs(convs: Dataset) -> Dataset:
 
 
 def neighborhood_jaccard(edges: Dataset, *,
-                         num_partitions: int = 8) -> Dataset:
+                         num_partitions: Optional[int] = None) -> Dataset:
     """Jaccard similarity of neighbor SETS for every node pair with at
     least one common neighbor: ``|N(p) ∩ N(q)| / |N(p) ∪ N(q)|`` — the
     set-overlap cousin of :func:`adamic_adar` (entity-similarity /
@@ -734,6 +760,7 @@ def neighborhood_jaccard(edges: Dataset, *,
     skew via bounded pair tiles); degrees join in from the
     node-count-sized table. The division is exact ints → double, so no
     rounding is needed for engine parity."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import numpy as np
 
     from ..functions.pairtiles import grouped_pair_tables

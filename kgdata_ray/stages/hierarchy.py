@@ -27,13 +27,15 @@ vectorized flat map).
 from __future__ import annotations
 
 from collections import defaultdict, deque
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+
+from ..functions.joins import resolve_join_partitions
 
 # Deterministic synthetic class DAG above the world's 4 base entity
 # types (person/org/place/tool). Diamonds are planted so min-distance
@@ -194,7 +196,7 @@ def _find_cycle(edges: Sequence[tuple[str, str]]):
 
 
 def ancestor_closure_distributed(
-    dag: Dataset, *, num_partitions: int = 8, max_rounds: int = 64
+    dag: Dataset, *, num_partitions: Optional[int] = None, max_rounds: int = 64
 ) -> Dataset:
     """(child, parent) edge Dataset -> (child, ancestor, dist) closure
     with min distances, computed by Dataset iteration: each round joins
@@ -203,6 +205,7 @@ def ancestor_closure_distributed(
     per-round volume is the closure, never the entity table.
 
     Output matches :func:`ancestor_closure` (tested)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.agg import grouped_blockwise
     from ..functions.blocks import rename_cols, scrub_empty_blocks
 

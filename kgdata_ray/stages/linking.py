@@ -336,7 +336,7 @@ def link_via_join(
     raw: Dataset,
     candidates: Dataset,
     *,
-    num_partitions: int = 16,
+    num_partitions: Optional[int] = None,
     hot_threshold: int = 0,
     salt_batch: int = 1_000,
 ) -> Dataset:
@@ -351,7 +351,9 @@ def link_via_join(
     required plan at 10^12-turn scale.
     """
     from ..functions.blocks import scrub_empty_blocks
-    from ..functions.joins import salted_join
+    from ..functions.joins import resolve_join_partitions, salted_join
+
+    num_partitions = resolve_join_partitions(num_partitions)
 
     best = scrub_empty_blocks(
         candidates.filter(expr="rank == 0")

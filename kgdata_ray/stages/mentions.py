@@ -15,12 +15,14 @@ actor slot — the stage signature does not change.
 from __future__ import annotations
 
 import re
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 import pandas as pd
 import ray
 from ray.data import Dataset
+
+from ..functions.joins import resolve_join_partitions
 
 from ..functions.text import normalize_mention, normalize_mention_series
 
@@ -262,7 +264,7 @@ def detect_mentions_join(
     gazetteer: Dataset,
     *,
     alias_col: str = "alias",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     batch_size: int = 8192,
 ) -> Dataset:
     """Mention detection for gazetteers that exceed worker memory: the
@@ -275,6 +277,7 @@ def detect_mentions_join(
     (DESIGN.md "beyond ~10^8 aliases"). The n-gram explosion (~max_n
     rows per token) is the price of the no-broadcast plan — prefer the
     id-first matcher whenever the token vocabulary fits a worker."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import pyarrow as pa
     import pyarrow.compute as pc
 

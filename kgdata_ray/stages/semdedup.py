@@ -33,6 +33,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from ..functions.joins import resolve_join_partitions
+
 # rows per Gram-matrix tile inside a cluster block: bounds peak memory
 # at tile x cluster_size doubles even for degenerate giant clusters
 _GRAM_TILE = 4096
@@ -67,13 +69,14 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """(vec_id, cluster, rep_id, kept) for every vector: ``rep_id`` is
     the representative of the vector's within-cluster near-duplicate
     component (cosine >= ``threshold``), ``kept`` marks the one row
     per component a curated corpus would keep. Non-duplicated vectors
     are their own representative."""
+    num_partitions = resolve_join_partitions(num_partitions)
     import ray
 
     from ..functions.agg import grouped_blockwise

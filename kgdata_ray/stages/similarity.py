@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions.joins import resolve_join_partitions
+
 def _l2_normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -880,7 +882,7 @@ def embedding_dbscan(
     min_pts: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """Exact cosine-DBSCAN over an embedding corpus -> one row per
     vector: ``(vec_id, role, cluster)`` with role core/border/noise and
@@ -902,6 +904,7 @@ def embedding_dbscan(
     pair-sized shuffles keyed on int64 ids, never vectors. Reference
     analog: none (LLM-curation surface: density clustering for
     diversity-aware sampling / outlier pruning)."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.blocks import rename_cols, scrub_empty_blocks
     from ..stages.canonicalize import connected_components
     from ..stages.dedup import embedding_pairs
@@ -1099,8 +1102,16 @@ def embedding_pca(
     stats = merge_bounded_partials(
         quant.map_batches(moments, batch_format="pandas"),
         ["i", "j"], ["s"])
+    if len(stats) == 0:
+        raise ValueError("embedding_pca: input dataset is empty "
+                         "(no vectors to fit)")
     n = int(stats.loc[stats["i"] == -2, "s"].iloc[0])
     d = int(stats["j"].max()) + 1
+    if n < 2:
+        raise ValueError(
+            f"embedding_pca: need >= 2 vectors to fit a covariance "
+            f"basis, got {n} (the n*Sxx - sx sx^T moment of a single "
+            "vector is identically zero -> degenerate eigenbasis)")
     sx = np.zeros(d, dtype=object)
     sxx = np.zeros((d, d), dtype=object)
     for _, r in stats.iterrows():
@@ -1203,6 +1214,9 @@ def linear_probe(
     stats = merge_bounded_partials(
         quant.map_batches(moments, batch_format="pandas"),
         ["i", "j"], ["s"])
+    if len(stats) == 0:
+        raise ValueError("linear_probe: input dataset is empty "
+                         "(no rows to fit the probe on)")
     dd = int(stats["j"].max()) + 1
     sxx = np.zeros((dd, dd), np.int64)
     sxy = np.zeros(dd, np.int64)
@@ -1241,29 +1255,43 @@ def contrastive_pairs(
     ds: Dataset,
     *,
     query_mod: int = 50,
+    query_ids: "Optional[Sequence[int]]" = None,
+    query_tile: int = 8192,
     scale: int = PCA_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> Dataset:
     """Contrastive training-pair mining for embedding-model training:
-    for every query vector (``id % query_mod == 0``) the nearest
-    SAME-label corpus vector (the positive) and the nearest
-    OTHER-label vector (the hard negative) — the (anchor, positive,
-    hard-negative) triplets a contrastive/metric-learning run consumes.
+    for every query vector the nearest SAME-label corpus vector (the
+    positive) and the nearest OTHER-label vector (the hard negative)
+    — the (anchor, positive, hard-negative) triplets a
+    contrastive/metric-learning run consumes.
     Output: (query_id, kind 'pos'|'neg', cand_id, dist_q).
+
+    Query selection: pass an explicit bounded ``query_ids`` list (the
+    :func:`knn_bruteforce` contract — the recommended form at corpus
+    scale); otherwise every ``id % query_mod == 0`` row is a query.
 
     Exactness: distances are integer squared-L2 on the fixed-point
     quantization ``floor(v * scale)`` — pure int64 arithmetic, so the
     argmin (ties pinned to the smallest candidate id; the query's own
     row is excluded from its positives) is bit-identical under any
-    batching and an independent scalar golden reproduces every row.
+    batching/tiling and an independent scalar golden reproduces every
+    row.
 
-    Scale shape: the Q queries broadcast once via ray.put; every
-    corpus block emits at most 2Q local-best rows (a combiner), and
-    one tiny grouped shuffle on (query_id, kind) reduces the
-    block-local bests exactly. The corpus streams once; nothing
-    quadratic leaves a task."""
+    Scale shape: query rows are STREAMED off the cluster in
+    ``query_tile``-row tiles, each ``ray.put`` into the object store
+    as it fills — the driver holds ONE tile at a time and the full
+    query set lives (spillably) in the object store, never in driver
+    heap. Every corpus block loops over the tile refs, computing a
+    bounded ``query_tile x batch`` distance matrix per tile and
+    emitting at most 2 rows per (query, block) — a combiner; one tiny
+    grouped shuffle on (query_id, kind) reduces the block-local bests
+    exactly. The corpus streams once; driver memory and per-task peak
+    are both independent of corpus size. (The Q x N flops are the
+    exact contract itself — use :func:`knn_ivf_distributed` when an
+    approximate candidate pruning is acceptable.)"""
     import ray
 
     from ..functions.agg import grouped_blockwise
@@ -1271,43 +1299,79 @@ def contrastive_pairs(
 
     base = ds.select_columns([id_col, vec_col, label_col])
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        return b[(b[id_col] % query_mod) == 0]
+    if query_ids is not None:
+        wanted = np.asarray(sorted(int(i) for i in query_ids), np.int64)
 
-    q_rows = base.map_batches(pick, batch_format="pandas").take_all()
-    q_ids = np.asarray(sorted(int(r[id_col]) for r in q_rows), np.int64)
-    by_id = {int(r[id_col]): r for r in q_rows}
-    qfx = np.vstack([
-        np.floor(np.asarray(by_id[i][vec_col], np.float64) * scale)
-        .astype(np.int64) for i in q_ids])
-    q_lab = np.asarray([int(by_id[i][label_col]) for i in q_ids],
-                       np.int64)
-    q_ref = ray.put((q_ids, qfx, q_lab))
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[id_col].isin(wanted)]
+    else:
+
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            return b[(b[id_col] % query_mod) == 0]
+
+    out_schema = pa.schema([
+        ("query_id", pa.int64()), ("kind", pa.string()),
+        ("cand_id", pa.int64()), ("dist_q", pa.int64()),
+    ])
+
+    # Stream query rows into object-store tiles: one tile in driver
+    # heap at a time, whole query set only in the (spillable) store.
+    tile_refs = []
+    acc_ids, acc_vecs, acc_labs = [], [], []
+
+    def flush():
+        if not acc_ids:
+            return
+        tile = (
+            np.asarray(acc_ids, np.int64),
+            np.floor(np.vstack(acc_vecs) * scale).astype(np.int64),
+            np.asarray(acc_labs, np.int64),
+        )
+        tile_refs.append(ray.put(tile))
+        acc_ids.clear(); acc_vecs.clear(); acc_labs.clear()
+
+    q_stream = base.map_batches(pick, batch_format="pandas")
+    for qb in q_stream.iter_batches(batch_format="pandas",
+                                    batch_size=query_tile):
+        if len(qb) == 0:
+            continue
+        acc_ids.extend(qb[id_col].to_numpy(np.int64))
+        acc_vecs.append(_vec_matrix(qb, vec_col))
+        acc_labs.extend(qb[label_col].to_numpy(np.int64))
+        while len(acc_ids) >= query_tile:
+            flush()
+    flush()
+    if not tile_refs:  # zero queries -> empty result, stable schema
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
     big = np.iinfo(np.int64).max
 
     def local_best(b: pd.DataFrame) -> pa.Table:
-        qi, qf, ql = get_broadcast(q_ref)
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         cid = b[id_col].to_numpy(np.int64)
         clab = b[label_col].to_numpy(np.int64)
-        # exact integer squared L2: |q|^2 + |c|^2 - 2 q.c
-        d = (np.einsum("ij,ij->i", qf, qf)[:, None]
-             + np.einsum("ij,ij->i", fx, fx)[None, :]
-             - 2 * (qf @ fx.T))
-        same = ql[:, None] == clab[None, :]
-        not_self = qi[:, None] != cid[None, :]
+        c_sq = np.einsum("ij,ij->i", fx, fx)
         out_q, out_k, out_c, out_d = [], [], [], []
-        for kind, mask in (("pos", same & not_self), ("neg", ~same)):
-            dm = np.where(mask, d, big)
-            bestv = dm.min(axis=1)
-            # among equal-distance candidates keep the smallest id
-            bestc = np.where(dm == bestv[:, None], cid[None, :],
-                             big).min(axis=1)
-            ok = bestv < big
-            out_q.extend(qi[ok])
-            out_k.extend([kind] * int(ok.sum()))
-            out_c.extend(bestc[ok])
-            out_d.extend(bestv[ok])
+        for ref in tile_refs:
+            qi, qf, ql = get_broadcast(ref)
+            # exact integer squared L2: |q|^2 + |c|^2 - 2 q.c
+            d = (np.einsum("ij,ij->i", qf, qf)[:, None]
+                 + c_sq[None, :]
+                 - 2 * (qf @ fx.T))
+            same = ql[:, None] == clab[None, :]
+            not_self = qi[:, None] != cid[None, :]
+            for kind, mask in (("pos", same & not_self), ("neg", ~same)):
+                dm = np.where(mask, d, big)
+                bestv = dm.min(axis=1)
+                # among equal-distance candidates keep the smallest id
+                bestc = np.where(dm == bestv[:, None], cid[None, :],
+                                 big).min(axis=1)
+                ok = bestv < big
+                out_q.extend(qi[ok])
+                out_k.extend([kind] * int(ok.sum()))
+                out_c.extend(bestc[ok])
+                out_d.extend(bestv[ok])
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "kind": pa.array(out_k, pa.string()),

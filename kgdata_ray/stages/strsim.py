@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from ..functions.joins import resolve_join_partitions
+
 _SHORT_GRAM = "\x00short"
 
 
@@ -114,7 +116,7 @@ VOCAB_BROADCAST_MAX = 1_000_000
 
 def jaccard_set_join(
     ds: Dataset, col: str, *, threshold: float = 0.3,
-    num_partitions: int = 8,
+    num_partitions: Optional[int] = None,
     vocab_broadcast_max: int = VOCAB_BROADCAST_MAX,
 ) -> Dataset:
     """EXACT Jaccard self-join over word SETS with AllPairs/PPJoin
@@ -147,6 +149,7 @@ def jaccard_set_join(
     set table via the bounded pair-side joins
     (dedup._join_pair_sides), nothing corpus-sized collected.
     """
+    num_partitions = resolve_join_partitions(num_partitions)
     import math
 
     import ray

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
-from ..functions.joins import default_join_partitions
+from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 _TOKEN_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[.,;:!?]")
@@ -319,13 +319,14 @@ def word_counts(ds: Dataset, *, text_col: str = "text",
 
 def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  num_partitions: int = 8) -> Dataset:
+                  num_partitions: Optional[int] = None) -> Dataset:
     """Per-document top-k terms by (tf desc, term asc), each with its
     corpus document frequency — the integer core of TF-IDF (rank and
     weight derive from tf/df without any float in the certified
     output). Per-batch tf (a document lives in one row, so its counts
     never shuffle), distributed df via map-side-combined group count,
     top-k through the grouped shuffle, then one hash join on term."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.agg import group_top_k, partial_group_count
     from ..functions.blocks import scrub_empty_blocks
 
@@ -420,7 +421,7 @@ def ngram_contamination(
 
 def doc_corpus_freq(ds: Dataset, *, id_col: str = "doc_id",
                     text_col: str = "text",
-                    num_partitions: int = 8) -> Dataset:
+                    num_partitions: Optional[int] = None) -> Dataset:
     """Two-pass corpus-statistics scoring: (doc, Σ corpus-frequency of
     each token occurrence, token count) — the integer-exact core of
     frequency-based quality scoring (rare-token documents score low,
@@ -429,6 +430,7 @@ def doc_corpus_freq(ds: Dataset, *, id_col: str = "doc_id",
     token streams); pass 2 joins per-doc tf against them on term and
     re-aggregates per doc. All counts int64, so results are
     batch-boundary- and order-independent."""
+    num_partitions = resolve_join_partitions(num_partitions)
     from ..functions.agg import grouped_blockwise
     from ..functions.blocks import scrub_empty_blocks
 

@@ -286,3 +286,31 @@ def test_asof_join_backward():
     assert pd.isna(got.loc[3, "prior_y"])   # b: right t=9 > left t=7
     assert pd.isna(got.loc[4, "prior_y"])   # c: no right rows at all
     assert list(got.columns) == ["k", "t", "x", "prior_y", "prior_t"]
+
+
+def test_join_partitions_env_routing(monkeypatch, orders_pdf, customer_pdf):
+    """Every join-bearing signature defaults num_partitions=None and
+    resolves through default_join_partitions(), which honors
+    KGR_JOIN_PARTITIONS — the output block count of a materialized
+    hash join equals the resolved partition count."""
+    from kgdata_ray.functions.joins import (
+        default_join_partitions,
+        resolve_join_partitions,
+    )
+
+    monkeypatch.setenv("KGR_JOIN_PARTITIONS", "5")
+    assert default_join_partitions() == 5
+    assert resolve_join_partitions(None) == 5
+    assert resolve_join_partitions(3) == 3  # explicit pins still win
+
+    orders = _ds("orders")
+    cust = _ds("customer").select_columns(["c_custkey", "c_name"])
+    j = equi_join(orders, cust, "o_custkey", right_on="c_custkey").materialize()
+    assert j.num_blocks() == 5
+
+    monkeypatch.delenv("KGR_JOIN_PARTITIONS")
+    # without the env var: scales with cluster CPUs, floor of 8
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert default_join_partitions() == max(8, cpus // 4)

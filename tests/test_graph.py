@@ -267,3 +267,32 @@ def test_personalized_pagerank_localizes_mass(ray_session):
     assert r["A"] > r["B"] > 0
     # X/Y are unreachable from A: zero PPR mass
     assert r["X"] == 0.0 and r["Y"] == 0.0
+
+
+def test_pagerank_personalization_seed_validation(ray_session):
+    """Seeds absent from the node universe are dropped with
+    renormalization over the present ones; an all-absent seed set
+    raises instead of returning degenerate all-zero ranks."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from kgdata_ray.stages.graph import pagerank
+
+    tri = pd.DataFrame({
+        "subj": ["A", "B", "C"],
+        "obj": ["B", "C", "A"],
+    })
+    # "Z" is not in the graph -> renormalized to seeds {A}
+    r_mixed = pagerank(rd.from_pandas(tri), iters=6,
+                       personalization=["A", "Z"]).to_pandas() \
+        .set_index("node_id")["rank"]
+    r_pure = pagerank(rd.from_pandas(tri), iters=6,
+                      personalization=["A"]).to_pandas() \
+        .set_index("node_id")["rank"]
+    assert abs(r_mixed.sum() - 1.0) < 1e-9
+    assert (r_mixed.sort_index() - r_pure.sort_index()).abs().max() < 1e-12
+
+    with pytest.raises(ValueError, match="none of the"):
+        pagerank(rd.from_pandas(tri), iters=3,
+                 personalization=["Z", "W"]).materialize()

@@ -115,3 +115,66 @@ def test_contrastive_pairs_exact_and_batching_invariant(ray_session):
         same = lab[r["query_id"]] == lab[r["cand_id"]]
         assert same == (r["kind"] == "pos")
         assert r["kind"] == "neg" or r["cand_id"] != r["query_id"]
+
+
+def test_contrastive_pairs_bounded_query_side(ray_session):
+    """Explicit query_ids, tiny query_tile tiling, and the zero-query
+    guard: tiled output is identical to the one-tile output; explicit
+    ids equal the mod-selection of the same ids; zero queries return
+    an empty dataset with the stable output schema."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import contrastive_pairs
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 5
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(size=d).astype(np.float32).tolist()
+                      for _ in range(n)],
+        "label": (np.arange(n) % 3).astype(np.int32),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+
+    base = contrastive_pairs(ds, query_mod=10) \
+        .to_pandas().sort_values(["query_id", "kind"]).reset_index(drop=True)
+    tiled = contrastive_pairs(ds, query_mod=10, query_tile=2) \
+        .to_pandas().sort_values(["query_id", "kind"]).reset_index(drop=True)
+    assert base.equals(tiled)
+
+    explicit = contrastive_pairs(
+        ds, query_ids=[0, 10, 20, 30, 40, 50], query_tile=3) \
+        .to_pandas().sort_values(["query_id", "kind"]).reset_index(drop=True)
+    assert explicit.equals(base)
+
+    empty = contrastive_pairs(ds, query_ids=[], query_tile=4)
+    assert empty.count() == 0
+    assert empty.schema().names == ["query_id", "kind", "cand_id", "dist_q"]
+
+
+def test_pca_probe_empty_and_degenerate_inputs(ray_session):
+    """embedding_pca / linear_probe raise clear errors instead of
+    opaque IndexErrors on empty input; pca also rejects n == 1."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import embedding_pca, linear_probe
+
+    empty = pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "embedding": pd.Series([], dtype="object"),
+        "label": pd.Series([], dtype="int64"),
+    })
+    one = pd.DataFrame({
+        "vec_id": [7], "embedding": [[0.5, -0.25, 1.0]], "label": [1],
+    })
+    with pytest.raises(ValueError, match="empty"):
+        embedding_pca(rd.from_pandas(empty), n_components=2).materialize()
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        embedding_pca(rd.from_pandas(one), n_components=1).materialize()
+    with pytest.raises(ValueError, match="empty"):
+        linear_probe(rd.from_pandas(empty), target_label=1).materialize()
