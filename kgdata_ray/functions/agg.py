@@ -35,6 +35,7 @@ def grouped_blockwise(
     block_fn,
     *,
     check_boundaries: bool = True,
+    batch_format: str = "pandas",
 ) -> Dataset:
     """Shuffle by ``keys`` and apply ``block_fn`` once per whole block.
 
@@ -66,13 +67,18 @@ def grouped_blockwise(
     ``block_fn`` must do its own within-block ordering (sort only by
     ``keys`` here; secondary sort keys would split groups across range
     boundaries).
+
+    ``batch_format="pyarrow"`` hands ``block_fn`` the sorted block
+    zero-copy as a ``pa.Table`` (no pandas materialization of the
+    shuffle output) — use it when the block fn is expressible with
+    Arrow kernels (sort_by + group_by(...).aggregate, filters).
     """
     keys = list(keys)
     sorted_ds = ds.sort(keys)
     if check_boundaries:
         sorted_ds = _guard_sorted_blocks(sorted_ds, keys)
     return sorted_ds.map_batches(
-        block_fn, batch_size=None, batch_format="pandas"
+        block_fn, batch_size=None, batch_format=batch_format
     )
 
 

@@ -46,20 +46,27 @@ def dedup_triples(linked: Dataset) -> Dataset:
     (conv_id, turn_idx) order — deterministic provenance.
 
     Map-side pre-dedup shrinks the shuffle (combiner); the post-shuffle
-    pass is one vectorized drop_duplicates per block.
+    pass is one grouped keep-first per block. Arrow end-to-end: both
+    passes are sort_by + group_by(...).aggregate('first') on zero-copy
+    ``pa.Table`` blocks (use_threads=False pins the deterministic
+    encounter order the keep-first contract needs), so the headline
+    pipeline never round-trips a block through pandas.
     """
     from ..functions.agg import grouped_blockwise
 
-    def pre(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(_SPO + ["conv_id", "turn_idx"], kind="mergesort")
-        return b.drop_duplicates(_SPO, keep="first")
+    order = [(c, "ascending") for c in (*_SPO, "conv_id", "turn_idx")]
 
-    def block(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(_SPO + ["conv_id", "turn_idx"], kind="mergesort")
-        return b.drop_duplicates(_SPO, keep="first")[list(TRIPLE_COLUMNS)]
+    def keep_first(t: pa.Table) -> pa.Table:
+        # prune any linker side-columns before rows ride the shuffle
+        t = t.select(list(TRIPLE_COLUMNS)).sort_by(order)
+        g = t.group_by(_SPO, use_threads=False).aggregate(
+            [("conv_id", "first"), ("turn_idx", "first")])
+        return g.rename_columns(list(TRIPLE_COLUMNS))
 
-    pruned = linked.map_batches(pre, batch_format="pandas")
-    return grouped_blockwise(pruned, _SPO, block)
+    pruned = linked.map_batches(keep_first, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return grouped_blockwise(pruned, _SPO, keep_first,
+                             batch_format="pyarrow")
 
 
 def kg_triples(

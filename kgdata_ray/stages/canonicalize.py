@@ -30,6 +30,41 @@ from ..functions.joins import default_join_partitions, resolve_join_partitions
 
 
 # --------------------------------------------------------------------------
+# Convergence counting without a second execution per round
+#
+# The iterative loops below (pointer doubling, min-label propagation)
+# used to pay THREE streaming-executor runs per round: materialize the
+# stepped table, ``sum("changed")`` over it, then re-materialize with
+# the flag column dropped. On this box each executor spin-up costs a
+# fixed ~0.3-0.7 s, so at 4-8 rounds the fixed cost dominated the whole
+# clustering family (round-4 VERDICT Next #3). The counter actor folds
+# the convergence count INTO the one materialize: each update batch
+# adds its per-block changed count (a BLOCKING ray.get, so no count is
+# in flight when materialize() returns), and the flag column never
+# exists. Task retries can only ever re-ADD a positive count —
+# overcounting runs one extra (idempotent) round, never stops early —
+# so the fusion is failure-safe.
+
+
+@ray.remote(num_cpus=0)
+class _RoundCounter:
+    def __init__(self):
+        self._totals: dict[int, int] = {}
+
+    def add(self, rnd: int, k: int) -> None:
+        self._totals[rnd] = self._totals.get(rnd, 0) + k
+
+    def total(self, rnd: int) -> int:
+        return self._totals.get(rnd, 0)
+
+
+def _count_changed(counter, rnd: int, n: int) -> None:
+    """Blocking add (see module note: blocking = no in-flight counts)."""
+    if n:
+        ray.get(counter.add.remote(rnd, int(n)))
+
+
+# --------------------------------------------------------------------------
 # Redirect chains — driver-side (small maps)
 
 
@@ -73,7 +108,8 @@ def resolve_redirects_distributed(
     """
     num_partitions = resolve_join_partitions(num_partitions)
     cur = redirects.select_columns(["src_id", "dst_id"]).materialize()
-    for _ in range(max_rounds):
+    counter = _RoundCounter.remote()
+    for rnd in range(max_rounds):
         hop = rename_cols(cur, {"src_id": "h_src", "dst_id": "h_dst"})
         joined = cur.join(
             hop,
@@ -83,24 +119,19 @@ def resolve_redirects_distributed(
             right_on=("h_src",),
         )
 
-        def _advance(batch: pd.DataFrame) -> pd.DataFrame:
+        def _advance(batch: pd.DataFrame, *, _rnd=rnd) -> pd.DataFrame:
             nxt = batch["h_dst"].where(batch["h_dst"].notna(), batch["dst_id"])
-            return pd.DataFrame(
-                {
-                    "src_id": batch["src_id"],
-                    "dst_id": nxt,
-                    "changed": (nxt != batch["dst_id"]).astype("int64"),
-                }
-            )
+            _count_changed(counter, _rnd, (nxt != batch["dst_id"]).sum())
+            return pd.DataFrame({"src_id": batch["src_id"], "dst_id": nxt})
 
-        stepped = joined.map_batches(_advance, batch_format="pandas").materialize()
-        changed = stepped.sum("changed")
         # scrub: the next round joins `cur` on both sides; block schemas
-        # must be Arrow-stable (see functions.blocks)
+        # must be Arrow-stable (see functions.blocks). One execution per
+        # round: the counter actor carries the convergence count.
         cur = scrub_empty_blocks(
-            stepped.drop_columns(["changed"]), target_blocks=num_partitions
+            joined.map_batches(_advance, batch_format="pandas"),
+            target_blocks=num_partitions,
         ).materialize()
-        if not changed:
+        if not ray.get(counter.total.remote(rnd)):
             break
     else:
         raise RuntimeError(
@@ -165,6 +196,14 @@ def connected_components(
         {"u": "node_id", "min(v)": "component_id"},
     ).materialize()
 
+    counter = _RoundCounter.remote()
+
+    def _premin(batch: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine ahead of the groupby sort shuffle: the join
+        # output has one row per edge; only one candidate per distinct
+        # u per block needs to ride the all-to-all
+        return batch.groupby("u", as_index=False)["component_id"].min()
+
     for rnd in range(max_rounds):
         # candidate label for u = min over neighbors v of label(v)
         cand = rename_cols(
@@ -176,6 +215,7 @@ def connected_components(
                     on=("v",),
                     right_on=("node_id",),
                 )
+                .map_batches(_premin, batch_format="pandas")
                 .groupby("u")
                 .min("component_id")
             ),
@@ -187,19 +227,18 @@ def connected_components(
 
         if rnd < plain_rounds:
 
-            def _update_plain(batch: pd.DataFrame) -> pd.DataFrame:
+            def _update_plain(batch: pd.DataFrame, *, _rnd=rnd) -> pd.DataFrame:
                 new = batch[["component_id", "cand"]].min(axis=1)
+                _count_changed(
+                    counter, _rnd, (new != batch["component_id"]).sum())
                 return pd.DataFrame(
-                    {
-                        "node_id": batch["node_id"],
-                        "component_id": new,
-                        "changed": (new != batch["component_id"])
-                        .astype("int64"),
-                    }
+                    {"node_id": batch["node_id"], "component_id": new}
                 )
 
-            stepped = merged.map_batches(
-                _update_plain, batch_format="pandas").materialize()
+            # one execution per plain round (see _RoundCounter note)
+            labels = scrub_empty_blocks(
+                merged.map_batches(_update_plain, batch_format="pandas")
+            ).materialize()
         else:
 
             def _update(batch: pd.DataFrame) -> pd.DataFrame:
@@ -229,24 +268,18 @@ def connected_components(
                 on=("component_id",), right_on=("ptr",),
             )
 
-            def _shortcut(batch: pd.DataFrame) -> pd.DataFrame:
+            def _shortcut(batch: pd.DataFrame, *, _rnd=rnd) -> pd.DataFrame:
                 new = batch[["component_id", "ptr_label"]].min(axis=1)
+                _count_changed(
+                    counter, _rnd, (new != batch["old_label"]).sum())
                 return pd.DataFrame(
-                    {
-                        "node_id": batch["node_id"],
-                        "component_id": new,
-                        "changed": (new != batch["old_label"])
-                        .astype("int64"),
-                    }
+                    {"node_id": batch["node_id"], "component_id": new}
                 )
 
-            stepped = doubled.map_batches(
-                _shortcut, batch_format="pandas").materialize()
-        changed = stepped.sum("changed")
-        labels = scrub_empty_blocks(
-            stepped.drop_columns(["changed"])
-        ).materialize()
-        if not changed:
+            labels = scrub_empty_blocks(
+                doubled.map_batches(_shortcut, batch_format="pandas")
+            ).materialize()
+        if not ray.get(counter.total.remote(rnd)):
             break
     else:
         # mirror resolve_redirects_distributed: exhausting the round

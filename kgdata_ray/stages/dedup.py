@@ -115,6 +115,64 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+class _LRU:
+    """Tiny bounded LRU for per-WORKER-PROCESS verify caches.
+
+    Verification batches re-see the same hot documents across blocks
+    and partitions (a doc in a 200-member dup cluster rides ~200 pairs,
+    hash-scattered over every partition), so a per-batch memo re-sketches
+    it once per batch. Caching at process level makes the per-doc
+    feature cost once-per-worker; the bound keeps a 100-TB worker's
+    heap flat (strings are retained as keys, so cap x avg-text-size is
+    the budget, ~64 MB at the default)."""
+
+    def __init__(self, cap: int = 65536):
+        from collections import OrderedDict
+
+        self.cap = cap
+        self.d: "OrderedDict" = OrderedDict()
+
+    def get(self, key, make):
+        d = self.d
+        v = d.get(key)
+        if v is None:
+            v = make()
+            d[key] = v
+            if len(d) > self.cap:
+                d.popitem(last=False)
+        else:
+            d.move_to_end(key)
+        return v
+
+
+_FEAT_CACHE = _LRU()
+_SIM_CACHE = _LRU()
+
+
+def _pair_sims(texts_a, texts_b, *, kind: str, shingle_k: int,
+               ngram_n: int) -> np.ndarray:
+    """Exact Jaccard for each (text_a, text_b) pair, with process-level
+    feature and pair memoization (dup clusters repeat both)."""
+
+    def feat(t: str) -> np.ndarray:
+        return _FEAT_CACHE.get(
+            (kind, shingle_k, ngram_n, t),
+            lambda: (char_shingle_hashes(t, shingle_k) if kind == "char"
+                     else word_ngram_hashes(t, ngram_n)),
+        )
+
+    return np.fromiter(
+        (
+            _SIM_CACHE.get(
+                (kind, shingle_k, ngram_n, x, y),
+                lambda: jaccard(feat(x), feat(y)),
+            )
+            for x, y in zip(texts_a, texts_b)
+        ),
+        dtype=np.float64, count=len(texts_a),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 
@@ -350,20 +408,8 @@ def _verify_pairs_join(
     def verify(b: pd.DataFrame) -> pa.Table:
         if ta not in b.columns:  # schema-less empty join block
             return empty
-        feats: dict = {}
-
-        def feat(t: str) -> np.ndarray:
-            f = feats.get(t)
-            if f is None:
-                f = (char_shingle_hashes(t, shingle_k) if kind == "char"
-                     else word_ngram_hashes(t, ngram_n))
-                feats[t] = f
-            return f
-
-        sims = np.fromiter(
-            (jaccard(feat(x), feat(y)) for x, y in zip(b[ta], b[tb])),
-            dtype=np.float64, count=len(b),
-        )
+        sims = _pair_sims(b[ta], b[tb], kind=kind, shingle_k=shingle_k,
+                          ngram_n=ngram_n)
         out = pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"]})
         out["jaccard"] = np.round(sims, 6)
         out = out[out["jaccard"] >= threshold]
@@ -386,21 +432,9 @@ def _verify_pairs_broadcast(
         from ..functions.broadcast import get_broadcast
 
         texts = get_broadcast(texts_ref)
-        feats: dict = {}
-
-        def feat(doc_id) -> np.ndarray:
-            f = feats.get(doc_id)
-            if f is None:
-                t = texts[doc_id]
-                f = (char_shingle_hashes(t, shingle_k) if kind == "char"
-                     else word_ngram_hashes(t, ngram_n))
-                feats[doc_id] = f
-            return f
-
-        sims = np.fromiter(
-            (jaccard(feat(x), feat(y))
-             for x, y in zip(b["id_a"], b["id_b"])),
-            dtype=np.float64, count=len(b),
+        sims = _pair_sims(
+            [texts[i] for i in b["id_a"]], [texts[i] for i in b["id_b"]],
+            kind=kind, shingle_k=shingle_k, ngram_n=ngram_n,
         )
         out = pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"]})
         out["jaccard"] = np.round(sims, 6)

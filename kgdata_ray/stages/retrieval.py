@@ -199,11 +199,29 @@ def bpe_merges(
     rule: ``(step, lhs, rhs, pair_count)``.
 
     The corpus text is read ONCE (word-frequency vocabulary via
-    map-side-combined count); every merge round is a parallel
-    vocabulary-sized pass whose shuffle moves pair-count partials
-    (pair-vocabulary-sized), and the round winner is a single row via
-    the ``global_topk`` combiner — the driver holds only the growing
-    merge list (``n_merges`` tuples), re-broadcast each round."""
+    map-side-combined count); each ROUND is a parallel vocabulary-sized
+    pass whose shuffle moves pair-count partials (pair-vocabulary-
+    sized), and the round's winners ride the ``global_topk`` combiner —
+    the driver holds only the growing merge list (``n_merges`` tuples),
+    re-broadcast each round.
+
+    Rounds are driver-sequential, so at realistic merge counts the
+    fixed per-execution cost would dominate if every round learned ONE
+    rule. Instead each round accepts a BATCH of merges via a rule that
+    provably reproduces sequential greedy BPE: take the candidate pairs
+    in full tie-break order (count desc, lhs asc, rhs asc) and accept
+    the maximal prefix that is (a) pairwise symbol-disjoint — stop at
+    the first pair re-using an already-accepted symbol — and (b)
+    strictly above the boundary: every accepted pair after the first
+    must have count > the first NON-accepted pair's count. Why this is
+    exact: merging disjoint pairs leaves every other disjoint pair's
+    count unchanged, and any pair a merge can create or grow (x+lhs,
+    rhs+y, x+merged, merged+y) shares a symbol with an accepted pair,
+    so its pre-merge bound sits at or below the boundary count —
+    strictly below every accepted count — and can never out-rank (or
+    tie, hence the STRICT inequality) a later accepted pair at its
+    sequential turn. The first pair of each round is the true global
+    argmax and is always safe, so progress is guaranteed."""
     from ..functions.agg import global_topk, grouped_blockwise
 
     def explode(batch: pd.DataFrame) -> pa.Table:
@@ -226,7 +244,8 @@ def bpe_merges(
 
     merges: list[tuple[str, str]] = []
     counts: list[int] = []
-    for _step in range(n_merges):
+    while len(merges) < n_merges:
+        want = n_merges - len(merges)
         cur = list(merges)  # closure snapshot broadcast with the task
 
         def pair_partial(batch: pd.DataFrame) -> pa.Table:
@@ -250,12 +269,29 @@ def bpe_merges(
         pairs = grouped_blockwise(
             vocab.map_batches(pair_partial, batch_format="pandas"),
             ["lhs", "rhs"], pair_sum)
-        top = global_topk(pairs, ["c", "lhs", "rhs"],
-                          [False, True, True], 1).take_all()
-        if not top:
+        # fetch want+1 candidates: the extra row is the boundary that
+        # certifies which accepted counts are strictly safe
+        cands = global_topk(pairs, ["c", "lhs", "rhs"],
+                            [False, True, True], want + 1).take_all()
+        if not cands:
             break
-        merges.append((top[0]["lhs"], top[0]["rhs"]))
-        counts.append(int(top[0]["c"]))
+        used: set[str] = set()
+        prefix: list[dict] = []
+        stop_idx = len(cands)
+        for i, r in enumerate(cands):
+            if len(prefix) == want or r["lhs"] in used or r["rhs"] in used:
+                stop_idx = i
+                break
+            prefix.append(r)
+            used.add(r["lhs"])
+            used.add(r["rhs"])
+        boundary = (int(cands[stop_idx]["c"])
+                    if stop_idx < len(cands) else -1)
+        accepted = prefix[:1] + [
+            r for r in prefix[1:] if int(r["c"]) > boundary]
+        for r in accepted:
+            merges.append((r["lhs"], r["rhs"]))
+            counts.append(int(r["c"]))
 
     import ray.data as rd
 

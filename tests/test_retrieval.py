@@ -118,6 +118,29 @@ def test_bpe_merges_matches_naive(ray_session):
     assert list(got["step"]) == list(range(len(want)))
 
 
+def test_bpe_merges_batched_rounds_match_sequential(ray_session):
+    """Realistic merge count: the batched-round rule (maximal
+    symbol-disjoint strictly-above-boundary prefix per round) must
+    reproduce sequential greedy BPE rule-for-rule at n_merges=64 —
+    including tie-break order, on a corpus rich enough to force both
+    conflict-stops and count ties."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.retrieval import bpe_merges
+
+    rng = np.random.default_rng(11)
+    words = ["the", "theory", "there", "other", "mother", "thermal",
+             "ingest", "ingesting", "sing", "ring", "string", "spring",
+             "hash", "hashing", "shard", "shuffle", "shingle", "single",
+             "data", "dataset", "database", "date", "update", "updated"]
+    docs = [" ".join(rng.choice(words, size=30)) for _ in range(40)]
+    df = pd.DataFrame({"text": docs})
+    got = bpe_merges(rd.from_pandas(df), n_merges=64).to_pandas()
+    want = _naive_bpe(docs, 64)
+    assert list(zip(got["lhs"], got["rhs"], got["pair_count"])) == want
+    assert list(got["step"]) == list(range(len(want)))
+
+
 def test_scalar_quantize_roundtrip(ray_session):
     import ray.data as rd
 
