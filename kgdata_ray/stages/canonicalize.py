@@ -145,6 +145,39 @@ def resolve_redirects_distributed(
 # Connected components (min-label propagation)
 
 
+def _cc_driver_numpy(sym: Dataset) -> Dataset:
+    """Small-graph fast path for :func:`connected_components`: the
+    symmetrized (u, v) edge list fits the driver (size-guarded by the
+    caller), so solve with vectorized min-label propagation + pointer
+    jumping over index arrays — zero shuffle rounds, O(E) per round,
+    O(log diameter) rounds. Deliberately NOT union-find: the pytest
+    golden is union-find, and keeping the algorithms disjoint keeps the
+    certification independent."""
+    import numpy as np
+    import ray.data as rd
+
+    df = sym.to_pandas()
+    u, v = df["u"].to_numpy(), df["v"].to_numpy()
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        # one hop: label(u) <- min over edges of label(v); sym carries
+        # both directions so a single scatter covers the symmetric step
+        np.minimum.at(new, ui, lab[vi])
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # labels index lexicographic-sorted nodes, so min index = min id
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes),
+        "component_id": pa.array(nodes[lab]),
+    }))
+
+
 def connected_components(
     edges: Dataset,
     *,
@@ -152,6 +185,7 @@ def connected_components(
     dst_col: str = "dst_id",
     max_rounds: int = 50,
     plain_rounds: int = 3,
+    driver_edge_threshold: "Optional[int]" = None,
 ) -> Dataset:
     """Undirected connected components -> (node_id, component_id) with
     component_id = min node id in the component (deterministic winner,
@@ -167,6 +201,19 @@ def connected_components(
     unchanged (labels are min-monotone; both steps only lower them
     toward the component min), so results are bit-identical to the
     single-hop recurrence at any ``plain_rounds``.
+
+    SIZE-ROUTED PLAN: the pair graph CC runs on is the *small side* of
+    every consumer — verified near-dup pairs, ER match pairs, redirect
+    edges — typically orders of magnitude smaller than the corpus that
+    produced it. When its edge count is at or under
+    ``driver_edge_threshold`` (default ``$KGR_CC_DRIVER_EDGES`` or
+    2,000,000 — a few hundred MB of driver heap at worst), the edge
+    list is pulled once and solved with vectorized numpy min-label
+    propagation + pointer jumping (NOT union-find, so the union-find
+    test golden stays an independent algorithm). Above the threshold
+    the distributed loop below runs unchanged — each round one
+    pipeline execution, convergence counted by the fused counter
+    actor. Same fixed point, bit-identical output, either plan.
     """
 
     def _both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -179,6 +226,14 @@ def connected_components(
         return pd.concat([fwd, rev], ignore_index=True)
 
     sym = edges.map_batches(_both_dirs, batch_format="pandas").materialize()
+
+    if driver_edge_threshold is None:
+        import os
+
+        driver_edge_threshold = int(
+            os.environ.get("KGR_CC_DRIVER_EDGES", 2_000_000))
+    if 0 < sym.count() <= driver_edge_threshold:
+        return _cc_driver_numpy(sym)
 
     # initial label(x) = min(x, min neighbor) — folds the first round in
     def _self_edge(batch: pd.DataFrame) -> pd.DataFrame:

@@ -59,7 +59,8 @@ def test_connected_components():
             "dst_id": ["a", "b", "d", "y"],
         }
     )
-    labels = connected_components(rd.from_arrow(edges)).take_all()
+    labels = connected_components(
+        rd.from_arrow(edges), driver_edge_threshold=0).take_all()
     lab = {r["node_id"]: r["component_id"] for r in labels}
     assert lab == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
@@ -78,7 +79,7 @@ def test_connected_components_long_chain_doubling():
     lab = {
         r["node_id"]: r["component_id"]
         for r in connected_components(
-            rd.from_arrow(edges), max_rounds=10
+            rd.from_arrow(edges), max_rounds=10, driver_edge_threshold=0
         ).take_all()
     }
     assert len(lab) == n
@@ -91,7 +92,37 @@ def test_connected_components_star_and_singleton_free():
     )
     lab = {
         r["node_id"]: r["component_id"]
-        for r in connected_components(rd.from_arrow(edges)).take_all()
+        for r in connected_components(
+            rd.from_arrow(edges), driver_edge_threshold=0).take_all()
     }
     assert set(lab.values()) == {"h"}
     assert set(lab) == {"h", "s1", "s2", "s3"}
+
+
+def test_connected_components_driver_plan_matches_distributed():
+    """Size-routed plans must be bit-identical: random string graph and
+    an int64 graph, solved by the numpy driver fast path (default at
+    this size) and the distributed loop (threshold pinned to 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    src = [f"n{int(i):03d}" for i in rng.integers(0, 120, 200)]
+    dst = [f"n{int(i):03d}" for i in rng.integers(0, 120, 200)]
+    edges = pa.table({"src_id": src, "dst_id": dst})
+    fast = {r["node_id"]: r["component_id"]
+            for r in connected_components(rd.from_arrow(edges)).take_all()}
+    slow = {r["node_id"]: r["component_id"]
+            for r in connected_components(
+                rd.from_arrow(edges), driver_edge_threshold=0).take_all()}
+    assert fast == slow
+
+    ei = pa.table({
+        "src_id": pa.array(rng.integers(0, 80, 150), pa.int64()),
+        "dst_id": pa.array(rng.integers(0, 80, 150), pa.int64()),
+    })
+    fast_i = {r["node_id"]: r["component_id"]
+              for r in connected_components(rd.from_arrow(ei)).take_all()}
+    slow_i = {r["node_id"]: r["component_id"]
+              for r in connected_components(
+                  rd.from_arrow(ei), driver_edge_threshold=0).take_all()}
+    assert fast_i == slow_i and len(fast_i) > 0
