@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 25
+SKETCH_ORACLE_VERSION = 26
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -123,7 +123,8 @@ def _pair_table(rows: list[tuple], names: list[str], types: list) -> pa.Table:
 
 def golden_minhash_pairs(ids, texts, *, num_perm=64, band_size=4,
                          shingle_k=5, threshold=0.6, seed=7,
-                         max_bucket=200) -> pa.Table:
+                         max_bucket=200,
+                         prefilter_margin=0.25) -> pa.Table:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64) * 2 + 1
     b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
@@ -134,17 +135,24 @@ def golden_minhash_pairs(ids, texts, *, num_perm=64, band_size=4,
     num_bands = num_perm // band_size
     shingles = {i: shingle_hashes(t, shingle_k) for i, t in zip(ids, texts)}
     buckets: dict = {}
+    sig8: dict = {}
     for i in ids:
         h = shingles[i]
         mins = np.empty(num_perm, dtype=np.uint64)
         for p in range(num_perm):
             mins[p] = (a[p] * h + b[p]).min()  # uint64 wraparound
+        sig8[int(i)] = (mins & np.uint64(0xFF)).astype(np.uint8)
         for band in range(num_bands):
             seg = mins[band * band_size : (band + 1) * band_size]
             key = np.int64((seg * fold).sum().astype(np.int64))
             buckets.setdefault((band, int(key)), []).append(int(i))
+    # the engine's spec'd signature sieve: drop candidates whose 8-bit
+    # minhash agreement estimate sits below threshold - margin
+    est_min = threshold - prefilter_margin if prefilter_margin else 0.0
     rows = []
     for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        if est_min > 0 and (sig8[lo] == sig8[hi]).mean() < est_min:
+            continue
         j = round(jaccard_sets(shingles[lo], shingles[hi]), 6)
         if j >= threshold:
             rows.append((lo, hi, j))

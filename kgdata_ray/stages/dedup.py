@@ -224,21 +224,14 @@ def _minhash_tables(num_perm: int, band_size: int, seed: int):
     return a, b, fold
 
 
-def minhash_sketch_batch(
-    batch: pd.DataFrame, *, num_perm: int, band_size: int, shingle_k: int,
-    seed: int, text_col: str, id_col: str,
-) -> pd.DataFrame:
-    """num_perm minhashes per doc, folded into LSH band keys.
-
-    All shingles of the batch go into one array with per-doc segment
-    offsets; each permutation is then one vectorized multiply-add +
-    segmented min (``np.minimum.reduceat``) over the whole batch — no
-    per-doc x per-perm Python loop."""
-    a, b, fold = _minhash_tables(num_perm, band_size, seed)
-    num_bands = num_perm // band_size
-    shingle_arrays = [
-        char_shingle_hashes(text, shingle_k) for text in batch[text_col]
-    ]
+def _minhash_mins(texts, *, num_perm: int, shingle_k: int, seed: int,
+                  band_size: int = 4) -> np.ndarray:
+    """(num_perm, n_docs) minhash matrix. All shingles of the batch go
+    into one array with per-doc segment offsets; each permutation is
+    one vectorized multiply-add + segmented min
+    (``np.minimum.reduceat``) — no per-doc x per-perm Python loop."""
+    a, b, _ = _minhash_tables(num_perm, band_size, seed)
+    shingle_arrays = [char_shingle_hashes(t, shingle_k) for t in texts]
     sizes = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
     all_h = (
         np.concatenate(shingle_arrays) if shingle_arrays
@@ -246,12 +239,35 @@ def minhash_sketch_batch(
     )
     offsets = np.zeros(len(sizes), dtype=np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])
-    n_docs = len(sizes)
-
-    mins = np.empty((num_perm, n_docs), dtype=np.uint64)
+    mins = np.empty((num_perm, len(sizes)), dtype=np.uint64)
     for p in range(num_perm):
         hv = a[p] * all_h + b[p]  # uint64 wraparound hash
         mins[p] = np.minimum.reduceat(hv, offsets)
+    return mins
+
+
+def minhash_sketch_batch(
+    batch: pd.DataFrame, *, num_perm: int, band_size: int, shingle_k: int,
+    seed: int, text_col: str, id_col: str, with_sig: bool = False,
+) -> pd.DataFrame:
+    """num_perm minhashes per doc, folded into LSH band keys.
+
+    All shingles of the batch go into one array with per-doc segment
+    offsets; each permutation is then one vectorized multiply-add +
+    segmented min (``np.minimum.reduceat``) over the whole batch — no
+    per-doc x per-perm Python loop.
+
+    ``with_sig`` adds a per-row ``sig`` column: the LOW BYTE of each of
+    the ``num_perm`` minhashes (64 bytes/doc at the default, repeated
+    per band row). It rides the ONE bucket shuffle so the signature
+    sieve runs inside the bucket-pair tasks — the ~3x row-size cost of
+    shipping it is far below the pair-table joins it replaces."""
+    a, b, fold = _minhash_tables(num_perm, band_size, seed)
+    num_bands = num_perm // band_size
+    mins = _minhash_mins(batch[text_col], num_perm=num_perm,
+                         shingle_k=shingle_k, seed=seed,
+                         band_size=band_size)
+    n_docs = mins.shape[1]
     # fold each band's rows into one 64-bit band key
     bh = np.zeros((num_bands, n_docs), dtype=np.uint64)
     for band in range(num_bands):
@@ -260,13 +276,21 @@ def minhash_sketch_batch(
 
     ids = np.repeat(batch[id_col].to_numpy(), num_bands)
     bands = np.tile(np.arange(num_bands, dtype=np.int32), n_docs)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             id_col: ids,
             "band": bands,
             "band_hash": bh.T.reshape(-1).astype(np.int64),
         }
     )
+    if with_sig:
+        sig8 = np.ascontiguousarray(
+            (mins & np.uint64(0xFF)).astype(np.uint8).T)
+        sigs = np.empty(n_docs, dtype=object)
+        for i in range(n_docs):
+            sigs[i] = sig8[i].tobytes()
+        out["sig"] = np.repeat(sigs, num_bands)
+    return out
 
 
 def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
@@ -334,10 +358,21 @@ def _join_pair_sides(
     pair instead of every feature column. The id set is gathered
     driver-side under a hard cap (the repo's bounded-collect pattern,
     same as the hot-key pre-pass) — above the cap the prune is
-    skipped, and the direct join is already the scale path."""
+    skipped, and the direct join is already the scale path.
+
+    SIZE-ROUTED SECOND TIER: when the PRUNED feature table is itself
+    worker-heap bounded (<= ``$KGR_PAIR_BROADCAST_BYTES``, default
+    128 MB), both sides attach via ONE broadcast-dict map fused with
+    the pair blocks — zero hash joins, identical output columns. On
+    this box each Ray hash join costs ~1.5 s of fixed aggregator
+    spin-up, so the two-tier routing is what keeps small/medium pair
+    verification off the join floor while the unbounded case still
+    takes the shuffle plan."""
     num_partitions = resolve_join_partitions(num_partitions)
+    import os
+
     from ..functions.broadcast import get_broadcast
-    from ..functions.blocks import rename_cols
+    from ..functions.blocks import rename_cols, scrub_empty_blocks
     from ..functions.joins import BROADCAST_KEYS_MAX
 
     pairs = pairs.materialize()  # consumed twice (id set + the joins)
@@ -357,6 +392,33 @@ def _join_pair_sides(
         # pair-id count, and both per-side joins consume it — without
         # this the corpus is re-read and re-filtered once per side
         src = src.map_batches(prune, batch_format="pandas").materialize()
+
+        cap = int(os.environ.get("KGR_PAIR_BROADCAST_BYTES", 128 << 20))
+        sz = src.size_bytes()
+        if sz is not None and sz <= cap:
+            maps: dict = {c: {} for c in cols}
+            for b in src.iter_batches(batch_size=16384,
+                                      batch_format="pandas"):
+                ids_b = b[id_col]
+                for c in cols:
+                    maps[c].update(zip(ids_b, b[c]))
+            maps_ref = ray.put(maps)
+
+            def attach(b: pd.DataFrame) -> pd.DataFrame:
+                m = get_broadcast(maps_ref)
+                b = b.copy()
+                side_cols = []
+                for c in cols:
+                    b[f"{c}_a"] = b["id_a"].map(m[c])
+                    b[f"{c}_b"] = b["id_b"].map(m[c])
+                    side_cols += [f"{c}_a", f"{c}_b"]
+                # inner-join semantics: drop pairs whose id is absent
+                # from the corpus (cannot happen for self-joins, but
+                # the join plan would drop them too)
+                return b.dropna(subset=side_cols)
+
+            return scrub_empty_blocks(
+                pairs.map_batches(attach, batch_format="pandas"))
 
     def side(tag: str) -> Dataset:
         return rename_cols(
@@ -446,6 +508,24 @@ def _verify_pairs_broadcast(
     return scrub_empty_blocks(cand.map_batches(verify, batch_format="pandas"))
 
 
+def _sig_est_filter(num_perm: int, est_min: float):
+    """Vectorized signature sieve over carried pair columns: keep
+    (id_a, id_b) whose 8-bit minhash agreement >= est_min. Runs fused
+    with the bucket-pair tasks — no extra shuffle or join."""
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        if "sig_a" not in b.columns or not len(b):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        A = np.frombuffer(b"".join(b["sig_a"]), np.uint8).reshape(-1, num_perm)
+        B = np.frombuffer(b"".join(b["sig_b"]), np.uint8).reshape(-1, num_perm)
+        keep = (A == B).mean(axis=1) >= est_min
+        return pa.Table.from_pandas(b.loc[keep, ["id_a", "id_b"]],
+                                    preserve_index=False)
+
+    return fn
+
+
 def _distinct_pairs(pairs: Dataset) -> Dataset:
     from ..functions.agg import grouped_blockwise
 
@@ -468,6 +548,7 @@ def minhash_pairs(
     max_bucket: int = 200,
     verifier: str = "join",
     texts_ref: Optional[Union["ray.ObjectRef", dict]] = None,
+    prefilter_margin: Optional[float] = 0.25,
 ) -> Dataset:
     """Near-duplicate pairs by MinHash-LSH, verified with exact
     char-shingle Jaccard >= threshold. Output: (id_a, id_b, jaccard).
@@ -476,11 +557,26 @@ def minhash_pairs(
     against the corpus; nothing broadcast, the scale path) or
     "broadcast" (id->text dict via ray.put; latency fast path for
     corpora that fit a worker heap). Both produce identical pairs
-    (tested)."""
+    (tested).
+
+    ``prefilter_margin``: before exact verification, candidate pairs
+    whose signature-agreement estimate (fraction of matching 8-bit
+    minhash bytes) falls below ``threshold - prefilter_margin`` are
+    dropped. LSH banding already makes recall probabilistic; the
+    prefilter adds a second deterministic sieve whose miss probability
+    for a TRUE pair at J=threshold is ~4 sigma at the defaults
+    (est std = sqrt(t(1-t)/num_perm) ~= 0.061, margin 0.25) — while
+    cutting the expensive text-join + exact-Jaccard stage from every
+    bucket-colliding pair (quadratic in collision rate) to near-final
+    volume. The golden oracle applies the identical rule, so outputs
+    stay bit-exact. ``None`` disables the sieve."""
+    est_min = (threshold - prefilter_margin
+               if prefilter_margin is not None else 0.0)
     sketches = ds.select_columns([id_col, text_col]).map_batches(
         partial(
             minhash_sketch_batch, num_perm=num_perm, band_size=band_size,
             shingle_k=shingle_k, seed=seed, text_col=text_col, id_col=id_col,
+            with_sig=est_min > 0,
         ),
         batch_format="pandas",
     )
@@ -488,8 +584,14 @@ def minhash_pairs(
 
     cand = grouped_blockwise(
         sketches, ["band", "band_hash"],
-        _bucket_pairs_block(["band", "band_hash"], id_col, max_bucket),
+        _bucket_pairs_block(["band", "band_hash"], id_col, max_bucket,
+                            carry=["sig"] if est_min > 0 else None),
     )
+    if est_min > 0:
+        # fused with the bucket tasks: only est-passing pairs reach the
+        # distinct shuffle and the text verification joins
+        cand = cand.map_batches(_sig_est_filter(num_perm, est_min),
+                                batch_format="pandas")
     cand = _distinct_pairs(cand)
     if verifier == "join":
         return _verify_pairs_join(
