@@ -296,15 +296,24 @@ BROADCAST_KEYS_MAX = 2_000_000
 
 def _key_set_filter(left: Dataset, right: Dataset, on: str,
                     right_on: Optional[str], keep_in: bool) -> Dataset:
-    # Ray's Dataset.unique returns None (not []) on an empty input
-    keys_ref = ray.put(set(right.unique(right_on or on) or []))
+    # Ray's Dataset.unique returns None (not []) on an empty input.
+    # Broadcast a sorted list (not a set) so the per-worker value_set
+    # Arrow array is deterministic across actors.
+    keys_ref = ray.put(sorted(set(right.unique(right_on or on) or [])))
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
+    def fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         keys = get_broadcast(keys_ref)
-        mask = b[on].isin(keys)
-        return b[mask] if keep_in else b[~mask]
+        vs = pa.array(keys, type=b.schema.field(on).type) if keys \
+            else pa.array([], type=b.schema.field(on).type)
+        mask = pc.is_in(b[on], value_set=vs)
+        if not keep_in:
+            # nulls never match a key set: keep them on the anti side
+            mask = pc.fill_null(pc.invert(mask), True)
+        return b.filter(mask)
 
-    return left.map_batches(fn, batch_format="pandas")
+    return left.map_batches(fn, batch_format="pyarrow")
 
 
 def _shuffle_key_filter(left: Dataset, right: Dataset, on: str,
@@ -320,13 +329,13 @@ def _shuffle_key_filter(left: Dataset, right: Dataset, on: str,
     r_on = right_on or on
     keys = distinct_rows(right.select_columns([r_on]), [r_on])
 
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.rename(columns={r_on: "__k"})
-        out["__present"] = np.int8(1)
-        return out
+    def mark(b: pa.Table) -> pa.Table:
+        out = b.rename_columns(["__k"])
+        return out.append_column(
+            "__present", pa.array(np.ones(len(b), dtype=np.int8)))
 
     marked = scrub_empty_blocks(
-        keys.map_batches(mark, batch_format="pandas")
+        keys.map_batches(mark, batch_format="pyarrow")
     )
     joined = left.join(
         marked,
@@ -337,15 +346,17 @@ def _shuffle_key_filter(left: Dataset, right: Dataset, on: str,
     )
     out_cols = [c for c in left.schema().names]
 
-    def filt(b: pd.DataFrame) -> pa.Table:
-        if "__present" not in b.columns:  # schema-less empty join block
-            b = pd.DataFrame({c: [] for c in out_cols + ["__present"]})
-        hit = b["__present"].notna()
-        out = (b[hit] if keep_in else b[~hit])[out_cols]
-        # Arrow out so empty blocks keep their schema downstream
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def filt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return scrub_empty_blocks(joined.map_batches(filt, batch_format="pandas"))
+        if "__present" not in b.schema.names:  # schema-less empty block
+            # scrub_empty_blocks drops it downstream; any empty table works
+            return b.select(
+                [c for c in out_cols if c in b.schema.names]).slice(0, 0)
+        hit = pc.is_valid(b["__present"])
+        return b.filter(hit if keep_in else pc.invert(hit)).select(out_cols)
+
+    return scrub_empty_blocks(joined.map_batches(filt, batch_format="pyarrow"))
 
 
 def _existence_join(left: Dataset, right: Dataset, on: str,

@@ -284,24 +284,22 @@ def kg_fact_history_merge(old_history: Dataset,
 
     SEP = "\x1f"
 
-    def keyed(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["k"] = b["subj"] + SEP + b["pred"]
-        return b
+    def keyed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    old_k = old_history.map_batches(keyed, batch_format="pandas")
+        k = pc.binary_join_element_wise(b["subj"], b["pred"], SEP)
+        return b.append_column("k", k)
+
+    old_k = old_history.map_batches(keyed, batch_format="pyarrow")
     new_k = new_facts.map_batches(keyed,
-                                  batch_format="pandas").materialize()
+                                  batch_format="pyarrow").materialize()
 
     untouched = anti_join(old_k, new_k, "k").drop_columns(["k"])
     touched_old = semi_join(old_k, new_k, "k")
 
-    def as_assertions(b: pd.DataFrame) -> pd.DataFrame:
-        return b[["subj", "pred", "obj", "valid_from"]]
-
+    cols = ["subj", "pred", "obj", "valid_from"]
     assertions = scrub_empty_blocks(
-        touched_old.map_batches(as_assertions, batch_format="pandas")
-        .union(new_k.map_batches(as_assertions, batch_format="pandas")))
+        touched_old.select_columns(cols).union(new_k.select_columns(cols)))
 
     def rechain(b: pd.DataFrame) -> pa.Table:
         # returns pa.Table so BOTH union branches carry Arrow blocks —
@@ -321,9 +319,6 @@ def kg_fact_history_merge(old_history: Dataset,
 
     rebuilt = grouped_blockwise(assertions, ["subj", "pred"], rechain)
 
-    def arrow_out(b: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(b, preserve_index=False)
-
-    return scrub_empty_blocks(
-        untouched.map_batches(arrow_out, batch_format="pandas")
-    ).union(rebuilt)
+    # untouched is Arrow end-to-end (keyed + the existence joins emit
+    # Arrow blocks), so both union branches carry the same block type
+    return scrub_empty_blocks(untouched).union(rebuilt)

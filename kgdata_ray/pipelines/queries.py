@@ -19,6 +19,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -2988,6 +2989,68 @@ def q_percent_rank_events(sf_dir: str) -> Dataset:
         ["user_id", "event_id", "pct_rank", "cume_dist"])
 
 
+_QUAL_VOCAB = ["located_in", "part_of", "has_part", "contains", "member_of"]
+_QUAL_TRANSITIVE = frozenset(["located_in", "part_of", "has_part"])
+
+
+def _qualifier_world(sf_dir: str) -> tuple[Dataset, Dataset]:
+    """Deterministic flat statement/qualifier tables derived from the
+    base parquet (the transcript corpus carries no statement
+    qualifiers, so the rewrite's input model — reference
+    ``WDStatement.qualifiers`` — is synthesized relationally):
+    statements from orders, qualifiers from lineitem, keyed by
+    orderkey so qualifier fan-out follows the natural FK skew."""
+    vocab = pa.array(_QUAL_VOCAB, pa.string())
+
+    def to_stmts(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks() if isinstance(
+            t["o_orderkey"], pa.ChunkedArray) else t["o_orderkey"]
+        k = ok.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "stmt_id": ok,
+            "subj": pc.binary_join_element_wise(
+                pa.scalar("u"), pc.cast(t["o_custkey"], pa.string()), ""),
+            "pred": pc.take(vocab, pa.array(k % 5)),
+            "obj": pc.binary_join_element_wise(
+                pa.scalar("c"), pc.cast(pa.array(k % 97), pa.string()), ""),
+            "rank": pa.array(k % 3, pa.int64()),
+        })
+
+    def to_quals(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].combine_chunks() if isinstance(
+            t["l_partkey"], pa.ChunkedArray) else t["l_partkey"]
+        return pa.table({
+            "stmt_id": t["l_orderkey"],
+            "qpred": pc.take(
+                vocab, pa.array(pk.to_numpy(zero_copy_only=False) % 5)),
+            "qval": pc.binary_join_element_wise(
+                pa.scalar("e"), pc.cast(t["l_suppkey"], pa.string()), ""),
+        })
+
+    stmts = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(to_stmts, batch_format="pyarrow")
+    quals = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).map_batches(to_quals, batch_format="pyarrow")
+    return stmts, quals
+
+
+def q_fix_transitive_qualifier(sf_dir: str) -> Dataset:
+    """Statement rewrite hoisting transitive self-qualifiers
+    (stages/extract.py:fix_transitive_qualifiers; reference
+    ``kgdata/wikidata/datasets/entities.py:263-286``): self-qualifiers
+    (qualifier property == statement property) are stripped — each
+    statement reports how many — and for the transitive predicate set
+    each stripped value becomes a new first-class statement, deduped
+    per (subj, pred, value) with the min source statement's rank."""
+    from ..stages.extract import fix_transitive_qualifiers
+
+    stmts, quals = _qualifier_world(sf_dir)
+    return fix_transitive_qualifiers(stmts, quals, _QUAL_TRANSITIVE)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "filter_project": q_filter_project,
@@ -3130,6 +3193,7 @@ def queries() -> dict[str, Callable]:
         "funnel_stages": q_funnel_stages,
         "stratified_sample": q_stratified_sample,
         "percent_rank_events": q_percent_rank_events,
+        "fix_transitive_qualifier": q_fix_transitive_qualifier,
         "edit_distance_pairs": q_edit_distance_pairs,
         "er_name_clusters": q_er_name_clusters,
         "jaccard_set_join": q_jaccard_set_join,
@@ -3921,6 +3985,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    cume_dist() OVER (PARTITION BY user_id
                        ORDER BY value) AS cume_dist
             FROM events
+        """,
+        "fix_transitive_qualifier": """
+            WITH v(i, p) AS (VALUES
+                (0, 'located_in'), (1, 'part_of'), (2, 'has_part'),
+                (3, 'contains'), (4, 'member_of')),
+            stmts AS (
+                SELECT o_orderkey AS stmt_id,
+                       'u' || CAST(o_custkey AS VARCHAR) AS subj,
+                       v.p AS pred,
+                       'c' || CAST(o_orderkey % 97 AS VARCHAR) AS obj,
+                       CAST(o_orderkey % 3 AS BIGINT) AS rank
+                FROM orders JOIN v ON v.i = o_orderkey % 5),
+            quals AS (
+                SELECT l_orderkey AS stmt_id, v.p AS qpred,
+                       'e' || CAST(l_suppkey AS VARCHAR) AS qval
+                FROM lineitem JOIN v ON v.i = l_partkey % 5),
+            self_q AS (
+                SELECT q.stmt_id, s.subj, s.pred, q.qval
+                FROM quals q JOIN stmts s USING (stmt_id)
+                WHERE q.qpred = s.pred),
+            n_self AS (
+                SELECT stmt_id, CAST(count(*) AS BIGINT) AS n
+                FROM self_q GROUP BY stmt_id),
+            hoist AS (
+                SELECT subj, pred, qval AS obj, MIN(stmt_id) AS src
+                FROM self_q
+                WHERE pred IN ('located_in', 'part_of', 'has_part')
+                GROUP BY subj, pred, qval)
+            SELECT s.stmt_id, s.subj, s.pred, s.obj, s.rank,
+                   COALESCE(n.n, 0) AS n_self_quals
+            FROM stmts s LEFT JOIN n_self n USING (stmt_id)
+            UNION ALL
+            SELECT -src AS stmt_id, subj, pred, obj,
+                   CAST(src % 3 AS BIGINT) AS rank,
+                   CAST(0 AS BIGINT) AS n_self_quals
+            FROM hoist
         """,
         "edit_distance_pairs": """
             WITH names AS (SELECT DISTINCT p_name FROM part)
