@@ -51,21 +51,45 @@ def dedup_triples(linked: Dataset) -> Dataset:
     ``pa.Table`` blocks (use_threads=False pins the deterministic
     encounter order the keep-first contract needs), so the headline
     pipeline never round-trips a block through pandas.
+
+    The co-location shuffle is keyed on a precomputed uint64 hash of
+    (subj, pred, obj) instead of the three string columns: the range
+    sort's sample, partition and within-block compare all run on a
+    fixed-width int (one C pass each) rather than multi-string
+    comparisons, and equal triples land in one block just the same.
+    Hash collisions are harmless — the per-block keep-first still
+    groups on the real (subj, pred, obj), the hash only drives
+    placement.
     """
     from ..functions.agg import grouped_blockwise
 
     order = [(c, "ascending") for c in (*_SPO, "conv_id", "turn_idx")]
 
-    def keep_first(t: pa.Table) -> pa.Table:
+    def pre(t: pa.Table) -> pa.Table:
         # prune any linker side-columns before rows ride the shuffle
+        import pyarrow.compute as pc
+        from ..functions.sketches import splitmix64
+
+        t = t.select(list(TRIPLE_COLUMNS)).sort_by(order)
+        g = t.group_by(_SPO, use_threads=False).aggregate(
+            [("conv_id", "first"), ("turn_idx", "first")])
+        g = g.rename_columns(list(TRIPLE_COLUMNS))
+        key = pc.binary_join_element_wise(
+            g["subj"], g["pred"], g["obj"], "\x1f")
+        h = splitmix64(pd.util.hash_array(
+            key.to_numpy(zero_copy_only=False)))
+        # int64 view: Ray's sort plans on signed ints; bit-stable
+        return g.append_column("h", pa.array(h.view("int64"), pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
         t = t.select(list(TRIPLE_COLUMNS)).sort_by(order)
         g = t.group_by(_SPO, use_threads=False).aggregate(
             [("conv_id", "first"), ("turn_idx", "first")])
         return g.rename_columns(list(TRIPLE_COLUMNS))
 
-    pruned = linked.map_batches(keep_first, batch_format="pyarrow",
+    pruned = linked.map_batches(pre, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    return grouped_blockwise(pruned, _SPO, keep_first,
+    return grouped_blockwise(pruned, ["h"], final,
                              batch_format="pyarrow")
 
 
