@@ -225,21 +225,34 @@ def kg_fact_history(triples: Dataset, transcripts: Dataset) -> Dataset:
     j = triples.join(ts, join_type="inner", num_partitions=default_join_partitions(),
                      on=("conv_id", "turn_idx"))
 
-    def block(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["subj", "pred", "ts", "obj"],
-                          kind="mergesort")
-        out = pd.DataFrame({
-            "subj": b["subj"],
-            "pred": b["pred"],
-            "obj": b["obj"],
-            "valid_from": b["ts"],
-            "valid_to": b.groupby(["subj", "pred"], sort=False)["ts"]
-            .shift(-1),
+    def block(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow: sort, then the interval close is a shifted
+        # slice compare — valid_to[i] = ts[i+1] when row i+1 carries
+        # the same (subj, pred), else NULL (and NULL on the last row)
+        import pyarrow.compute as pc
+
+        t = t.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                       ("ts", "ascending"), ("obj", "ascending")])
+        n = t.num_rows
+        subj = t["subj"].combine_chunks()
+        pred = t["pred"].combine_chunks()
+        tcol = t["ts"].combine_chunks()
+        if n > 1:
+            same = pc.and_(
+                pc.equal(subj.slice(1), subj.slice(0, n - 1)),
+                pc.equal(pred.slice(1), pred.slice(0, n - 1)))
+            head = pc.if_else(same, tcol.slice(1),
+                              pa.nulls(n - 1, tcol.type))
+            valid_to = pa.chunked_array([head, pa.nulls(1, tcol.type)])
+        else:
+            valid_to = pa.nulls(n, tcol.type)
+        return pa.table({
+            "subj": subj, "pred": pred, "obj": t["obj"],
+            "valid_from": tcol, "valid_to": valid_to,
         })
-        return out
 
     return grouped_blockwise(scrub_empty_blocks(j), ["subj", "pred"],
-                             block)
+                             block, batch_format="pyarrow")
 
 
 def kg_entity_cards(triples: Dataset) -> Dataset:
@@ -254,12 +267,12 @@ def kg_entity_cards(triples: Dataset) -> Dataset:
     string_agg SQL oracle byte-for-byte."""
     from ..functions.agg import grouped_blockwise
 
-    def block(b: pd.DataFrame) -> pa.Table:
+    def block(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        b = b.sort_values(["subj", "pred", "obj"], kind="mergesort")
-        t = pa.Table.from_pandas(b[["subj", "pred", "obj"]],
-                                 preserve_index=False)
+        t = t.select(["subj", "pred", "obj"]).sort_by(
+            [("subj", "ascending"), ("pred", "ascending"),
+             ("obj", "ascending")])
         # use_threads=False: single-threaded group scan keeps list
         # ELEMENTS in row order (objs ascending) and avoids thread
         # oversubscription inside Ray workers; GROUP order is not
@@ -278,7 +291,8 @@ def kg_entity_cards(triples: Dataset) -> Dataset:
         return pa.table({"subj": g2["subj"], "card": card})
 
     return grouped_blockwise(
-        triples.select_columns(["subj", "pred", "obj"]), ["subj"], block)
+        triples.select_columns(["subj", "pred", "obj"]), ["subj"], block,
+        batch_format="pyarrow")
 
 
 def kg_fact_history_merge(old_history: Dataset,

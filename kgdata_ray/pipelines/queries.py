@@ -1065,14 +1065,13 @@ def q_kg_entity_distances(sf_dir: str) -> Dataset:
 def q_kg_fact_history_incremental(sf_dir: str) -> Dataset:
     """Incremental SCD-2 maintenance
     (pipelines/kg.py:kg_fact_history_merge): the triples split
-    deterministically (md5 band on conv_id) into an 'already built'
+    deterministically (hash band on conv_id) into an 'already built'
     80% and a 'newly arrived' 20%; the old history is folded with the
     new dated assertions — untouched keys stream through an anti join
     unchanged, only touched keys re-chain. The result must equal the
     from-scratch rebuild, so this query shares kg_fact_history's
-    DuckDB window oracle verbatim."""
-    import hashlib
-
+    DuckDB window oracle verbatim (the split itself is arbitrary —
+    any deterministic banding exercises the same merge path)."""
     from .kg import kg_fact_history, kg_fact_history_merge
 
     cfg, _, _ = _kg_world(sf_dir)
@@ -1080,10 +1079,10 @@ def q_kg_fact_history_incremental(sf_dir: str) -> Dataset:
     triples = q_kg_triples(sf_dir).materialize()
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(("hist|" + c).encode()).hexdigest()[:8]
-             for c in b["conv_id"]]
+        # vectorized process-stable siphash (fixed-key) band, ~80/20
+        h = pd.util.hash_array(("hist|" + b["conv_id"]).to_numpy())
         b = b.copy()
-        b["_old"] = pd.Series(h, index=b.index) < "cccccccc"
+        b["_old"] = (h % np.uint64(5)) < np.uint64(4)
         return b
 
     tagged = triples.map_batches(tag, batch_format="pandas") \
