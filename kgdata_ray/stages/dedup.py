@@ -182,25 +182,40 @@ def exact_dedup_ids(
 ) -> Dataset:
     """One representative (min id) per exact content value.
 
-    Per-batch pre-dedup shrinks the shuffle; the global group then picks
-    the minimum id — deterministic winner, reference ``distinct``
-    semantics plus a pinned representative.
+    Per-batch pre-dedup shrinks the shuffle (exact text comparison
+    within the batch); the surviving unique texts are then keyed by a
+    128-bit content hash (two independent fixed-key siphash lanes —
+    the same key scheme as the segment/span shuffles, collision odds
+    ~2^-128 per pair) and only ``(id, h1, h2)`` rides the winner
+    shuffle — document text never leaves the map side, so the
+    all-to-all is ~24 B/row at any corpus size. The global group then
+    picks the minimum id per content key — deterministic winner,
+    reference ``distinct`` semantics plus a pinned representative.
     """
 
     from ..functions.agg import grouped_blockwise
 
     def pre(b: pd.DataFrame) -> pa.Table:
         out = b.groupby(text_col, sort=False)[id_col].min().reset_index()
-        return pa.Table.from_pandas(out[[id_col, text_col]], preserve_index=False)
+        if len(out):
+            txt = out[text_col].to_numpy()
+            h1 = pd.util.hash_array(txt, hash_key=_HKEY1).view(np.int64)
+            h2 = pd.util.hash_array(txt, hash_key=_HKEY2).view(np.int64)
+        else:
+            h1 = h2 = np.empty(0, np.int64)
+        t = pa.Table.from_pandas(out[[id_col]], preserve_index=False)
+        return t.append_column("h1", pa.array(h1, pa.int64())) \
+                .append_column("h2", pa.array(h2, pa.int64()))
 
     def final(b: pd.DataFrame) -> pa.Table:
-        out = b.groupby(text_col, sort=False)[id_col].min().reset_index()
+        out = b.groupby(["h1", "h2"], sort=False)[id_col].min() \
+               .reset_index()
         return pa.Table.from_pandas(out[[id_col]], preserve_index=False)
 
     pruned = ds.select_columns([id_col, text_col]).map_batches(
         pre, batch_format="pandas"
     )
-    return grouped_blockwise(pruned, [text_col], final)
+    return grouped_blockwise(pruned, ["h1", "h2"], final)
 
 
 # --------------------------------------------------------------------------
