@@ -2309,8 +2309,8 @@ def q_make_training_set(sf_dir: str) -> Dataset:
     bins. Output one row per (train doc, bin touched) plus val docs
     with bin_id -1. Every stage is an already-certified operator; the
     oracle replays the identical chain in SQL."""
-    from ..functions.blocks import rename_cols, scrub_empty_blocks
-    from ..functions.joins import equi_join
+    from ..functions.blocks import scrub_empty_blocks
+    from ..functions.joins import semi_join
     from ..functions.sampling import split_assign, stratified_sample
     from ..stages.dedup import exact_dedup_ids
     from ..stages.textstats import (
@@ -2332,10 +2332,11 @@ def q_make_training_set(sf_dir: str) -> Dataset:
     kept = docs.map_batches(score, batch_format="pandas").filter(
         expr=f"quality >= {_MTS_QUALITY}")
     reps = exact_dedup_ids(kept)
-    k2 = equi_join(
+    # representative filter = semi join (reps is unique by construction);
+    # the auto plan broadcasts the id set when bounded, shuffles beyond
+    k2 = semi_join(
         scrub_empty_blocks(kept.drop_columns(["text", "quality"])),
-        rename_cols(scrub_empty_blocks(reps), {"doc_id": "rep_id"}),
-        "doc_id", right_on="rep_id")
+        scrub_empty_blocks(reps), "doc_id")
     samp = stratified_sample(k2, "lang", "doc_id",
                              {"en": _MTS_EN_FRACTION}, default=1.0,
                              salt=_MTS_SALT_SAMPLE)
