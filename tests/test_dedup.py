@@ -54,6 +54,28 @@ def test_exact_dedup(corpus):
     assert 20_000 not in set(got["doc_id"])
 
 
+def test_exact_dedup_partition_and_block_split_invariant(corpus):
+    """The 128-bit-keyed winner shuffle must be exact regardless of
+    input partitioning, and the boundary guard must keep each content
+    key whole even when Ray's sort splits blocks (tiny block size)."""
+    import ray
+
+    want = sorted(corpus.groupby("text")["doc_id"].min())
+    got_parts = exact_dedup_ids(
+        rd.from_pandas(corpus).repartition(7)).to_pandas()
+    assert sorted(got_parts["doc_id"]) == want
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024
+    try:
+        got_tiny = exact_dedup_ids(
+            rd.from_pandas(corpus).repartition(5)).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    assert sorted(got_tiny["doc_id"]) == want
+
+
 def _brute_pairs(corpus, features, threshold):
     feats = {r.doc_id: features(r.text) for r in corpus.itertuples()}
     out = set()
