@@ -148,7 +148,8 @@ def golden_minhash_pairs(ids, texts, *, num_perm=64, band_size=4,
             buckets.setdefault((band, int(key)), []).append(int(i))
     # the engine's spec'd signature sieve: drop candidates whose 8-bit
     # minhash agreement estimate sits below threshold - margin
-    est_min = threshold - prefilter_margin if prefilter_margin else 0.0
+    est_min = (threshold - prefilter_margin
+               if prefilter_margin is not None else 0.0)
     rows = []
     for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
         if est_min > 0 and (sig8[lo] == sig8[hi]).mean() < est_min:

@@ -122,15 +122,31 @@ class _LRU:
     and partitions (a doc in a 200-member dup cluster rides ~200 pairs,
     hash-scattered over every partition), so a per-batch memo re-sketches
     it once per batch. Caching at process level makes the per-doc
-    feature cost once-per-worker; the bound keeps a 100-TB worker's
-    heap flat (strings are retained as keys, so cap x avg-text-size is
-    the budget, ~64 MB at the default)."""
+    feature cost once-per-worker. The bound is BYTE-aware: keys retain
+    the document strings and values their shingle arrays, so an
+    entry-count cap alone would let large-document corpora grow a
+    worker's heap without limit — instead each entry is charged its
+    string + array bytes and eviction holds the total under
+    ``cap_bytes`` (64 MB default) regardless of document size."""
 
-    def __init__(self, cap: int = 65536):
+    def __init__(self, cap_bytes: int = 64 << 20):
         from collections import OrderedDict
 
-        self.cap = cap
+        self.cap_bytes = cap_bytes
+        self.bytes = 0
         self.d: "OrderedDict" = OrderedDict()
+
+    @staticmethod
+    def _cost(key, value) -> int:
+        c = 64  # entry overhead
+        for part in key if isinstance(key, tuple) else (key,):
+            if isinstance(part, str):
+                c += len(part)
+        if hasattr(value, "nbytes"):
+            c += int(value.nbytes)
+        else:
+            c += 16
+        return c
 
     def get(self, key, make):
         d = self.d
@@ -138,8 +154,10 @@ class _LRU:
         if v is None:
             v = make()
             d[key] = v
-            if len(d) > self.cap:
-                d.popitem(last=False)
+            self.bytes += self._cost(key, v)
+            while self.bytes > self.cap_bytes and d:
+                k0, v0 = d.popitem(last=False)
+                self.bytes -= self._cost(k0, v0)
         else:
             d.move_to_end(key)
         return v
@@ -411,26 +429,29 @@ def _join_pair_sides(
         cap = int(os.environ.get("KGR_PAIR_BROADCAST_BYTES", 128 << 20))
         sz = src.size_bytes()
         if sz is not None and sz <= cap:
+            present: set = set()
             maps: dict = {c: {} for c in cols}
             for b in src.iter_batches(batch_size=16384,
                                       batch_format="pandas"):
                 ids_b = b[id_col]
+                present.update(ids_b)
                 for c in cols:
                     maps[c].update(zip(ids_b, b[c]))
-            maps_ref = ray.put(maps)
+            maps_ref = ray.put((present, maps))
 
             def attach(b: pd.DataFrame) -> pd.DataFrame:
-                m = get_broadcast(maps_ref)
-                b = b.copy()
-                side_cols = []
+                ids, m = get_broadcast(maps_ref)
+                # inner-join semantics: drop pairs whose ID is absent
+                # from the corpus (cannot happen for self-joins, but
+                # the join plan would drop them too). Membership is
+                # keyed on the id — a present id with a null feature
+                # VALUE keeps its pair and carries the null, exactly
+                # like the hash-join plan.
+                b = b[b["id_a"].isin(ids) & b["id_b"].isin(ids)].copy()
                 for c in cols:
                     b[f"{c}_a"] = b["id_a"].map(m[c])
                     b[f"{c}_b"] = b["id_b"].map(m[c])
-                    side_cols += [f"{c}_a", f"{c}_b"]
-                # inner-join semantics: drop pairs whose id is absent
-                # from the corpus (cannot happen for self-joins, but
-                # the join plan would drop them too)
-                return b.dropna(subset=side_cols)
+                return b
 
             return scrub_empty_blocks(
                 pairs.map_batches(attach, batch_format="pandas"))

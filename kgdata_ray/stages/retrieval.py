@@ -208,20 +208,27 @@ def bpe_merges(
     Rounds are driver-sequential, so at realistic merge counts the
     fixed per-execution cost would dominate if every round learned ONE
     rule. Instead each round accepts a BATCH of merges via a rule that
-    provably reproduces sequential greedy BPE: take the candidate pairs
-    in full tie-break order (count desc, lhs asc, rhs asc) and accept
-    the maximal prefix that is (a) pairwise symbol-disjoint — stop at
-    the first pair re-using an already-accepted symbol — and (b)
-    strictly above the boundary: every accepted pair after the first
-    must have count > the first NON-accepted pair's count. Why this is
-    exact: merging disjoint pairs leaves every other disjoint pair's
-    count unchanged, and any pair a merge can create or grow (x+lhs,
-    rhs+y, x+merged, merged+y) shares a symbol with an accepted pair,
-    so its pre-merge bound sits at or below the boundary count —
-    strictly below every accepted count — and can never out-rank (or
-    tie, hence the STRICT inequality) a later accepted pair at its
-    sequential turn. The first pair of each round is the true global
-    argmax and is always safe, so progress is guaranteed."""
+    reproduces sequential greedy BPE: take the candidate pairs in full
+    tie-break order (count desc, lhs asc, rhs asc) and accept a prefix
+    that is (a) pairwise symbol-disjoint — stop at the first pair
+    re-using an already-accepted symbol; (b) strictly above the
+    boundary: every accepted pair after the first must have count >
+    the first NON-accepted pair's count; and (c) strictly above every
+    CREATED-pair bound: applying an accepted merge (l, r) can create
+    pairs (x, lr), (lr, y), (lr, lr) whose counts are bounded by the
+    pre-merge counts of (x, l), (r, y), (r, l) respectively — i.e. by
+    the count of some pre-existing pair with rhs == l or lhs == r.
+    Any such pair with count > boundary is necessarily inside the
+    fetched top-(want+1) list (the list is the global top, and
+    boundary is a fetched count), so the bound is computed
+    driver-locally from fetched rows; created pairs whose progenitors
+    sit at or below the boundary are dominated by check (b). Old
+    pairs' counts only ever decrease under disjoint merges and
+    adjacency between two old symbols is never created, so each
+    accepted pair is exactly sequential greedy's pick at its turn
+    (ties cannot flip: the inequalities are strict). The first pair of
+    each round is the true global argmax and is always safe, so
+    progress is guaranteed."""
     from ..functions.agg import global_topk, grouped_blockwise
 
     def explode(batch: pd.DataFrame) -> pa.Table:
@@ -287,8 +294,23 @@ def bpe_merges(
             used.add(r["rhs"])
         boundary = (int(cands[stop_idx]["c"])
                     if stop_idx < len(cands) else -1)
-        accepted = prefix[:1] + [
-            r for r in prefix[1:] if int(r["c"]) > boundary]
+
+        def created_bound(l: str, r: str) -> int:
+            # max pre-merge count of any fetched pair that could seed a
+            # pair created by merging (l, r): (x, lr) <= count(x, l),
+            # (lr, y) <= count(r, y), (lr, lr) <= count(r, l)
+            return max((int(q["c"]) for q in cands
+                        if q["rhs"] == l or q["lhs"] == r), default=-1)
+
+        accepted = prefix[:1]
+        bound = created_bound(prefix[0]["lhs"], prefix[0]["rhs"]) \
+            if prefix else -1
+        for r in prefix[1:]:
+            c = int(r["c"])
+            if c <= boundary or c <= bound:
+                break  # later prefix rows have <= c and fail the same
+            accepted.append(r)
+            bound = max(bound, created_bound(r["lhs"], r["rhs"]))
         for r in accepted:
             merges.append((r["lhs"], r["rhs"]))
             counts.append(int(r["c"]))

@@ -141,6 +141,26 @@ def test_bpe_merges_batched_rounds_match_sequential(ray_session):
     assert list(got["step"]) == list(range(len(want)))
 
 
+def test_bpe_merges_created_pair_outranks_batch(ray_session):
+    """Regression: a merge applied in a round can CREATE a pair (here
+    (aa, aa) from the run 'aaaaaa') whose count out-ranks later
+    batch-accepted pairs; the created-pair bound must reject those so
+    batched rounds still equal sequential greedy. Word counts
+    {'aa': 1, 'bbbb': 3, 'baaaaaa': 5}: round-1 counts (a,a)=26,
+    (b,b)=9, (b,a)=5 — the naive boundary rule would accept
+    [(a,a), (b,b)] but sequential greedy learns [(a,a), (aa,aa)=10]."""
+    import ray.data as rd
+
+    from kgdata_ray.stages.retrieval import bpe_merges
+
+    docs = ["aa", "bbbb bbbb bbbb"] + ["baaaaaa"] * 5
+    df = pd.DataFrame({"text": docs})
+    got = bpe_merges(rd.from_pandas(df), n_merges=2).to_pandas()
+    want = _naive_bpe(docs, 2)
+    assert list(zip(got["lhs"], got["rhs"], got["pair_count"])) == want
+    assert want[1][0] == "aa" and want[1][1] == "aa"  # the created pair
+
+
 def test_scalar_quantize_roundtrip(ray_session):
     import ray.data as rd
 
