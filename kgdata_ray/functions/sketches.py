@@ -55,21 +55,19 @@ def hash64_ints(v: np.ndarray) -> np.ndarray:
     return splitmix64(v.astype(np.int64).view(np.uint64))
 
 
-def hash64_strs(values) -> np.ndarray:
-    """uint64 hash of a string sequence: position-weighted polynomial
-    over utf-8 bytes (multiplier 1099511628211 mod 2^64, the same
-    shape as the dedup token hashes), splitmix64-finalized. Vectorized
-    over the concatenated byte stream with ``np.add.reduceat``."""
-    enc = [s.encode("utf-8") for s in values]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
-    if not len(enc):
+def _hash64_segments(b: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Position-weighted polynomial hash of each byte segment of ``b``
+    (multiplier 1099511628211 mod 2^64), splitmix64-finalized — the
+    shared core of :func:`hash64_strs` and :func:`hash64_strs_arrow`,
+    so both paths are bit-identical by construction."""
+    n = len(lens)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
     total = int(lens.sum())
     if total == 0:
-        return splitmix64(np.zeros(len(enc), dtype=np.uint64))
-    b = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
-    starts = np.zeros(len(enc), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
+        return splitmix64(np.zeros(n, dtype=np.uint64))
+    b = b.astype(np.uint64)
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
     exp = np.repeat(lens, lens) - 1 - pos
     mul = np.uint64(1099511628211)
@@ -80,7 +78,7 @@ def hash64_strs(values) -> np.ndarray:
             pows[i] = pows[i - 1] * mul
         weighted = b * pows[exp]
     # reduceat over empty segments would mis-read; empties hash to 0
-    out = np.zeros(len(enc), dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
     nonempty = lens > 0
     if nonempty.any():
         seg_starts = starts[nonempty]
@@ -88,6 +86,45 @@ def hash64_strs(values) -> np.ndarray:
             sums = np.add.reduceat(weighted, seg_starts)
         out[nonempty] = sums
     return splitmix64(out)
+
+
+def hash64_strs(values) -> np.ndarray:
+    """uint64 hash of a string sequence: position-weighted polynomial
+    over utf-8 bytes (multiplier 1099511628211 mod 2^64, the same
+    shape as the dedup token hashes), splitmix64-finalized. Vectorized
+    over the concatenated byte stream with ``np.add.reduceat``."""
+    enc = [s.encode("utf-8") for s in values]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    if not len(enc):
+        return np.empty(0, dtype=np.uint64)
+    if int(lens.sum()) == 0:
+        return splitmix64(np.zeros(len(enc), dtype=np.uint64))
+    b = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return _hash64_segments(b, starts, lens)
+
+
+def hash64_strs_arrow(arr) -> np.ndarray:
+    """uint64 hashes of a pyarrow string array — identical output to
+    :func:`hash64_strs` (same segment core), but computed straight
+    from the Arrow offsets + utf-8 data buffers: no per-string Python
+    object is ever created. ``arr`` must have no nulls (drop or filter
+    them first — tokenizers already do)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        raise ValueError("hash64_strs_arrow: nulls not allowed")
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt,
+                        count=n + 1 + arr.offset)[arr.offset:]
+    off = off.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]:off[-1]]
+    return _hash64_segments(data, off[:-1] - off[0], np.diff(off))
 
 
 def hash64_column(col: pd.Series) -> np.ndarray:
@@ -203,25 +240,21 @@ def heavy_hitters(
     candidate set — exceeding it raises rather than silently
     degrading (at that point k is too large for a broadcast plan and
     the full word_counts shuffle is the honest fallback)."""
-    from ..stages.textstats import WORD_SPLIT_PATTERN
+    from ..stages.textstats import tokens_arrow
     from .agg import grouped_blockwise
 
-    def tokens_of(b: pd.DataFrame) -> pd.Series:
-        toks = (
-            b[text_col].str.lower()
-            .str.split(WORD_SPLIT_PATTERN, regex=True)
-            .explode()
-        )
-        return toks[toks.notna() & (toks != "")]
+    def survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def survivors(b: pd.DataFrame) -> pa.Table:
-        toks = tokens_of(b)
-        vc = toks.value_counts()
-        keep = vc[vc * k > len(toks)]
-        return pa.table({"term": pa.array(keep.index.astype(str))})
+        toks = tokens_arrow(t[text_col])
+        vc = pc.value_counts(toks)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep = counts * k > len(toks)
+        return pa.table({"term": vc.field("values").filter(
+            pa.array(keep)).cast(pa.string())})
 
     cand_ds = ds.select_columns([text_col]).map_batches(
-        survivors, batch_format="pandas"
+        survivors, batch_format="pyarrow"
     )
     # candidates are bounded (< k per batch, stopword-dominated so
     # mostly repeated) — stream-collect the distinct set with a cap,
@@ -238,22 +271,29 @@ def heavy_hitters(
 
     class _ExactCount:
         def __init__(self):
-            self.cands = ray.get(cand_ref)
+            import pyarrow.compute as pc
 
-        def __call__(self, b: pd.DataFrame) -> pa.Table:
-            toks = tokens_of(b)
-            vc = toks[toks.isin(self.cands)].value_counts()
-            terms = list(map(str, vc.index)) + [_TOTAL_SENTINEL]
-            ns = list(vc.to_numpy(np.int64)) + [len(toks)]
-            return pa.table(
-                {
-                    "term": pa.array(terms, pa.string()),
-                    "n": pa.array(ns, pa.int64()),
-                }
-            )
+            # candidate set as an Arrow array once per actor, so the
+            # per-batch membership test is one is_in kernel call
+            self.cand_arr = pa.array(sorted(ray.get(cand_ref)),
+                                     pa.string())
+            self.pc = pc
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pc = self.pc
+            toks = tokens_arrow(t[text_col])
+            hits = toks.filter(pc.is_in(toks, value_set=self.cand_arr))
+            vc = pc.value_counts(hits)
+            terms = pa.concat_arrays([
+                vc.field("values").cast(pa.string()),
+                pa.array([_TOTAL_SENTINEL], pa.string())])
+            ns = pa.concat_arrays([
+                vc.field("counts").cast(pa.int64()),
+                pa.array([len(toks)], pa.int64())])
+            return pa.table({"term": terms, "n": ns})
 
     counts = ds.select_columns([text_col]).map_batches(
-        _ExactCount, batch_format="pandas", concurrency=(1, 8), num_cpus=0.5,
+        _ExactCount, batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5,
     )
 
     def final(b: pd.DataFrame) -> pa.Table:
@@ -310,23 +350,18 @@ def cms_token_counts(
     distinct-term table (the query set) is exact via per-batch unique
     + a term shuffle of unique terms only.
     """
-    from ..stages.textstats import WORD_SPLIT_PATTERN
+    from ..stages.textstats import tokens_arrow
     from .agg import grouped_blockwise
 
     nbytes = d * w * 8
 
-    def partial(b: pd.DataFrame) -> pa.Table:
-        toks = (
-            b[text_col].str.lower()
-            .str.split(WORD_SPLIT_PATTERN, regex=True)
-            .explode()
-        )
-        toks = toks[toks.notna() & (toks != "")]
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokens_arrow(t[text_col])
         sk = np.zeros((d, w), dtype=np.int64)
         if len(toks):
-            slots = cms_slots(hash64_strs(toks.tolist()), d, w)
+            slots = cms_slots(hash64_strs_arrow(toks), d, w)
             for j in range(d):
-                np.add.at(sk[j], slots[j], 1)
+                sk[j] += np.bincount(slots[j], minlength=w)
         blob = sk.tobytes()
         salt = int(splitmix64(np.array([len(blob) + int(sk.sum())],
                                        dtype=np.uint64))[0]
@@ -335,7 +370,7 @@ def cms_token_counts(
                          "sketch": pa.array([blob], pa.binary())})
 
     parts = ds.select_columns([text_col]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
 
     def merge(key_out):
@@ -355,26 +390,26 @@ def cms_token_counts(
     sketch = np.frombuffer(row[0]["sketch"], dtype=np.int64).reshape(d, w)
     sk_ref = ray.put(sketch)
 
-    def uniq(b: pd.DataFrame) -> pa.Table:
-        toks = (
-            b[text_col].str.lower()
-            .str.split(WORD_SPLIT_PATTERN, regex=True)
-            .explode()
-        )
-        toks = toks[toks.notna() & (toks != "")]
-        return pa.table({"term": pa.array(toks.unique().astype(str))})
+    def uniq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"term": pc.unique(tokens_arrow(t[text_col]))})
 
     terms = ds.select_columns([text_col]).map_batches(
-        uniq, batch_format="pandas"
+        uniq, batch_format="pyarrow"
     )
 
-    def distinct_and_answer(b: pd.DataFrame) -> pa.Table:
-        t = np.sort(b["term"].unique().astype(str))
+    def distinct_and_answer(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(t["term"].combine_chunks())
+        u = u.take(pc.array_sort_indices(u))
         sk = ray.get(sk_ref)
         assert sk.nbytes == nbytes
-        slots = cms_slots(hash64_strs(list(t)), d, w)
+        slots = cms_slots(hash64_strs_arrow(u), d, w)
         est = sk[np.arange(d)[:, None], slots].min(axis=0)
-        return pa.table({"term": pa.array(t, pa.string()),
+        return pa.table({"term": u.cast(pa.string()),
                          "est_count": pa.array(est, pa.int64())})
 
-    return grouped_blockwise(terms, ["term"], distinct_and_answer)
+    return grouped_blockwise(terms, ["term"], distinct_and_answer,
+                             batch_format="pyarrow")

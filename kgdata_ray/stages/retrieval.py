@@ -69,33 +69,43 @@ def bm25_topk(
     # a single vectorized count — no Python token loop in the hot path
     token_run_re = "[a-z0-9]+"
 
-    def explode(batch: pd.DataFrame) -> pa.Table:
-        low = batch[text_col].str.lower()
-        dl_all = low.str.count(token_run_re).astype("int64")
-        stat = pd.DataFrame({
-            id_col: batch[id_col].to_numpy(np.int64),
-            "term": "",
-            "tf": np.int64(0),
-            "dl": dl_all.to_numpy(),
+    qset = pa.array(qlist, pa.string())
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col])
+        dl = pc.cast(pc.count_substring_regex(low, token_run_re),
+                     pa.int64())
+        ids = pc.cast(t[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(t)
+        stat = pa.table({
+            id_col: ids,
+            "term": pa.array([""] * n, pa.string()),
+            "tf": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "dl": dl,
         })
-        d = pd.DataFrame({
-            id_col: batch[id_col].to_numpy(np.int64),
-            "term": low.str.split(WORD_SPLIT_PATTERN, regex=True),
-            "dl": dl_all.to_numpy(),
-        }).explode("term")
-        d = d[d["term"].isin(qlist)]
-        tf = (d.groupby([id_col, "term", "dl"], sort=False)
-              .size().reset_index(name="tf"))
-        out = pd.concat(
-            [stat, tf[[id_col, "term", "tf", "dl"]]], ignore_index=True)
-        out["tf"] = out["tf"].astype("int64")
-        out["dl"] = out["dl"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        parts = pc.split_pattern_regex(low, WORD_SPLIT_PATTERN)
+        flat = pc.list_flatten(parts)
+        pidx = pc.list_parent_indices(parts)
+        keep = pc.is_in(flat, value_set=qset)
+        hit_idx = pidx.filter(keep)
+        tf = pa.table({
+            id_col: ids.take(hit_idx),
+            "term": flat.filter(keep),
+            "dl": dl.take(hit_idx),
+        }).group_by([id_col, "term", "dl"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns([id_col, "term", "dl", "tf"]).select(
+            [id_col, "term", "tf", "dl"])
+        return pa.concat_tables([stat, tf])
 
     # one text pass; the exploded table is output-sized (one stat row
     # per doc + one row per query-term hit), cached for its 3 consumers
     exploded = (ds.select_columns([id_col, text_col])
-                .map_batches(explode, batch_format="pandas")
+                .map_batches(explode, batch_format="pyarrow")
                 .materialize())
 
     def stat_partial(batch: pd.DataFrame) -> pa.Table:
@@ -231,23 +241,24 @@ def bpe_merges(
     progress is guaranteed."""
     from ..functions.agg import global_topk, grouped_blockwise
 
-    def explode(batch: pd.DataFrame) -> pa.Table:
-        toks = (batch[text_col].str.lower()
-                .str.split(WORD_SPLIT_PATTERN, regex=True)
-                .explode())
-        toks = toks[toks.notna() & (toks != "")]
-        out = toks.value_counts().rename_axis("word").reset_index(name="n")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.textstats import tokens_arrow
+
+        vc = pc.value_counts(tokens_arrow(t[text_col]))
+        return pa.table({"word": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     pre = ds.select_columns([text_col]).map_batches(
-        explode, batch_format="pandas")
+        explode, batch_format="pyarrow")
 
-    def vocab_sum(batch: pd.DataFrame) -> pa.Table:
-        out = batch.groupby("word", sort=False)["n"].sum().reset_index()
-        out["n"] = out["n"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def vocab_sum(t: pa.Table) -> pa.Table:
+        return t.group_by("word").aggregate([("n", "sum")]) \
+            .rename_columns(["word", "n"])
 
-    vocab = grouped_blockwise(pre, ["word"], vocab_sum).materialize()
+    vocab = grouped_blockwise(pre, ["word"], vocab_sum,
+                              batch_format="pyarrow").materialize()
 
     merges: list[tuple[str, str]] = []
     counts: list[int] = []
@@ -343,25 +354,40 @@ def bpe_encode(
     sum is a vectorized map + groupby over the exploded tokens.
     Token-less documents count 0."""
 
-    def enc(batch: pd.DataFrame) -> pa.Table:
-        low = batch[text_col].str.lower()
-        d = pd.DataFrame({
-            id_col: batch[id_col].to_numpy(np.int64),
-            "term": low.str.split(WORD_SPLIT_PATTERN, regex=True),
-        }).explode("term")
-        d = d[d["term"].notna() & (d["term"] != "")]
-        lut = {w: len(_apply_merges(w, merges))
-               for w in pd.unique(d["term"])}
-        d["n"] = d["term"].map(lut).astype("int64")
-        out = (d.groupby(id_col, sort=False)["n"].sum()
-               .reindex(batch[id_col].to_numpy(np.int64), fill_value=0)
-               .reset_index())
-        out.columns = [id_col, "n_bpe_tokens"]
-        out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def enc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.textstats import WORD_SPLIT_PATTERN
+
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col),
+                                       WORD_SPLIT_PATTERN)
+        flat = pc.list_flatten(parts)
+        pidx = pc.list_parent_indices(parts)
+        keep = pc.not_equal(flat, "")
+        terms = flat.filter(keep)
+        rows = pidx.filter(keep).to_numpy(zero_copy_only=False)
+        # merge walk once per DISTINCT word (the tokenizer cache);
+        # per-word lengths fan back out via index_in, never a dict map
+        uniq = pc.unique(terms)
+        lens = np.fromiter(
+            (len(_apply_merges(w, merges)) for w in uniq.to_pylist()),
+            dtype=np.int64, count=len(uniq))
+        per_tok = lens[pc.index_in(terms, value_set=uniq)
+                       .to_numpy(zero_copy_only=False)]
+        # exact int sums: token counts per word are tiny, the float64
+        # bincount accumulator is exact far beyond any document size
+        sums = np.bincount(rows, weights=per_tok,
+                           minlength=len(t)).astype(np.int64)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_bpe_tokens": pa.array(sums, pa.int64()),
+        })
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        enc, batch_format="pandas")
+        enc, batch_format="pyarrow")
 
 
 def hybrid_rrf_topk(

@@ -261,6 +261,53 @@ def repetition_stats(ds: Dataset) -> Dataset:
 WORD_SPLIT_PATTERN = "[^a-z0-9]+"
 
 
+def tokens_arrow(col) -> "pa.Array":
+    """Flattened lowercase word tokens of an Arrow string column — the
+    zero-copy twin of the pandas ``str.lower().str.split(...).explode()``
+    chain (same WORD_SPLIT_PATTERN; null rows and empty tokens
+    dropped). Runs entirely in Arrow kernels: no per-row Python object
+    exists at any point."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), WORD_SPLIT_PATTERN)
+    flat = pc.list_flatten(parts)  # null rows vanish here
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def token_id_pairs_arrow(t: "pa.Table", id_col: str, text_col: str):
+    """Aligned ``(ids, terms)`` Arrow arrays, one pair per token
+    occurrence — the zero-copy twin of :func:`_explode_terms`. ``ids``
+    carries the source row's ``id_col`` value via
+    ``list_parent_indices`` (no ``np.repeat`` over Python strings)."""
+    import pyarrow.compute as pc
+
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), WORD_SPLIT_PATTERN)
+    flat = pc.list_flatten(parts)
+    idx = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return ids.take(idx.filter(keep)), flat.filter(keep)
+
+
+def term_tf_arrow(t: "pa.Table", id_col: str, text_col: str,
+                  tf_name: str = "tf") -> "pa.Table":
+    """Per-(id, term) token counts of a batch as an Arrow table —
+    the grouped core shared by doc_top_terms / doc_corpus_freq.
+    Arrow hash-group-by over the flattened token stream; output
+    columns ``(id_col, term, tf_name)`` with int64 counts."""
+    ids, terms = token_id_pairs_arrow(t, id_col, text_col)
+    pairs = pa.table({id_col: ids, "term": terms})
+    g = pairs.group_by([id_col, "term"]).aggregate([([], "count_all")])
+    return g.rename_columns([id_col, "term", tf_name])
+
+
 def _explode_terms(b: pd.DataFrame, id_col: str,
                    text_col: str) -> pd.DataFrame:
     """One (id, term) row per token occurrence, empties dropped."""
@@ -280,27 +327,20 @@ def word_counts(ds: Dataset, *, text_col: str = "text",
     classic wordcount, shaped for a 100-TB corpus."""
     from ..functions.agg import grouped_blockwise
 
-    def partial(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
 
-        toks = (
-            b[text_col].str.lower()
-            .str.split(WORD_SPLIT_PATTERN, regex=True)
-            .explode()
-        )
-        toks = toks[toks.notna() & (toks != "")]
-        out = toks.value_counts().rename_axis("term").reset_index(name="n")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        vc = pc.value_counts(tokens_arrow(t[text_col]))
+        return pa.table({"term": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
 
-    def final(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
-        out = b.groupby("term", sort=False)["n"].sum().reset_index()
-        out["n"] = out["n"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def final(t: "pa.Table") -> "pa.Table":
+        out = t.group_by("term").aggregate([("n", "sum")])
+        return out.rename_columns(["term", "n"])
 
     counts = grouped_blockwise(
-        ds.map_batches(partial, batch_format="pandas"), ["term"], final
+        ds.map_batches(partial, batch_format="pyarrow"), ["term"], final,
+        batch_format="pyarrow",
     )
 
     def local_top(b: pd.DataFrame) -> "pa.Table":
@@ -330,20 +370,11 @@ def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
     from ..functions.agg import group_top_k, partial_group_count
     from ..functions.blocks import scrub_empty_blocks
 
-    def tf_block(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
-        d = _explode_terms(b.reset_index(drop=True), id_col, text_col)
-        tf = (
-            d.groupby([id_col, "term"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-        tf["tf"] = tf["tf"].astype("int64")
-        return pa.Table.from_pandas(tf, preserve_index=False)
+    def tf_block(t: "pa.Table") -> "pa.Table":
+        return term_tf_arrow(t, id_col, text_col)
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
-        tf_block, batch_format="pandas"
+        tf_block, batch_format="pyarrow"
     ).materialize()  # consumed twice: df count + top-k
     df = partial_group_count(tf.select_columns(["term"]), "term",
                              count_name="df")
@@ -434,59 +465,47 @@ def doc_corpus_freq(ds: Dataset, *, id_col: str = "doc_id",
     from ..functions.agg import grouped_blockwise
     from ..functions.blocks import scrub_empty_blocks
 
-    def tf_block(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
-        d = _explode_terms(b.reset_index(drop=True), id_col, text_col)
-        tf = (
-            d.groupby([id_col, "term"], sort=False)
-            .size().reset_index(name="tf")
-        )
-        tf["tf"] = tf["tf"].astype("int64")
-        return pa.Table.from_pandas(tf, preserve_index=False)
+    def tf_block(t: "pa.Table") -> "pa.Table":
+        return term_tf_arrow(t, id_col, text_col)
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
-        tf_block, batch_format="pandas"
+        tf_block, batch_format="pyarrow"
     ).materialize()  # consumed twice: global counts + the join
 
-    def csum(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
+    def csum(t: "pa.Table") -> "pa.Table":
+        out = t.group_by("term").aggregate([("tf", "sum")])
+        return out.rename_columns(["term", "c"])
 
-        out = b.groupby("term", sort=False)["tf"].sum().reset_index(name="c")
-        out["c"] = out["c"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    cnt = grouped_blockwise(tf.select_columns(["term", "tf"]), ["term"], csum)
+    cnt = grouped_blockwise(tf.select_columns(["term", "tf"]), ["term"],
+                            csum, batch_format="pyarrow")
 
     j = scrub_empty_blocks(tf).join(
         cnt, join_type="inner", num_partitions=num_partitions,
         on=("term",),
     )
 
-    def per_doc_partial(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
+    def per_doc(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
 
-        b = b.assign(freq_sum=b["tf"] * b["c"], n_tokens=b["tf"])
-        out = (
-            b.groupby(id_col, sort=False)[["freq_sum", "n_tokens"]]
-            .sum().reset_index()
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        tmp = pa.table({id_col: t[id_col],
+                        "freq_sum": pc.multiply(t["tf"], t["c"]),
+                        "n_tokens": t["tf"]})
+        out = tmp.group_by(id_col).aggregate(
+            [("freq_sum", "sum"), ("n_tokens", "sum")])
+        return out.rename_columns([id_col, "freq_sum", "n_tokens"])
 
-    parts = j.map_batches(per_doc_partial, batch_format="pandas")
+    parts = j.map_batches(per_doc, batch_format="pyarrow")
+    return grouped_blockwise(parts, [id_col], per_doc_merge(id_col),
+                             batch_format="pyarrow")
 
-    def per_doc_final(b: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
 
-        out = (
-            b.groupby(id_col, sort=False)[["freq_sum", "n_tokens"]]
-            .sum().reset_index()
-        )
-        out["freq_sum"] = out["freq_sum"].astype("int64")
-        out["n_tokens"] = out["n_tokens"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return grouped_blockwise(parts, [id_col], per_doc_final)
+def per_doc_merge(id_col: str):
+    """Arrow grouped sum of (freq_sum, n_tokens) partials per id."""
+    def fn(t: "pa.Table") -> "pa.Table":
+        out = t.group_by(id_col).aggregate(
+            [("freq_sum", "sum"), ("n_tokens", "sum")])
+        return out.rename_columns([id_col, "freq_sum", "n_tokens"])
+    return fn
 
 
 def chunk_documents(ds: Dataset, *, id_col: str = "doc_id",
@@ -543,19 +562,14 @@ def inverted_index(ds: Dataset, *, id_col: str = "doc_id",
 
     from ..functions.agg import distinct_rows, grouped_blockwise
 
-    def explode(b: pd.DataFrame) -> pa.Table:
-        toks = (b[text_col].str.lower()
-                .str.split(WORD_SPLIT_PATTERN, regex=True))
-        n = toks.str.len().to_numpy()
-        ids = np.repeat(b[id_col].to_numpy(), n)
-        terms = np.concatenate(toks.to_numpy()) if len(b) else np.array(
-            [], dtype=object)
-        out = pd.DataFrame({"term": terms, id_col: ids})
-        out = out[out["term"] != ""].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = token_id_pairs_arrow(t, id_col, text_col)
+        # per-block dedup: Arrow group_by with no aggregates = distinct
+        return pa.table({"term": terms, id_col: ids}).group_by(
+            ["term", id_col]).aggregate([])
 
     pairs = distinct_rows(
-        ds.map_batches(explode, batch_format="pandas"),
+        ds.map_batches(explode, batch_format="pyarrow"),
         ["term", id_col])
 
     def block(b: pd.DataFrame) -> pa.Table:
