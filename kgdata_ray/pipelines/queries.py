@@ -1521,19 +1521,15 @@ def q_corpus_curation(sf_dir: str) -> Dataset:
     the identical four stages in SQL."""
     from ..functions.sampling import hash_sample
     from ..stages.dedup import exact_dedup_ids
-    from ..stages.textstats import quality_score_batch
+    from ..stages.textstats import quality_score_arrow
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    def with_quality(b: pd.DataFrame) -> pd.DataFrame:
-        out = quality_score_batch(b)
-        out["text"] = b["text"]
-        return out
-
-    kept = docs.map_batches(with_quality, batch_format="pandas").filter(
-        expr=f"quality >= {_CURATION_QUALITY}"
-    )
+    kept = docs.map_batches(
+        lambda t: quality_score_arrow(t, extra_cols=("text",)),
+        batch_format="pyarrow",
+    ).filter(expr=f"quality >= {_CURATION_QUALITY}")
     reps = exact_dedup_ids(kept)
     return hash_sample(reps, "doc_id", _CURATION_FRACTION,
                        salt=_CURATION_SALT)
@@ -2314,22 +2310,20 @@ def q_make_training_set(sf_dir: str) -> Dataset:
     from ..functions.sampling import split_assign, stratified_sample
     from ..stages.dedup import exact_dedup_ids
     from ..stages.textstats import (
-        quality_score_batch,
+        quality_score_arrow,
         sequence_packing,
-        token_counts_batch,
+        token_counts_arrow,
     )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "text"])
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        out = quality_score_batch(b)
-        out["lang"] = b["lang"]
-        out["text"] = b["text"]
-        out["n_tokens_bpe"] = token_counts_batch(b)["n_tokens_bpe"]
-        return out
+    def score(t: pa.Table) -> pa.Table:
+        out = quality_score_arrow(t, extra_cols=("lang", "text"))
+        return out.append_column(
+            "n_tokens_bpe", token_counts_arrow(t)["n_tokens_bpe"])
 
-    kept = docs.map_batches(score, batch_format="pandas").filter(
+    kept = docs.map_batches(score, batch_format="pyarrow").filter(
         expr=f"quality >= {_MTS_QUALITY}")
     reps = exact_dedup_ids(kept)
     # representative filter = semi join (reps is unique by construction);

@@ -61,26 +61,61 @@ def doc_stats(ds: Dataset) -> Dataset:
     )
 
 
+def _quality_from_counts(n_chars: np.ndarray, n_tokens: np.ndarray,
+                         n_punct: np.ndarray) -> np.ndarray:
+    """Shared float core of the quality heuristic — both the pandas
+    and the Arrow count paths feed this, so they can only differ in
+    the regex count kernels (identical on any ASCII corpus; the re
+    patterns are RE2-safe by construction)."""
+    n_tokens = np.maximum(n_tokens, 1.0)
+    mean_tok = (n_chars - n_tokens + 1) / n_tokens
+    len_score = np.clip(n_chars / 500.0, 0, 1)
+    punct_density = np.minimum(n_punct / n_tokens, 1.0)
+    punct_score = 1.0 - np.abs(punct_density - 0.2)
+    tok_score = 1.0 - np.clip(np.abs(mean_tok - 5.5) / 5.5, 0, 1)
+    return np.round(0.4 * len_score + 0.3 * punct_score
+                    + 0.3 * tok_score, 6)
+
+
 def quality_score_batch(b: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality in [0,1]: length band + punctuation density +
     mean token length band (deterministic, unit-tested vs a naive
     reimplementation)."""
     text = b["text"]
-    n_chars = text.str.len().astype("float64")
-    n_tokens = text.str.count(_TOKEN_RE).astype("float64").clip(lower=1)
-    n_punct = text.str.count(_PUNCT_RE).astype("float64")
-    mean_tok = (n_chars - n_tokens + 1) / n_tokens
-    len_score = np.clip(n_chars / 500.0, 0, 1)
-    punct_density = (n_punct / n_tokens).clip(upper=1.0)
-    punct_score = 1.0 - (punct_density - 0.2).abs()
-    tok_score = 1.0 - np.clip((mean_tok - 5.5).abs() / 5.5, 0, 1)
-    score = (0.4 * len_score + 0.3 * punct_score + 0.3 * tok_score).round(6)
+    score = _quality_from_counts(
+        text.str.len().to_numpy(np.float64),
+        text.str.count(_TOKEN_RE).to_numpy(np.float64),
+        text.str.count(_PUNCT_RE).to_numpy(np.float64))
     return pd.DataFrame({"doc_id": b["doc_id"], "quality": score})
+
+
+def quality_score_arrow(t: "pa.Table", *, extra_cols: tuple = ()) \
+        -> "pa.Table":
+    """Arrow twin of :func:`quality_score_batch`: regex counts run as
+    RE2 kernels over the Arrow string buffer (text never becomes
+    Python objects), the float core is shared. ``extra_cols`` are
+    carried through untouched (the curation pipelines keep text/lang
+    alongside the score)."""
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    score = _quality_from_counts(
+        pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        .astype(np.float64),
+        pc.count_substring_regex(text, _TOKEN_RE.pattern)
+        .to_numpy(zero_copy_only=False).astype(np.float64),
+        pc.count_substring_regex(text, _PUNCT_RE.pattern)
+        .to_numpy(zero_copy_only=False).astype(np.float64))
+    cols = {"doc_id": t["doc_id"],
+            "quality": pa.array(score, pa.float64())}
+    for c in extra_cols:
+        cols[c] = t[c]
+    return pa.table(cols)
 
 
 def quality_scores(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        quality_score_batch, batch_format="pandas"
+        quality_score_arrow, batch_format="pyarrow"
     )
 
 
@@ -174,9 +209,26 @@ def token_counts_batch(b: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def token_counts_arrow(t: "pa.Table") -> "pa.Table":
+    """Arrow twin of :func:`token_counts_batch` (RE2 count kernels
+    over the string buffer; identical counts on ASCII text — both
+    patterns are RE2-safe and the corpus tokenizer contract is
+    ASCII)."""
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pc.cast(
+            pc.count_substring_regex(text, _TOKEN_RE.pattern), pa.int64()),
+        "n_tokens_bpe": pc.cast(
+            pc.count_substring_regex(text, BPE_PATTERN), pa.int64()),
+    })
+
+
 def token_counts(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        token_counts_batch, batch_format="pandas"
+        token_counts_arrow, batch_format="pyarrow"
     )
 
 
@@ -210,10 +262,32 @@ def pii_scrub_batch(b: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
     )
 
 
+def pii_scrub_arrow(t: "pa.Table", *, text_col: str = "text") \
+        -> "pa.Table":
+    """Arrow twin of :func:`pii_scrub_batch`: RE2 count + replace
+    kernels straight over the string buffer (both patterns are
+    RE2-safe by design — shared verbatim with the DuckDB oracle,
+    which is RE2 too)."""
+    import pyarrow.compute as pc
+
+    text = t[text_col]
+    clean = pc.replace_substring_regex(
+        pc.replace_substring_regex(text, EMAIL_PATTERN, "[EMAIL]"),
+        PHONE_PATTERN, "[PHONE]")
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "clean_text": clean,
+        "n_emails": pc.cast(
+            pc.count_substring_regex(text, EMAIL_PATTERN), pa.int64()),
+        "n_phones": pc.cast(
+            pc.count_substring_regex(text, PHONE_PATTERN), pa.int64()),
+    })
+
+
 def pii_scrub(ds: Dataset, *, text_col: str = "text") -> Dataset:
     return ds.select_columns(["doc_id", text_col]).map_batches(
-        pii_scrub_batch, fn_kwargs={"text_col": text_col},
-        batch_format="pandas",
+        pii_scrub_arrow, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
     )
 
 

@@ -292,3 +292,39 @@ def test_chunk_lang_consistency_four_langs_und_and_overlap(ray_session):
         .to_pandas().set_index("doc_id")
     assert ov.loc[2, "majority_lang"] == "es"
     assert ov.loc[2, "n_chunks"] > r.loc[2, "n_chunks"]
+
+
+def test_arrow_twins_match_pandas_batch_scorers():
+    import pandas as pd
+    """quality/token/pii Arrow twins must be value-identical to the
+    pandas batch scorers (same float core; RE2 == re on ASCII)."""
+    import pyarrow as pa
+
+    from kgdata_ray.stages.textstats import (
+        pii_scrub_arrow,
+        pii_scrub_batch,
+        quality_score_arrow,
+        quality_score_batch,
+        token_counts_arrow,
+        token_counts_batch,
+    )
+
+    texts = [
+        "",
+        "short",
+        "a b  c   d.e,f;g:h!i?j",
+        "Bob's e-mail is bob.smith+tag@example.co.uk, call +1-555-0100",
+        "word " * 200 + "tail!!!",
+        "  leading and trailing  ",
+        "punct....only,,,;;;",
+        "'s 'll 've 're don't 123abc 42 @@##",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    b = t.to_pandas()
+
+    pd.testing.assert_frame_equal(
+        quality_score_arrow(t).to_pandas(), quality_score_batch(b))
+    pd.testing.assert_frame_equal(
+        token_counts_arrow(t).to_pandas(), token_counts_batch(b))
+    pd.testing.assert_frame_equal(
+        pii_scrub_arrow(t).to_pandas(), pii_scrub_batch(b))
