@@ -276,3 +276,36 @@ def temperature_mix(
                                     preserve_index=False)
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def shuffle_order(ds: Dataset, *, id_col: str = "doc_id",
+                  salt: str = "epoch0",
+                  out_col: str = "shuffle_pos") -> Dataset:
+    """Deterministic global training-order shuffle: each row gets its
+    rank (0-based int64) under ``(md5(salt || str(id)), id)`` — the
+    "shuffle the corpus once, identically on any cluster size" data
+    order an epoch reader consumes. Different ``salt`` values give
+    independent epoch orders; the same salt is reproducible across
+    runs, engines and restarts (the :func:`hash_sample` md5 contract).
+
+    Scale shape: one range sort on the 32-char hash key plus the
+    zip_with_index offset pass (ONE int per sorted block to the
+    driver) — rows never materialize anywhere. This replaces
+    ``Dataset.random_shuffle`` where the order must be deterministic
+    and auditable (SQL ``ROW_NUMBER() OVER (ORDER BY md5(...))``)."""
+    from .agg import zip_with_index
+
+    def key(b: pd.DataFrame) -> pa.Table:
+        ids = b[id_col]
+        hk = [hashlib.md5((salt + str(i)).encode()).hexdigest()
+              for i in ids]
+        return pa.table({
+            id_col: pa.array(ids.to_numpy(), pa.int64()),
+            "_hk": pa.array(hk, pa.string()),
+        })
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        key, batch_format="pandas")
+    idx = zip_with_index(keyed, sort_key=["_hk", id_col],
+                         index_col=out_col)
+    return idx.drop_columns(["_hk"])

@@ -746,6 +746,34 @@ def q_dsir_sample(sf_dir: str) -> Dataset:
                        target_source="src0")
 
 
+_TBS_BUDGET = 8000  # ~30% of the sf0.01 corpus's BPE tokens
+
+
+def q_shuffle_order(sf_dir: str) -> Dataset:
+    """Deterministic global training-order shuffle
+    (functions/sampling.py:shuffle_order): every document ranked by
+    ``(md5('epoch0' || doc_id), doc_id)`` — the reproducible,
+    cluster-size-independent epoch read order (one range sort + the
+    zip_with_index offset pass). Oracle: ``ROW_NUMBER() OVER (ORDER BY
+    md5(...), doc_id)`` on the identical key."""
+    from ..functions.sampling import shuffle_order
+
+    return shuffle_order(_t(sf_dir, "documents"), id_col="doc_id",
+                         salt="epoch0")
+
+
+def q_token_budget_select(sf_dir: str) -> Dataset:
+    """Quality-ranked token-budget corpus selection
+    (stages/selection.py:token_budget_select): best documents first
+    until the cumulative BPE-token count hits the budget — one sort +
+    a distributed prefix sum (one int64 per block to the driver).
+    Oracle: SQL window SUM over the identical (quality desc, doc_id)
+    order."""
+    from ..stages.selection import token_budget_select
+
+    return token_budget_select(_t(sf_dir, "documents"), _TBS_BUDGET)
+
+
 BM25_QUERY_TERMS = ["hash", "sort", "window"]
 
 
@@ -3107,6 +3135,8 @@ def queries() -> dict[str, Callable]:
         "sliding_window": q_sliding_window,
         "interval_join": q_interval_join,
         "hash_sample": q_hash_sample,
+        "shuffle_order": q_shuffle_order,
+        "token_budget_select": q_token_budget_select,
         "corpus_curation": q_corpus_curation,
         "contamination": q_contamination,
         "rollup_doc_counts": q_rollup_doc_counts,
@@ -3604,6 +3634,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE substr(md5('{_SAMPLE_SALT}' ||
                     CAST(o_orderkey AS VARCHAR)), 1, 8) < '{_SAMPLE_CUT}'
         """,
+        "shuffle_order": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "token_budget_select": _token_budget_sql(),
         "contamination": f"""
             WITH words AS (
                 SELECT doc_id,
@@ -4725,6 +4763,47 @@ def _make_training_set_sql() -> str:
         UNION ALL
         SELECT doc_id, split, CAST(-1 AS BIGINT) AS bin_id
         FROM lab WHERE split = 'val'
+    """
+
+
+def _token_budget_sql() -> str:
+    """Window-SUM oracle for token_budget_select: the engine's exact
+    quality expression + BPE segment count, cumulated over the pinned
+    (quality desc, doc_id) order."""
+    from ..stages.textstats import BPE_PATTERN
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    return f"""
+        WITH s0 AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   greatest(CAST(length(regexp_extract_all(text, '\\S+'))
+                       AS DOUBLE), 1.0) AS n_toks,
+                   CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                       AS DOUBLE) AS n_punct,
+                   CAST(length(regexp_extract_all(text, '{bpe}'))
+                       AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   round(
+                       0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (1.0 - abs(least(n_punct / n_toks, 1.0)
+                           - 0.2))
+                     + 0.3 * (1.0 - least(abs(((n_chars - n_toks + 1.0)
+                           / n_toks) - 5.5) / 5.5, 1.0)),
+                   6) AS quality,
+                   n_tokens_bpe
+            FROM s0
+        ), c AS (
+            SELECT doc_id, quality, n_tokens_bpe,
+                   CAST(SUM(n_tokens_bpe) OVER (
+                       ORDER BY quality DESC, doc_id) AS BIGINT)
+                       AS cum_tokens
+            FROM s
+        )
+        SELECT doc_id, quality, n_tokens_bpe, cum_tokens
+        FROM c WHERE cum_tokens <= {_TBS_BUDGET}
     """
 
 

@@ -213,3 +213,65 @@ def dsir_select(ds: Dataset, *, k: int = 100,
 
     keyed = scored.map_batches(perturb, batch_format="pandas")
     return global_topk(keyed, ["key_micro", id_col], [False, True], k)
+
+
+def token_budget_select(ds, budget: int, *, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Quality-ranked token-budget corpus selection: score every
+    document (the shared quality heuristic + BPE-segment token count),
+    order by ``(quality desc, id asc)`` and keep the maximal prefix
+    whose cumulative token count stays within ``budget`` — "give me
+    the best N-token training corpus", the budgeted-selection step of
+    a pretraining data plan.
+
+    Scale shape: one range sort on (quality, id), then a distributed
+    prefix sum — per sorted block ONE int64 token sum travels to the
+    driver, cumulative offsets ship back, and each block applies a
+    vectorized cumsum + prefix cut. Blocks whose offset already
+    exceeds the budget short-circuit to empty (the prefix property),
+    so the post-cut tail costs nothing. Nothing row-sized ever
+    materializes on the driver.
+
+    Output: ``(doc_id, quality, n_tokens_bpe, cum_tokens)`` for the
+    selected prefix, value-exact vs the SQL window oracle
+    ``SUM(...) OVER (ORDER BY quality DESC, doc_id)``."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.textstats import quality_score_arrow, token_counts_arrow
+
+    def scored(t: pa.Table) -> pa.Table:
+        q = quality_score_arrow(t)
+        return q.append_column("n_tokens_bpe",
+                               token_counts_arrow(t)["n_tokens_bpe"])
+
+    s = ds.select_columns([id_col, text_col]).map_batches(
+        scored, batch_format="pyarrow")
+    srt = s.sort(["quality", id_col], descending=[True, False])
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        v = pc.sum(t["n_tokens_bpe"]).as_py()
+        return int(v or 0)
+
+    sums = ray.get([_block_sum.remote(r) for r in refs])
+    offsets = [0]
+    for c in sums[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    @ray.remote
+    def _cut(t: pa.Table, off: int) -> pa.Table:
+        cum_col = pa.array(
+            off + np.cumsum(t["n_tokens_bpe"].to_numpy(
+                zero_copy_only=False), dtype=np.int64), pa.int64())
+        out = t.append_column("cum_tokens", cum_col)
+        if off >= budget:           # whole block past the cut
+            return out.slice(0, 0)
+        return out.filter(pa.array(
+            cum_col.to_numpy(zero_copy_only=False) <= budget))
+
+    return rd.from_arrow_refs(
+        [_cut.remote(r, o) for r, o in zip(refs, offsets)])
