@@ -119,32 +119,64 @@ def quality_scores(ds: Dataset) -> Dataset:
     )
 
 
+# findall('[a-zäöüéèêàçñ]+') == split on the complement + drop empties;
+# the split form runs as one RE2 kernel over the Arrow string buffer
+_LANG_TOKEN_COMPLEMENT = "[^a-zäöüéèêàçñ]+"
+
+
+def _lang_scores_arrow(text_col, langs, stop_arrays):
+    """(scores n×L int64, has_tokens bool n): per-row stopword-hit
+    counts per language, fully vectorized — one split kernel, one
+    is_in + bincount per language. Tie-break and 'und' fall to the
+    caller; semantics identical to the scalar findall loop."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    n = len(text_col)
+    parts = pc.split_pattern_regex(pc.utf8_lower(text_col),
+                                   _LANG_TOKEN_COMPLEMENT)
+    flat = pc.list_flatten(parts)
+    pidx = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep)
+    rows = pidx.filter(keep).to_numpy(zero_copy_only=False)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    has = np.zeros(n, dtype=bool)
+    has[rows] = True
+    for j, arr in enumerate(stop_arrays):
+        m = pc.is_in(toks, value_set=arr).to_numpy(zero_copy_only=False)
+        scores[:, j] = np.bincount(rows[m], minlength=n)
+    return scores, has
+
+
 class LangId:
-    """Stopword-overlap language ID (actor pool: token regex + word sets
-    compiled once per actor). Deterministic tie-break: score desc, then
-    language code asc; all-zero scores -> 'und'."""
+    """Stopword-overlap language ID (actor pool: stopword Arrow arrays
+    built once per actor; per batch one RE2 split kernel + one
+    is_in/bincount pass per language — no per-row Python loop).
+    Deterministic tie-break: score desc, then language code asc;
+    all-zero scores -> 'und'."""
 
     def __init__(self):
-        self.token_re = re.compile(r"[a-zäöüéèêàçñ]+")
         self.langs = sorted(_STOPWORDS)
-        self.sets = [_STOPWORDS[lang] for lang in self.langs]
+        self.stop_arrays = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string())
+            for lang in self.langs]
+        self.lang_arr = np.array(self.langs, dtype=object)
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in b["text"]:
-            toks = self.token_re.findall(text.lower())
-            if not toks:
-                preds.append("und")
-                continue
-            scores = [sum(t in s for t in toks) for s in self.sets]
-            best = max(range(len(self.langs)), key=lambda i: (scores[i], -i))
-            preds.append(self.langs[best] if scores[best] > 0 else "und")
-        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": preds})
+    def __call__(self, t: pa.Table) -> pa.Table:
+        scores, has = _lang_scores_arrow(t["text"], self.langs,
+                                         self.stop_arrays)
+        best = scores.argmax(axis=1)  # first max == (score desc, code asc)
+        preds = self.lang_arr[best]
+        preds[~has | (scores.max(axis=1, initial=0) == 0)] = "und"
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string())})
 
 
 def lang_id(ds: Dataset, *, concurrency=(1, 8)) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
+        LangId, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
     )
 
 
@@ -323,9 +355,53 @@ def repetition_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def repetition_stats_arrow(t: "pa.Table") -> "pa.Table":
+    """Arrow twin of :func:`repetition_stats_batch`: whitespace split
+    + (row, word) group counts run as Arrow kernels, the per-row
+    reductions as a second exact group_by — the text never becomes
+    Python objects. Unit-tested value-identical to the pandas twin."""
+    import pyarrow.compute as pc
+
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(t)
+    parts = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    flat = pc.list_flatten(parts)
+    pidx = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({"row": pidx.filter(keep),
+                      "w": flat.filter(keep)})
+    cnt = pairs.group_by(["row", "w"]).aggregate([([], "count_all")])
+    per_row = cnt.group_by("row").aggregate(
+        [("count_all", "sum"), ("count_all", "count"),
+         ("count_all", "max")])
+    rows = per_row["row"].to_numpy(zero_copy_only=False)
+    n_words = np.zeros(n, dtype=np.int64)
+    n_words[rows] = per_row["count_all_sum"].to_numpy(
+        zero_copy_only=False)
+    distinct = np.zeros(n, dtype=np.int64)
+    distinct[rows] = per_row["count_all_count"].to_numpy(
+        zero_copy_only=False)
+    top = np.zeros(n, dtype=np.int64)
+    top[rows] = per_row["count_all_max"].to_numpy(zero_copy_only=False)
+    nw = n_words.astype(np.float64)
+    nw_safe = np.where(nw == 0, 1.0, nw)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_distinct_words": pa.array(distinct, pa.int64()),
+        "top_word_frac": pa.array(
+            np.round(top.astype(np.float64) / nw_safe, 6), pa.float64()),
+        "repetition_ratio": pa.array(
+            np.round(1.0 - distinct.astype(np.float64) / nw_safe, 6),
+            pa.float64()),
+    })
+
+
 def repetition_stats(ds: Dataset) -> Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        repetition_stats_batch, batch_format="pandas"
+        repetition_stats_arrow, batch_format="pyarrow"
     )
 
 
@@ -897,22 +973,22 @@ def chunk_lang_consistency(
 
     class _ChunkLang:
         def __init__(self):
-            self.token_re = re.compile(r"[a-zäöüéèêàçñ]+")
             self.langs = sorted(_STOPWORDS)
-            self.sets = [_STOPWORDS[lang] for lang in self.langs]
+            self.stop_arrays = [
+                pa.array(sorted(_STOPWORDS[lang]), pa.string())
+                for lang in self.langs]
+            self.lang_arr = np.array(self.langs, dtype=object)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for text in b["chunk_text"]:
-                toks = self.token_re.findall(text.lower())
-                scores = [sum(t in s for t in toks) for s in self.sets]
-                best = max(range(len(self.langs)),
-                           key=lambda i: (scores[i], -i))
-                preds.append(self.langs[best] if toks and scores[best] > 0
-                             else "und")
-            return pd.DataFrame({id_col: b[id_col], "lang_pred": preds})
+        def __call__(self, t: pa.Table) -> pa.Table:
+            scores, has = _lang_scores_arrow(t["chunk_text"], self.langs,
+                                             self.stop_arrays)
+            best = scores.argmax(axis=1)
+            preds = self.lang_arr[best]
+            preds[~has | (scores.max(axis=1, initial=0) == 0)] = "und"
+            return pa.table({id_col: t[id_col],
+                             "lang_pred": pa.array(preds, pa.string())})
 
-    preds = chunks.map_batches(_ChunkLang, batch_format="pandas",
+    preds = chunks.map_batches(_ChunkLang, batch_format="pyarrow",
                                concurrency=concurrency, num_cpus=0.5)
     counts = scrub_empty_blocks(
         preds.groupby([id_col, "lang_pred"]).count())

@@ -328,3 +328,39 @@ def test_arrow_twins_match_pandas_batch_scorers():
         token_counts_arrow(t).to_pandas(), token_counts_batch(b))
     pd.testing.assert_frame_equal(
         pii_scrub_arrow(t).to_pandas(), pii_scrub_batch(b))
+
+
+def test_repetition_and_langid_vectorized_twins():
+    import pandas as pd
+    import pyarrow as pa
+
+    from kgdata_ray.stages.textstats import (
+        _STOPWORDS,
+        LangId,
+        repetition_stats_arrow,
+        repetition_stats_batch,
+    )
+
+    texts = [" a  b ", "", "x", "  ", "a a a b", "Z z z", "tab\tsep\nnl",
+             "the cat and the dog", "der Hund und die Katze",
+             "le chat et le chien", "zzz qqq 12345"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    b = t.to_pandas()
+    pd.testing.assert_frame_equal(
+        repetition_stats_arrow(t).to_pandas(), repetition_stats_batch(b))
+
+    # scalar reference of the original findall loop
+    token_re = re.compile(r"[a-zäöüéèêàçñ]+")
+    langs = sorted(_STOPWORDS)
+    sets = [_STOPWORDS[lang] for lang in langs]
+    ref = []
+    for text in texts:
+        toks = token_re.findall(text.lower())
+        if not toks:
+            ref.append("und")
+            continue
+        scores = [sum(tk in s for tk in toks) for s in sets]
+        best = max(range(len(langs)), key=lambda i: (scores[i], -i))
+        ref.append(langs[best] if scores[best] > 0 else "und")
+    got = LangId()(t).to_pandas()["lang_pred"].tolist()
+    assert got == ref
