@@ -546,20 +546,42 @@ def doc_top_terms(ds: Dataset, *, id_col: str = "doc_id",
     return joined.map_batches(order_cols, batch_format="pandas")
 
 
-def _word_ngrams(b: pd.DataFrame, id_col: str, text_col: str,
-                 n: int) -> pd.DataFrame:
+def _word_ngrams_arrow(t: "pa.Table", id_col: str, text_col: str,
+                       n: int) -> "pa.Table":
     """One (id, gram) row per word n-gram (space-joined), matching the
-    SQL array-slice construction exactly."""
-    import re
+    SQL array-slice construction exactly — vectorized: one split
+    kernel, n shifted Arrow slices joined element-wise, window
+    validity by parent-row equality (a window is a gram iff all n
+    tokens come from the same row)."""
+    import pyarrow.compute as pc
 
-    pat = re.compile(WORD_SPLIT_PATTERN)
-    ids, grams = [], []
-    for i, t in zip(b[id_col].to_numpy(), b[text_col].to_numpy()):
-        toks = [w for w in pat.split(t.lower()) if w]
-        for j in range(len(toks) - n + 1):
-            ids.append(i)
-            grams.append(" ".join(toks[j:j + n]))
-    return pd.DataFrame({id_col: ids, "g": grams})
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), WORD_SPLIT_PATTERN)
+    flat = pc.list_flatten(parts)
+    pidx = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    rows = pidx.filter(keep).to_numpy(zero_copy_only=False)
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    m = len(toks) - n + 1
+    if m <= 0:
+        return pa.table({id_col: ids.slice(0, 0),
+                         "g": pa.array([], pa.string())})
+    if n == 1:
+        return pa.table({id_col: ids.take(pa.array(rows)), "g": toks})
+    windows = [toks.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*windows, " ")
+    valid = rows[:m] == rows[n - 1:]
+    return pa.table({
+        id_col: ids.take(pa.array(rows[:m][valid])),
+        "g": grams.filter(pa.array(valid)),
+    })
 
 
 def ngram_contamination(
@@ -576,25 +598,24 @@ def ngram_contamination(
     from ..functions.agg import distinct_rows
     from ..functions.joins import semi_join
 
-    def doc_grams(b: pd.DataFrame) -> pa.Table:
-        import pyarrow as pa
+    def doc_grams(t: pa.Table) -> pa.Table:
+        return _word_ngrams_arrow(t, id_col, text_col, n).group_by(
+            [id_col, "g"]).aggregate([])
 
-        out = _word_ngrams(b, id_col, text_col, n).drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def probe_grams(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def probe_grams(b: pd.DataFrame) -> pa.Table:
-        import pyarrow as pa
-
-        out = _word_ngrams(b, id_col, text_col, n)[["g"]].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        g = _word_ngrams_arrow(t, id_col, text_col, n)["g"]
+        return pa.table({"g": pc.unique(g.combine_chunks() if isinstance(
+            g, pa.ChunkedArray) else g)})
 
     probe_set = distinct_rows(
         probe.select_columns([id_col, text_col]).map_batches(
-            probe_grams, batch_format="pandas"), ["g"],
+            probe_grams, batch_format="pyarrow"), ["g"],
     )
     hits = semi_join(
         docs.select_columns([id_col, text_col]).map_batches(
-            doc_grams, batch_format="pandas"),
+            doc_grams, batch_format="pyarrow"),
         probe_set, "g", plan="broadcast",
     )
     return distinct_rows(hits.select_columns([id_col]), [id_col])
