@@ -31,8 +31,50 @@ def _l2_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _vec_matrix(b: pd.DataFrame, vec_col: str) -> np.ndarray:
+def _vec_matrix(b, vec_col: str) -> np.ndarray:
+    """(n, d) float64 embedding matrix of a batch. Arrow list batches
+    reshape the flat value buffer — one cast, zero per-row objects;
+    pandas object batches (np.ndarray cells) fall back to vstack."""
+    if isinstance(b, pa.Table):
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if isinstance(col.type, pa.ExtensionType):
+            # Ray tensor extension (appears after pandas round-trips):
+            # its to_numpy is already the stacked (n, d) array
+            arr = col.to_numpy(zero_copy_only=False)
+            if getattr(arr, "ndim", 0) == 2:
+                return arr.astype(np.float64, copy=False)
+            return np.vstack([np.asarray(v, dtype=np.float64)
+                              for v in arr])
+        flat = col.flatten()  # respects offsets/validity
+        vals = flat.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False)
+        if n == 0:
+            return vals.reshape(0, 0)
+        d, rem = divmod(len(vals), n)
+        if rem == 0 and pa.types.is_fixed_size_list(col.type):
+            return vals.reshape(n, d)
+        offs = np.diff(col.offsets.to_numpy(zero_copy_only=False)) \
+            if hasattr(col, "offsets") else None
+        if rem == 0 and (offs is None or (offs == d).all()):
+            return vals.reshape(n, d)
+        # ragged lists: row-wise fallback (never the embedding contract)
+        return np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in col.to_pylist()])
     return np.vstack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+
+
+def _ids64(b, col: str) -> np.ndarray:
+    """int64 column of a pandas OR Arrow batch (no per-row objects)."""
+    if isinstance(b, pa.Table):
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.to_numpy(zero_copy_only=False).astype(np.int64,
+                                                       copy=False)
+    return b[col].to_numpy(np.int64)
 
 
 class _BatchTopK:
@@ -50,8 +92,8 @@ class _BatchTopK:
         self.vec_col = vec_col
         self.exclude_self = exclude_self
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        cand_ids = b[self.id_col].to_numpy(np.int64)
+    def __call__(self, b) -> pd.DataFrame:
+        cand_ids = _ids64(b, self.id_col)
         mat = _l2_normalize(_vec_matrix(b, self.vec_col))
         sims = np.round(self.q_mat @ mat.T, 6)  # (Q, batch)
         if self.exclude_self:
@@ -128,7 +170,7 @@ def knn_bruteforce(
     partials = ds.map_batches(
         _BatchTopK,
         fn_constructor_args=(q_ref, k, id_col, vec_col, exclude_self),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
         num_cpus=0.5,
@@ -217,7 +259,7 @@ def knn_ivf(
     partials = filtered.map_batches(
         _BatchTopK,
         fn_constructor_args=(q_ref, k, id_col, vec_col, exclude_self),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
         num_cpus=0.5,
@@ -438,11 +480,14 @@ def grouped_vector_sums(
     pos), so the shuffle moves O(groups × dim) partials, never
     vectors. ``pos`` is 1-based (SQL array convention)."""
 
-    def partial(b: pd.DataFrame) -> pa.Table:
+    def partial(b) -> pa.Table:
         mat = _vec_matrix(b, vec_col)
         fx = np.floor(mat * scale).astype(np.int64)
         d = fx.shape[1]
-        df = pd.DataFrame({group_col: b[group_col].to_numpy()})
+        gvals = (b[group_col].combine_chunks().to_numpy(
+                     zero_copy_only=False)
+                 if isinstance(b, pa.Table) else b[group_col].to_numpy())
+        df = pd.DataFrame({group_col: gvals})
         g = df.groupby(group_col, sort=False)
         labels = []
         sums = []
@@ -463,7 +508,7 @@ def grouped_vector_sums(
     from ..functions.agg import grouped_blockwise
 
     parts = ds.select_columns([group_col, vec_col]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow")
 
     def final(b: pd.DataFrame) -> pa.Table:
         out = (
@@ -540,7 +585,7 @@ def kmeans_embeddings(
     for _ in range(n_iter):
         c_ref = ray.put(cents)
 
-        def partial(b: pd.DataFrame, _c_ref=c_ref) -> pa.Table:
+        def partial(b, _c_ref=c_ref) -> pa.Table:
             c = ray.get(_c_ref)
             fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
             a = _fx_assign(fx, c)
@@ -560,7 +605,7 @@ def kmeans_embeddings(
                 }
             )
 
-        parts = quant.map_batches(partial, batch_format="pandas")
+        parts = quant.map_batches(partial, batch_format="pyarrow")
 
         # int64 partial sums are order-free, so the merge needs no
         # key-boundary guarantees — and the k*dim-bounded partials are
@@ -583,17 +628,17 @@ def kmeans_embeddings(
 
     c_ref = ray.put(cents)
 
-    def assign(b: pd.DataFrame, _c_ref=c_ref) -> pa.Table:
+    def assign(b, _c_ref=c_ref) -> pa.Table:
         c = ray.get(_c_ref)
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                id_col: pa.array(_ids64(b, id_col), pa.int64()),
                 "cluster": pa.array(_fx_assign(fx, c), pa.int64()),
             }
         )
 
-    return quant.map_batches(assign, batch_format="pandas")
+    return quant.map_batches(assign, batch_format="pyarrow")
 
 
 def _fx_lloyd(fx: np.ndarray, k: int, n_iter: int) -> np.ndarray:
@@ -650,11 +695,10 @@ def pq_codes(
     ]
     books_ref = ray.put(books)
 
-    def assign(b: pd.DataFrame, _ref=books_ref) -> pa.Table:
+    def assign(b, _ref=books_ref) -> pa.Table:
         bks = ray.get(_ref)
         vfx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
-        cols = {id_col: pa.array(b[id_col].to_numpy(np.int64),
-                                 pa.int64())}
+        cols = {id_col: pa.array(_ids64(b, id_col), pa.int64())}
         err = np.zeros(len(b), dtype=np.int64)
         for j in range(m):
             sub = vfx[:, j * d_sub:(j + 1) * d_sub]
@@ -670,7 +714,7 @@ def pq_codes(
         return pa.table(cols)
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pandas"
+        assign, batch_format="pyarrow"
     )
 
 
@@ -700,7 +744,7 @@ def scalar_quantize(
 
     src = ds.select_columns([id_col, vec_col]).materialize()
 
-    def minmax_partial(b: pd.DataFrame) -> pa.Table:
+    def minmax_partial(b) -> pa.Table:
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         return pa.table({
             "mn": pa.array([fx.min(axis=0).tobytes()], pa.binary()),
@@ -708,14 +752,14 @@ def scalar_quantize(
         })
 
     parts = src.map_batches(minmax_partial,
-                            batch_format="pandas").take_all()
+                            batch_format="pyarrow").take_all()
     mn = np.min(np.vstack([np.frombuffer(r["mn"], np.int64)
                            for r in parts]), axis=0)
     mx = np.max(np.vstack([np.frombuffer(r["mx"], np.int64)
                            for r in parts]), axis=0)
     span = np.maximum(mx - mn, 1)  # constant dims: every code is 0
 
-    def assign(b: pd.DataFrame) -> pa.Table:
+    def assign(b) -> pa.Table:
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         code = (fx - mn) * (levels - 1) // span
         deq = mn + code * span // (levels - 1)
@@ -723,13 +767,13 @@ def scalar_quantize(
         err = (diff * diff).sum(axis=1)
         codes8 = code.astype(np.uint8)
         return pa.table({
-            id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+            id_col: pa.array(_ids64(b, id_col), pa.int64()),
             "codes_hex": pa.array([row.tobytes().hex() for row in codes8],
                                   pa.string()),
             "err_fx": pa.array(err.astype(np.int64), pa.int64()),
         })
 
-    return src.map_batches(assign, batch_format="pandas")
+    return src.map_batches(assign, batch_format="pyarrow")
 
 
 def knn_ivfpq(
