@@ -245,14 +245,14 @@ def knn_ivf(
             self.cent = ray.get(cent_ref)
             self.probed = ray.get(probed_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, b: pa.Table) -> pa.Table:
             mat = _l2_normalize(_vec_matrix(b, vec_col))
             assign = (mat @ self.cent.T).argmax(axis=1)
             mask = np.isin(assign, list(self.probed))
-            return b[mask]
+            return b.filter(pa.array(mask))
 
     filtered = ds.map_batches(
-        _Filter, batch_format="pandas", batch_size=4096,
+        _Filter, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 8), num_cpus=0.5,
     )
     q_ref = ray.put((q_ids, q_mat))
@@ -373,7 +373,7 @@ def knn_ivf_distributed(
     cent_ref = ray.put(index.centroids)
     dim = index.centroids.shape[1]
 
-    def corpus_side(b: pd.DataFrame) -> pa.Table:
+    def corpus_side(b) -> pa.Table:
         cent = ray.get(cent_ref)
         mat = _l2_normalize(_vec_matrix(b, vec_col))
         assign = (mat @ cent.T).argmax(axis=1).astype(np.int64)
@@ -381,12 +381,12 @@ def knn_ivf_distributed(
             {
                 "cent": pa.array(assign, pa.int64()),
                 "side": pa.array(np.zeros(len(b), np.int8), pa.int8()),
-                "vid": pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+                "vid": pa.array(_ids64(b, id_col), pa.int64()),
                 "vec": pa.array([m.tobytes() for m in mat], pa.binary()),
             }
         )
 
-    def query_side(b: pd.DataFrame) -> pa.Table:
+    def query_side(b) -> pa.Table:
         cent = ray.get(cent_ref)
         mat = _l2_normalize(_vec_matrix(b, vec_col))
         probe = np.argsort(-(mat @ cent.T), axis=1, kind="stable")[:, :nprobe]
@@ -396,9 +396,7 @@ def knn_ivf_distributed(
             {
                 "cent": pa.array(probe.ravel().astype(np.int64), pa.int64()),
                 "side": pa.array(np.ones(n * p, np.int8), pa.int8()),
-                "vid": pa.array(
-                    b[id_col].to_numpy(np.int64)[rows], pa.int64()
-                ),
+                "vid": pa.array(_ids64(b, id_col)[rows], pa.int64()),
                 "vec": pa.array(
                     [mat[r].tobytes() for r in rows], pa.binary()
                 ),
@@ -406,10 +404,10 @@ def knn_ivf_distributed(
         )
 
     tagged = ds.select_columns([id_col, vec_col]).map_batches(
-        corpus_side, batch_format="pandas", batch_size=4096
+        corpus_side, batch_format="pyarrow", batch_size=4096
     ).union(
         queries.select_columns([id_col, vec_col]).map_batches(
-            query_side, batch_format="pandas", batch_size=4096
+            query_side, batch_format="pyarrow", batch_size=4096
         )
     )
 
@@ -859,9 +857,9 @@ def knn_ivfpq(
             (self.coarse, self.books, self.q_ids, self.probes,
              self.luts) = ray.get(state_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pa.Table:
+        def __call__(self, b) -> pa.Table:
             fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
-            cand = b[id_col].to_numpy(np.int64)
+            cand = _ids64(b, id_col)
             cell = _fx_assign(fx, self.coarse)
             codes = np.empty((len(fx), m), dtype=np.int64)
             for j in range(m):
@@ -902,7 +900,7 @@ def knn_ivfpq(
             })
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        _PQTopK, batch_format="pandas", batch_size=4096,
+        _PQTopK, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 8), num_cpus=0.5,
     )
 
@@ -1144,7 +1142,7 @@ def embedding_pca(
 
     from ..functions.agg import merge_bounded_partials
     stats = merge_bounded_partials(
-        quant.map_batches(moments, batch_format="pandas"),
+        quant.map_batches(moments, batch_format="pyarrow"),
         ["i", "j"], ["s"])
     if len(stats) == 0:
         raise ValueError("embedding_pca: input dataset is empty "
@@ -1179,19 +1177,19 @@ def embedding_pca(
                      for j in range(d)], np.float64)
     comp_ref = ray.put((mean, comp))
 
-    def project(b: pd.DataFrame) -> pa.Table:
+    def project(b) -> pa.Table:
         mn, cp = ray.get(comp_ref)
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         x = fx.astype(np.float64) / float(scale)
         p = (x - mn) @ cp
-        out = {id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64())}
+        out = {id_col: pa.array(_ids64(b, id_col), pa.int64())}
         for c in range(cp.shape[1]):
             out[f"pc{c}_micro"] = pa.array(
                 np.floor(p[:, c] * out_scale + 0.5).astype(np.int64),
                 pa.int64())
         return pa.table(out)
 
-    return quant.map_batches(project, batch_format="pandas")
+    return quant.map_batches(project, batch_format="pyarrow")
 
 
 def linear_probe(
@@ -1234,13 +1232,12 @@ def linear_probe(
 
     quant = ds.select_columns([id_col, vec_col, label_col]).materialize()
 
-    def moments(b: pd.DataFrame) -> pa.Table:
+    def moments(b) -> pa.Table:
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         n, d = fx.shape
         a = np.concatenate(
             [fx, np.full((n, 1), scale, np.int64)], axis=1)
-        y = (b[label_col].to_numpy(np.int64) == target_label) \
-            .astype(np.int64)
+        y = (_ids64(b, label_col) == target_label).astype(np.int64)
         gram = a.T @ a
         xty = a.T @ y
         dd = d + 1
@@ -1256,7 +1253,7 @@ def linear_probe(
         })
 
     stats = merge_bounded_partials(
-        quant.map_batches(moments, batch_format="pandas"),
+        quant.map_batches(moments, batch_format="pyarrow"),
         ["i", "j"], ["s"])
     if len(stats) == 0:
         raise ValueError("linear_probe: input dataset is empty "
@@ -1277,22 +1274,21 @@ def linear_probe(
     w = np.linalg.solve(m, v)
     w_ref = ray.put(w)
 
-    def score(b: pd.DataFrame) -> pa.Table:
+    def score(b) -> pa.Table:
         ww = get_broadcast(w_ref)
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
         x = fx.astype(np.float64) / float(scale)
         s = x @ ww[:-1] + ww[-1]
-        y = (b[label_col].to_numpy(np.int64) == target_label) \
-            .astype(np.int64)
+        y = (_ids64(b, label_col) == target_label).astype(np.int64)
         return pa.table({
-            id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
+            id_col: pa.array(_ids64(b, id_col), pa.int64()),
             "is_target": pa.array(y, pa.int64()),
             "score_micro": pa.array(
                 np.floor(s * out_scale + 0.5).astype(np.int64),
                 pa.int64()),
         })
 
-    return quant.map_batches(score, batch_format="pandas")
+    return quant.map_batches(score, batch_format="pyarrow")
 
 
 def contrastive_pairs(
