@@ -562,6 +562,36 @@ def _sig_est_filter(num_perm: int, est_min: float):
     return fn
 
 
+def _pack_f64_rows(mat: np.ndarray) -> pa.Array:
+    """Binary array of packed float64 rows, built from the matrix's
+    single contiguous buffer — no per-row tobytes loop."""
+    n, d = mat.shape
+    width = d * 8
+    offs = (np.arange(n + 1, dtype=np.int32) * width)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(mat, np.float64).tobytes())])
+
+
+def _unpack_f64_rows(col, dim: int) -> np.ndarray:
+    """(n, dim) float64 from an Arrow binary column of packed vectors
+    (one buffer view + reshape; widths are uniform by construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, dim))
+    offs = np.frombuffer(col.buffers()[1], np.int32,
+                         n + 1 + col.offset)[col.offset:]
+    data = np.frombuffer(col.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    if len(data) != n * dim * 8:
+        # non-uniform widths (never the packed contract): row fallback
+        return np.vstack([np.frombuffer(v.as_py(), np.float64)
+                          for v in col])
+    return data.view(np.float64).reshape(n, dim)
+
+
 def _distinct_pairs(pairs: Dataset) -> Dataset:
     from ..functions.agg import grouped_blockwise
 
@@ -941,44 +971,44 @@ def embedding_pairs_lsh(
 
     # Arrow hash joins reject list-typed payload columns — carry the
     # vectors through the pair joins as packed float64 bytes instead
-    def pack(b: pd.DataFrame) -> pa.Table:
+    def pack(t: pa.Table) -> pa.Table:
+        from .similarity import _ids64, _vec_matrix
+
+        mat = np.ascontiguousarray(_vec_matrix(t, vec_col))
         return pa.table(
             {
-                id_col: pa.array(b[id_col].to_numpy(), pa.int64()),
-                "vecbin": pa.array(
-                    [np.asarray(v, dtype=np.float64).tobytes()
-                     for v in b[vec_col]],
-                    pa.binary(),
-                ),
+                id_col: pa.array(_ids64(t, id_col), pa.int64()),
+                "vecbin": _pack_f64_rows(mat),
             }
         )
 
-    packed = vecs.map_batches(pack, batch_format="pandas")
+    packed = vecs.map_batches(pack, batch_format="pyarrow")
     j = _join_pair_sides(
         cand, packed, id_col=id_col, cols=["vecbin"],
         num_partitions=num_partitions,
     )
     va, vb = "vecbin_a", "vecbin_b"
 
-    def verify(b: pd.DataFrame) -> pa.Table:
-        ma = np.vstack([np.frombuffer(v, dtype=np.float64) for v in b[va]]) \
-            if len(b) else np.zeros((0, dim))
-        mb = np.vstack([np.frombuffer(v, dtype=np.float64) for v in b[vb]]) \
-            if len(b) else np.zeros((0, dim))
+    def verify(t: pa.Table) -> pa.Table:
+        from .similarity import _ids64
+
+        ma = _unpack_f64_rows(t[va], dim)
+        mb = _unpack_f64_rows(t[vb], dim)
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         cos = np.round((ma * mb).sum(axis=1) / (na * nb), 6)
-        out = pd.DataFrame(
-            {"id_a": b["id_a"], "id_b": b["id_b"], "cosine": cos}
-        )
-        out = out[out["cosine"] >= threshold]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": pa.array(_ids64(t, "id_a")[keep], pa.int64()),
+            "id_b": pa.array(_ids64(t, "id_b")[keep], pa.int64()),
+            "cosine": pa.array(cos[keep], pa.float64()),
+        })
 
     from ..functions.blocks import scrub_empty_blocks
 
-    return scrub_empty_blocks(j.map_batches(verify, batch_format="pandas"))
+    return scrub_empty_blocks(j.map_batches(verify, batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------

@@ -369,6 +369,7 @@ def knn_ivf_distributed(
     list<float> payloads). Nothing collects to the driver.
     """
     from ..functions.agg import grouped_blockwise
+    from .dedup import _pack_f64_rows
 
     cent_ref = ray.put(index.centroids)
     dim = index.centroids.shape[1]
@@ -382,7 +383,7 @@ def knn_ivf_distributed(
                 "cent": pa.array(assign, pa.int64()),
                 "side": pa.array(np.zeros(len(b), np.int8), pa.int8()),
                 "vid": pa.array(_ids64(b, id_col), pa.int64()),
-                "vec": pa.array([m.tobytes() for m in mat], pa.binary()),
+                "vec": _pack_f64_rows(np.ascontiguousarray(mat)),
             }
         )
 
@@ -397,9 +398,7 @@ def knn_ivf_distributed(
                 "cent": pa.array(probe.ravel().astype(np.int64), pa.int64()),
                 "side": pa.array(np.ones(n * p, np.int8), pa.int8()),
                 "vid": pa.array(_ids64(b, id_col)[rows], pa.int64()),
-                "vec": pa.array(
-                    [mat[r].tobytes() for r in rows], pa.binary()
-                ),
+                "vec": _pack_f64_rows(np.ascontiguousarray(mat[rows])),
             }
         )
 
@@ -419,13 +418,11 @@ def knn_ivf_distributed(
             if not len(qs) or not len(cs):
                 continue
             q_ids = qs["vid"].to_numpy(np.int64)
-            q_mat = np.vstack(
-                [np.frombuffer(v, np.float64) for v in qs["vec"]]
-            ).reshape(len(qs), dim)
+            q_mat = np.frombuffer(b"".join(qs["vec"]),
+                                  np.float64).reshape(len(qs), dim)
             c_ids = cs["vid"].to_numpy(np.int64)
-            c_mat = np.vstack(
-                [np.frombuffer(v, np.float64) for v in cs["vec"]]
-            ).reshape(len(cs), dim)
+            c_mat = np.frombuffer(b"".join(cs["vec"]),
+                                  np.float64).reshape(len(cs), dim)
             for lo in range(0, len(c_ids), chunk_rows):
                 cc_ids = c_ids[lo:lo + chunk_rows]
                 sims = np.round(q_mat @ c_mat[lo:lo + chunk_rows].T, 6)
