@@ -88,18 +88,20 @@ def semdedup(
     assign = kmeans_embeddings(emb, k=k, n_iter=n_iter, id_col=id_col,
                                vec_col=vec_col, cache=False)
 
-    def pack(b: pd.DataFrame) -> pa.Table:
-        vecs = [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+    def pack(t: pa.Table) -> pa.Table:
+        from .dedup import _pack_f64_rows
+        from .similarity import _ids64, _vec_matrix
+
+        mat = np.ascontiguousarray(_vec_matrix(t, vec_col))
         return pa.table({
-            id_col: pa.array(b[id_col].to_numpy(np.int64), pa.int64()),
-            "vec_bytes": pa.array([v.tobytes() for v in vecs],
-                                  pa.binary()),
+            id_col: pa.array(_ids64(t, id_col), pa.int64()),
+            "vec_bytes": _pack_f64_rows(mat),
         })
 
     # num_partitions sizes the co-location join AND the cluster
     # shuffle's parallelism — raise with corpus size (clusters per
     # partition ~= k / num_partitions)
-    packed = emb.map_batches(pack, batch_format="pandas")
+    packed = emb.map_batches(pack, batch_format="pyarrow")
     j = scrub_empty_blocks(
         packed.join(assign, join_type="inner",
                     num_partitions=num_partitions, on=(id_col,)))
