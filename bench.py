@@ -157,6 +157,10 @@ def bench_queries(sf_dir: str) -> dict:
         "kg_fact_history": q.q_kg_fact_history,
         "jpeg_features": q.q_jpeg_features,
         "mjpeg_frame_stats": q.q_mjpeg_frame_stats,
+        # round-5 additions
+        "shuffle_order": q.q_shuffle_order,
+        "token_budget_select": q.q_token_budget_select,
+        "lang_id": q.q_lang_id,
     }
     out = {}
     for name, fn in picks.items():
