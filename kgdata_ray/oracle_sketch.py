@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 26
+SKETCH_ORACLE_VERSION = 27
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -172,6 +172,58 @@ def simhash64(text: str) -> int:
         for bit in range(64):
             acc[bit] += 1 if (h >> bit) & 1 else -1
     return sum(1 << bit for bit in range(64) if acc[bit] >= 0)
+
+
+def golden_fuzzy_contamination(ids, texts, *, probe_mod=11,
+                               num_perm=64, band_size=4, shingle_k=5,
+                               threshold=0.6, seed=7,
+                               max_bucket=200) -> pa.Table:
+    """Sequential spec twin of stages.dedup.fuzzy_contamination with
+    the query's probe derivation: probe docs are ids % probe_mod == 0
+    with the text truncated to the first 4/5 of its space-separated
+    words (a planted near-duplicate). Probe ids lift by 2^40; buckets
+    come from the shared minhash banding; ONLY cross-side pairs are
+    verified (exact char-shingle Jaccard); output = sorted distinct
+    contaminated doc ids."""
+    offset = 1 << 40
+    u_ids = [int(i) for i in ids]
+    u_texts = list(texts)
+    for i, t in zip(ids, texts):
+        if int(i) % probe_mod == 0:
+            w = t.split(" ")
+            u_ids.append(int(i) + offset)
+            u_texts.append(" ".join(w[:max(1, len(w) * 4 // 5)]))
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    fold = np.array(
+        [1099511628211**j % (1 << 61) for j in range(band_size)],
+        dtype=np.uint64,
+    )
+    num_bands = num_perm // band_size
+    shingles = {i: shingle_hashes(t, shingle_k)
+                for i, t in zip(u_ids, u_texts)}
+    buckets: dict = {}
+    for i in u_ids:
+        h = shingles[i]
+        mins = np.empty(num_perm, dtype=np.uint64)
+        for pi in range(num_perm):
+            mins[pi] = (a[pi] * h + b[pi]).min()
+        for band in range(num_bands):
+            seg = mins[band * band_size:(band + 1) * band_size]
+            key = np.int64((seg * fold).sum().astype(np.int64))
+            buckets.setdefault((band, int(key)), []).append(int(i))
+    hit: set[int] = set()
+    for lo, hi in sorted(_bucket_pairs(buckets, max_bucket)):
+        if not (lo < offset <= hi):
+            continue  # cross-side pairs only
+        if lo in hit:
+            continue
+        j = round(jaccard_sets(shingles[lo], shingles[hi]), 6)
+        if j >= threshold:
+            hit.add(lo)
+    return pa.table({"doc_id": pa.array(sorted(hit), pa.int64())})
 
 
 def golden_simhash_pairs(ids, texts, *, max_hamming=3,
@@ -815,6 +867,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
     pq.write_table(golden_clusters(mh), out / "minhash_clusters.parquet")
     pq.write_table(golden_simhash_pairs(ids, texts),
                    out / "simhash_pairs.parquet")
+    pq.write_table(golden_fuzzy_contamination(ids, texts),
+                   out / "fuzzy_contamination.parquet")
     pq.write_table(golden_ngram_jaccard_pairs(ids, texts),
                    out / "ngram_jaccard_pairs.parquet")
     pq.write_table(golden_embedding_lsh_pairs(vec_ids, vecs),

@@ -1881,6 +1881,37 @@ def q_contamination(sf_dir: str) -> Dataset:
     return ngram_contamination(rest, probe, n=_CONTAM_N)
 
 
+_FUZZY_PROBE_MOD = 11
+
+
+def q_fuzzy_contamination(sf_dir: str) -> Dataset:
+    """Fuzzy decontamination (stages/dedup.py:fuzzy_contamination):
+    doc ids near-duplicating ANY probe document by MinHash-LSH banding
+    + exact char-shingle Jaccard >= 0.6. The probe set stands in for a
+    leaked eval benchmark: docs with id % 11 == 0, truncated to the
+    first 4/5 of their words (a planted paraphrase-like near-dup that
+    exact-overlap checks can miss). Certified against a sequential
+    same-spec golden (oracle_sketch.golden_fuzzy_contamination)."""
+    from ..stages.dedup import fuzzy_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def probe(b: pd.DataFrame) -> pa.Table:
+        # probe is eval-benchmark-sized by contract; the per-row word
+        # slice runs only over it
+        c = b[b["doc_id"] % _FUZZY_PROBE_MOD == 0]
+        txt = [" ".join(w[:max(1, len(w) * 4 // 5)])
+               for w in (t.split(" ") for t in c["text"])]
+        return pa.table({
+            "doc_id": pa.array(c["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(txt, pa.string()),
+        })
+
+    return fuzzy_contamination(
+        docs, docs.map_batches(probe, batch_format="pandas"))
+
+
 def _ensure_nation_sql_dump(sf_dir: str) -> str:
     """Deterministic MySQL-dump stand-in for the nation table (the
     reference ingests page/redirect SQL dumps; this sandbox has none,
@@ -3139,6 +3170,7 @@ def queries() -> dict[str, Callable]:
         "token_budget_select": q_token_budget_select,
         "corpus_curation": q_corpus_curation,
         "contamination": q_contamination,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "rollup_doc_counts": q_rollup_doc_counts,
         "cube_doc_counts": q_cube_doc_counts,
         "row_number_events": q_row_number_events,
@@ -4471,6 +4503,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "minhash_pairs": f"""
             SELECT id_a, id_b, jaccard
             FROM read_parquet('{d}/minhash_pairs.parquet')
+        """,
+        "fuzzy_contamination": f"""
+            SELECT doc_id
+            FROM read_parquet('{d}/fuzzy_contamination.parquet')
         """,
         "simhash_pairs": f"""
             SELECT id_a, id_b, hamming

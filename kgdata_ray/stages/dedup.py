@@ -327,12 +327,18 @@ def minhash_sketch_batch(
 
 
 def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
-                        carry: Optional[list[str]] = None):
+                        carry: Optional[list[str]] = None,
+                        side_split: Optional[int] = None):
     """Blockwise candidate-pair generation: one vectorized pass finds
     buckets with >=2 members; pairs are emitted per such bucket
     (id_a < id_b). Buckets larger than ``max_bucket`` are degenerate
     hash collisions and dropped — a documented skew cap mirroring the
-    reference's salted-join thresholds."""
+    reference's salted-join thresholds.
+
+    ``side_split``: two-table mode — ids below the split are the left
+    corpus, at/above it the right; only CROSS pairs are emitted, so a
+    corpus's self-similar buckets cost nothing (the decontamination
+    shape: corpus x probe, never corpus x corpus)."""
     carry = carry or []
 
     def fn(b: pd.DataFrame) -> pa.Table:
@@ -355,13 +361,23 @@ def _bucket_pairs_block(bucket_cols: list[str], id_col: str, max_bucket: int,
         carry_b = {c: [] for c in carry}
         for _, grp in b.groupby(bucket_cols, sort=False):
             ids = grp[id_col].to_numpy()
-            ia, ib = np.triu_indices(len(ids), 1)
+            if side_split is None:
+                ia, ib = np.triu_indices(len(ids), 1)
+            else:
+                lo = np.flatnonzero(ids < side_split)
+                hi = np.flatnonzero(ids >= side_split)
+                if not len(lo) or not len(hi):
+                    continue
+                ia = np.repeat(lo, len(hi))
+                ib = np.tile(hi, len(lo))
             out_a.append(ids[ia])
             out_b.append(ids[ib])
             for c in carry:
                 vals = grp[c].to_numpy()
                 carry_a[c].append(vals[ia])
                 carry_b[c].append(vals[ib])
+        if not out_a:  # side_split can skip every bucket
+            return pa.table(empty)
         data = {
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
@@ -1408,6 +1424,77 @@ def incremental_dedup(
         fresh.map_batches(pre, batch_format="pandas"), ["__ckey"], final)
     return semi_join(new, winners, id_col,
                      num_partitions=num_partitions)
+
+
+#: probe ids are lifted above this before the shared banding pass —
+#: far outside any real doc-id space, so side membership is the id
+FUZZY_PROBE_OFFSET = 1 << 40
+
+
+def fuzzy_contamination(
+    docs: Dataset, probe: Dataset, *,
+    threshold: float = 0.6, num_perm: int = 64, band_size: int = 4,
+    shingle_k: int = 5, seed: int = 7, max_bucket: int = 200,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> Dataset:
+    """Fuzzy benchmark decontamination: ids of ``docs`` whose text is a
+    MinHash-LSH near-duplicate (banded candidates, then EXACT
+    char-shingle Jaccard >= ``threshold``) of ANY ``probe`` document —
+    the near-dup-aware complement of :func:`ngram_contamination`
+    (paraphrased/truncated eval leaks that exact n-gram overlap can
+    miss at low n-gram counts are still ~0.6+ Jaccard).
+
+    Scale shape: both corpora sketch once (sketch rows shuffle, never
+    text); probe ids lift above ``FUZZY_PROBE_OFFSET`` so ONE banding
+    pass serves both sides and the bucket task emits only CROSS pairs
+    (``side_split`` in :func:`_bucket_pairs_block`) — the corpus's own
+    near-dup structure, quadratic at web scale, never leaves the
+    bucket. Verification attaches text only for candidate rows through
+    the size-routed pair join. Output: one ``doc_id`` per contaminated
+    document, distinct."""
+    from ..functions.agg import distinct_rows, grouped_blockwise
+
+    docs2 = docs.select_columns([id_col, text_col])
+
+    def lift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: pc.add(pc.cast(t[id_col], pa.int64()),
+                           pa.scalar(FUZZY_PROBE_OFFSET, pa.int64())),
+            text_col: t[text_col],
+        })
+
+    u = docs2.union(
+        probe.select_columns([id_col, text_col]).map_batches(
+            lift, batch_format="pyarrow"))
+
+    sketches = u.map_batches(
+        partial(
+            minhash_sketch_batch, num_perm=num_perm,
+            band_size=band_size, shingle_k=shingle_k, seed=seed,
+            text_col=text_col, id_col=id_col, with_sig=False,
+        ),
+        batch_format="pandas",
+    )
+    cand = grouped_blockwise(
+        sketches, ["band", "band_hash"],
+        _bucket_pairs_block(["band", "band_hash"], id_col, max_bucket,
+                            side_split=FUZZY_PROBE_OFFSET),
+    )
+    cand = _distinct_pairs(cand)
+    verified = _verify_pairs_join(
+        cand, u, kind="char", shingle_k=shingle_k, ngram_n=0,
+        threshold=threshold, id_col=id_col, text_col=text_col,
+    )
+
+    def docs_only(t: pa.Table) -> pa.Table:
+        # id_a is always the docs side: probe ids sit above the split
+        return pa.table({id_col: t["id_a"]})
+
+    return distinct_rows(
+        verified.map_batches(docs_only, batch_format="pyarrow"),
+        [id_col])
 
 
 def leakage_safe_split(

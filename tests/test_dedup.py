@@ -311,3 +311,33 @@ def test_leakage_safe_split_no_pair_straddles(ray_session):
     assert (lone["group_id"] == lone.index).all()
     frac = (out["split"] == "train").mean()
     assert 0.6 < frac < 0.95
+
+
+def test_fuzzy_contamination_cross_side_only():
+    import ray.data as rd
+
+    from kgdata_ray.stages.dedup import fuzzy_contamination
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon") * 3
+    other = ("one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen") * 3
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base,          # near-dup of the probe
+                 base + " !!",  # ALSO a self near-dup of doc 1
+                 other,         # unrelated
+                 "tiny"],
+    })
+    # probe = truncated copy of base only
+    probe = pd.DataFrame({
+        "doc_id": [100],
+        "text": [" ".join(base.split(" ")[:48])],
+    })
+    got = fuzzy_contamination(
+        rd.from_pandas(docs).repartition(3), rd.from_pandas(probe),
+        threshold=0.5).to_pandas()
+    ids = sorted(got["doc_id"])
+    # docs 1 and 2 contaminated (both near the probe); 3/4 are not —
+    # and the 1-2 self-pair alone must NOT mark anything
+    assert ids == [1, 2]
