@@ -216,16 +216,12 @@ def connected_components(
     actor. Same fixed point, bit-identical output, either plan.
     """
 
-    def _both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame(
-            {"u": batch[src_col], "v": batch[dst_col]}
-        )
-        rev = pd.DataFrame(
-            {"u": batch[dst_col], "v": batch[src_col]}
-        )
-        return pd.concat([fwd, rev], ignore_index=True)
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": t[src_col], "v": t[dst_col]})
+        rev = pa.table({"u": t[dst_col], "v": t[src_col]})
+        return pa.concat_tables([fwd, rev])
 
-    sym = edges.map_batches(_both_dirs, batch_format="pandas").materialize()
+    sym = edges.map_batches(_both_dirs, batch_format="pyarrow").materialize()
 
     if driver_edge_threshold is None:
         import os
@@ -236,15 +232,13 @@ def connected_components(
         return _cc_driver_numpy(sym)
 
     # initial label(x) = min(x, min neighbor) — folds the first round in
-    def _self_edge(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.concat(
-            [batch, pd.DataFrame({"u": batch["u"], "v": batch["u"]})],
-            ignore_index=True,
-        )
+    def _self_edge(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [t, pa.table({"u": t["u"], "v": t["u"].cast(t["v"].type)})])
 
     labels = rename_cols(
         scrub_empty_blocks(
-            sym.map_batches(_self_edge, batch_format="pandas")
+            sym.map_batches(_self_edge, batch_format="pyarrow")
             .groupby("u")
             .min("v")
         ),
@@ -253,11 +247,13 @@ def connected_components(
 
     counter = _RoundCounter.remote()
 
-    def _premin(batch: pd.DataFrame) -> pd.DataFrame:
+    def _premin(t: pa.Table) -> pa.Table:
         # map-side combine ahead of the groupby sort shuffle: the join
         # output has one row per edge; only one candidate per distinct
         # u per block needs to ride the all-to-all
-        return batch.groupby("u", as_index=False)["component_id"].min()
+        return t.group_by("u").aggregate(
+            [("component_id", "min")]).rename_columns(
+            ["u", "component_id"])
 
     for rnd in range(max_rounds):
         # candidate label for u = min over neighbors v of label(v)
@@ -270,7 +266,7 @@ def connected_components(
                     on=("v",),
                     right_on=("node_id",),
                 )
-                .map_batches(_premin, batch_format="pandas")
+                .map_batches(_premin, batch_format="pyarrow")
                 .groupby("u")
                 .min("component_id")
             ),
@@ -282,33 +278,37 @@ def connected_components(
 
         if rnd < plain_rounds:
 
-            def _update_plain(batch: pd.DataFrame, *, _rnd=rnd) -> pd.DataFrame:
-                new = batch[["component_id", "cand"]].min(axis=1)
-                _count_changed(
-                    counter, _rnd, (new != batch["component_id"]).sum())
-                return pd.DataFrame(
-                    {"node_id": batch["node_id"], "component_id": new}
-                )
+            def _update_plain(t: pa.Table, *, _rnd=rnd) -> pa.Table:
+                import pyarrow.compute as pc
+
+                new = pc.min_element_wise(t["component_id"], t["cand"])
+                changed = pc.sum(pc.not_equal(
+                    new, t["component_id"])).as_py() or 0
+                _count_changed(counter, _rnd, changed)
+                return pa.table(
+                    {"node_id": t["node_id"], "component_id": new})
 
             # one execution per plain round (see _RoundCounter note)
             labels = scrub_empty_blocks(
-                merged.map_batches(_update_plain, batch_format="pandas")
+                merged.map_batches(_update_plain, batch_format="pyarrow")
             ).materialize()
         else:
 
-            def _update(batch: pd.DataFrame) -> pd.DataFrame:
-                new = batch[["component_id", "cand"]].min(axis=1)
-                return pd.DataFrame(
+            def _update(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                new = pc.min_element_wise(t["component_id"], t["cand"])
+                return pa.table(
                     {
-                        "node_id": batch["node_id"],
-                        "old_label": batch["component_id"],
+                        "node_id": t["node_id"],
+                        "old_label": t["component_id"],
                         "component_id": new,
                     }
                 )
 
             # materialized once: it feeds both sides of the doubling join
             hopped = scrub_empty_blocks(
-                merged.map_batches(_update, batch_format="pandas")
+                merged.map_batches(_update, batch_format="pyarrow")
             ).materialize()
 
             # pointer doubling: label(u) <- label(label(u)). Labels are
@@ -323,16 +323,19 @@ def connected_components(
                 on=("component_id",), right_on=("ptr",),
             )
 
-            def _shortcut(batch: pd.DataFrame, *, _rnd=rnd) -> pd.DataFrame:
-                new = batch[["component_id", "ptr_label"]].min(axis=1)
-                _count_changed(
-                    counter, _rnd, (new != batch["old_label"]).sum())
-                return pd.DataFrame(
-                    {"node_id": batch["node_id"], "component_id": new}
-                )
+            def _shortcut(t: pa.Table, *, _rnd=rnd) -> pa.Table:
+                import pyarrow.compute as pc
+
+                new = pc.min_element_wise(t["component_id"],
+                                          t["ptr_label"])
+                changed = pc.sum(pc.not_equal(
+                    new, t["old_label"])).as_py() or 0
+                _count_changed(counter, _rnd, changed)
+                return pa.table(
+                    {"node_id": t["node_id"], "component_id": new})
 
             labels = scrub_empty_blocks(
-                doubled.map_batches(_shortcut, batch_format="pandas")
+                doubled.map_batches(_shortcut, batch_format="pyarrow")
             ).materialize()
         if not ray.get(counter.total.remote(rnd)):
             break

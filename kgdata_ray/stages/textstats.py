@@ -941,31 +941,40 @@ def bigram_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
     SQL oracle's split)."""
     from ..functions.agg import grouped_blockwise
 
-    def partial(b: pd.DataFrame) -> pa.Table:
-        w1s: list[str] = []
-        w2s: list[str] = []
-        for txt in b[text_col]:
-            w = txt.split(" ")
-            w1s.extend(w[:-1])
-            w2s.extend(w[1:])
-        df = (
-            pd.DataFrame({"w1": w1s, "w2": w2s})
-            .groupby(["w1", "w2"], sort=False)
-            .size().rename("n").reset_index()
-        )
-        df["n"] = df["n"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def partial(t: "pa.Table") -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # split(" ") exactly (empties kept — the raw-format contract)
+        parts_l = pc.split_pattern(col, " ")
+        flat = pc.list_flatten(parts_l)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = pc.list_parent_indices(parts_l).to_numpy(
+            zero_copy_only=False)
+        m = len(flat) - 1
+        if m < 1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = rows[:m] == rows[1:]
+        pairs = pa.table({"w1": flat.slice(0, m).filter(pa.array(same)),
+                          "w2": flat.slice(1, m).filter(pa.array(same))})
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n"])
 
     parts = ds.select_columns([text_col]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
 
-    def final(b: pd.DataFrame) -> pa.Table:
-        out = b.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
-        out["n"] = out["n"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def final(t: "pa.Table") -> pa.Table:
+        out = t.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return out.rename_columns(["w1", "w2", "n"])
 
-    return grouped_blockwise(parts, ["w1", "w2"], final)
+    return grouped_blockwise(parts, ["w1", "w2"], final,
+                             batch_format="pyarrow")
 
 
 def chunk_lang_consistency(
