@@ -1882,6 +1882,38 @@ def q_contamination(sf_dir: str) -> Dataset:
 
 
 _FUZZY_PROBE_MOD = 11
+_EMB_CONTAM_MOD = 13
+_EMB_CONTAM_T = 0.9
+
+
+def q_embedding_contamination(sf_dir: str) -> Dataset:
+    """Semantic decontamination
+    (stages/similarity.py:embedding_contamination): corpus vec_ids
+    with cosine >= 0.9 (6 dp) against ANY probe vector. The probe
+    stands in for an embedded eval benchmark: vec_ids % 13 == 0 with a
+    constant +0.01 element shift (a planted paraphrase-like semantic
+    near-dup at ~0.996 cosine, NOT an identity match — the engine must
+    compute the real similarity). Probe broadcasts once; the corpus
+    streams through one shuffle-free pass. Oracle: DuckDB join on
+    list_cosine_similarity with the identical rounding."""
+    from ..stages.similarity import embedding_contamination
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def pick_probe(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _ids64, _vec_matrix
+
+        keep = _ids64(t, "vec_id") % _EMB_CONTAM_MOD == 0
+        c = t.filter(pa.array(keep))
+        mat = _vec_matrix(c, "embedding") + 0.01
+        return pa.table({
+            "vec_id": c["vec_id"],
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        })
+
+    probe = emb.map_batches(pick_probe, batch_format="pyarrow")
+    return embedding_contamination(emb, probe, threshold=_EMB_CONTAM_T)
 
 
 def q_fuzzy_contamination(sf_dir: str) -> Dataset:
@@ -3171,6 +3203,7 @@ def queries() -> dict[str, Callable]:
         "corpus_curation": q_corpus_curation,
         "contamination": q_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "embedding_contamination": q_embedding_contamination,
         "rollup_doc_counts": q_rollup_doc_counts,
         "cube_doc_counts": q_cube_doc_counts,
         "row_number_events": q_row_number_events,
@@ -4507,6 +4540,16 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "fuzzy_contamination": f"""
             SELECT doc_id
             FROM read_parquet('{d}/fuzzy_contamination.parquet')
+        """,
+        "embedding_contamination": f"""
+            WITH p AS (SELECT list_transform(embedding, x -> x + 0.01)
+                           AS embedding
+                       FROM embeddings
+                       WHERE vec_id % {_EMB_CONTAM_MOD} = 0)
+            SELECT DISTINCT e.vec_id
+            FROM embeddings e JOIN p
+              ON round(list_cosine_similarity(e.embedding, p.embedding),
+                       6) >= {_EMB_CONTAM_T}
         """,
         "simhash_pairs": f"""
             SELECT id_a, id_b, hamming

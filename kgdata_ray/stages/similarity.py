@@ -1424,3 +1424,41 @@ def contrastive_pairs(
         return b.drop_duplicates(["query_id", "kind"], keep="first")
 
     return grouped_blockwise(parts, ["query_id", "kind"], reduce_block)
+
+
+def embedding_contamination(
+    ds: Dataset, probe: Dataset, *, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> Dataset:
+    """Semantic decontamination: ids of corpus vectors whose cosine
+    similarity to ANY probe vector reaches ``threshold`` (6-dp-rounded,
+    the family's pinned boundary) — the embedding-space complement of
+    the lexical checks (``ngram_contamination`` /
+    ``fuzzy_contamination``): a paraphrased eval leak can share no
+    token n-gram yet still sit at 0.9+ cosine.
+
+    Scale shape: the probe side is eval-benchmark-sized by contract
+    and broadcasts once via ``ray.put`` (the knn_bruteforce query
+    contract); the corpus streams through ONE shuffle-free map_batches
+    pass — per batch a single (n x P) matmul and an ``any`` reduce.
+    Nothing corpus-sized shuffles, joins, or reaches the driver."""
+    from ..functions.blocks import scrub_empty_blocks
+
+    rows = probe.select_columns([id_col, vec_col]).take_all()
+    if not rows:
+        raise ValueError("embedding_contamination: empty probe set")
+    p_mat = _l2_normalize(np.vstack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
+    p_ref = ray.put(p_mat)
+
+    def hit(t: pa.Table) -> pa.Table:
+        pm = ray.get(p_ref)
+        ids = _ids64(t, id_col)
+        mat = _l2_normalize(_vec_matrix(t, vec_col))
+        sims = np.round(mat @ pm.T, 6)
+        keep = (sims >= threshold).any(axis=1)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    return scrub_empty_blocks(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            hit, batch_format="pyarrow"))

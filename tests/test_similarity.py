@@ -178,3 +178,27 @@ def test_pca_probe_empty_and_degenerate_inputs(ray_session):
         embedding_pca(rd.from_pandas(one), n_components=1).materialize()
     with pytest.raises(ValueError, match="empty"):
         linear_probe(rd.from_pandas(empty), target_label=1).materialize()
+
+
+def test_embedding_contamination_threshold_and_probe():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import embedding_contamination
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    vecs = [list(map(float, v)) for v in base]
+    corpus = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64), "embedding": vecs}))
+    # probe: a tiny perturbation of vector 2 (cosine ~1) plus an
+    # unrelated random vector
+    probe = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.array([100, 101], dtype=np.int64),
+        "embedding": [list(map(float, base[2] + 0.001)),
+                      list(map(float, rng.normal(size=8)))],
+    }))
+    got = sorted(embedding_contamination(
+        corpus, probe, threshold=0.95).to_pandas()["vec_id"])
+    assert got == [2]
