@@ -1384,10 +1384,10 @@ def contrastive_pairs(
         return rd.from_arrow(out_schema.empty_table())
     big = np.iinfo(np.int64).max
 
-    def local_best(b: pd.DataFrame) -> pa.Table:
+    def local_best(b) -> pa.Table:
         fx = np.floor(_vec_matrix(b, vec_col) * scale).astype(np.int64)
-        cid = b[id_col].to_numpy(np.int64)
-        clab = b[label_col].to_numpy(np.int64)
+        cid = _ids64(b, id_col)
+        clab = _ids64(b, label_col)
         c_sq = np.einsum("ij,ij->i", fx, fx)
         out_q, out_k, out_c, out_d = [], [], [], []
         for ref in tile_refs:
@@ -1416,7 +1416,7 @@ def contrastive_pairs(
             "dist_q": pa.array(out_d, pa.int64()),
         })
 
-    parts = base.map_batches(local_best, batch_format="pandas")
+    parts = base.map_batches(local_best, batch_format="pyarrow")
 
     def reduce_block(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["query_id", "kind", "dist_q", "cand_id"],
