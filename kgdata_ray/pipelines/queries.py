@@ -401,6 +401,17 @@ def q_exact_dedup_docs(sf_dir: str) -> Dataset:
     return exact_dedup_ids(_t(sf_dir, "documents"))
 
 
+def q_quality_dedup(sf_dir: str) -> Dataset:
+    """Prefix-bucket dedup with quality-winner selection
+    (stages/dedup.py:quality_dedup_ids): normalized 40-char heads
+    compete, the highest-quality variant survives (tie: min id); the
+    winner shuffle carries (id, h1, h2, qi) int64 rows only. Oracle is
+    a row_number() window over the same bucket/quality expressions."""
+    from ..stages.dedup import quality_dedup_ids
+
+    return quality_dedup_ids(_t(sf_dir, "documents"))
+
+
 def q_fingerprint_docs(sf_dir: str) -> Dataset:
     return textstats.fingerprints(_t(sf_dir, "documents"))
 
@@ -3161,6 +3172,7 @@ def queries() -> dict[str, Callable]:
         "doc_mentions": q_doc_mentions,
         "doc_stats": q_doc_stats,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "quality_dedup": q_quality_dedup,
         "segment_dedup": q_segment_dedup,
         "fingerprint_docs": q_fingerprint_docs,
         "knn_bruteforce": q_knn,
@@ -3468,6 +3480,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "quality_dedup": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       greatest(CAST(length(regexp_extract_all(text, '\S+'))
+                           AS DOUBLE), 1.0) AS n_tokens,
+                       CAST(length(regexp_extract_all(text, '[.,;:!?]'))
+                           AS DOUBLE) AS n_punct,
+                       substr(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), 1, 40) AS bucket
+                FROM documents
+            ), q AS (
+                SELECT doc_id, bucket,
+                       round(
+                           0.4 * least(n_chars / 500.0, 1.0)
+                         + 0.3 * (1.0 - abs(least(n_punct / n_tokens, 1.0)
+                               - 0.2))
+                         + 0.3 * (1.0 - least(abs(((n_chars - n_tokens + 1.0)
+                               / n_tokens) - 5.5) / 5.5, 1.0)),
+                       6) AS quality
+                FROM s
+            )
+            SELECT doc_id, quality FROM (
+                SELECT doc_id, quality, row_number() OVER (
+                    PARTITION BY bucket
+                    ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM q) WHERE rn = 1
         """,
         "incremental_dedup": """
             WITH oldc AS (

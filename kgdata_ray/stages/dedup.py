@@ -236,6 +236,74 @@ def exact_dedup_ids(
     return grouped_blockwise(pruned, ["h1", "h2"], final)
 
 
+def quality_dedup_ids(
+    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+    prefix: int = 40,
+) -> Dataset:
+    """Bucketed dedup with QUALITY-based winner selection: documents
+    whose case/whitespace-normalized ``prefix``-char head agrees
+    compete in one bucket, and the highest-quality variant (tie: min
+    id) survives — the curation pattern of keeping the best-formatted
+    copy of a boilerplate family rather than an arbitrary one
+    (reference analog: ``html_articles`` latest-wins dedup,
+    `kgdata/wikipedia/datasets/html_articles.py`, with recency
+    replaced by the quality heuristic).
+
+    Scale shape mirrors :func:`exact_dedup_ids`: the normalized-prefix
+    bucket key is hashed to 128 bits map-side and the quality score is
+    carried as an int64 fixed-point (``round(q * 1e6)``), so the
+    winner shuffle moves only ``(id, h1, h2, qi)`` — 32 B/row at any
+    corpus size; text never leaves the map side. Winner selection
+    (max quality, tie min id) is a lexicographic max — associative
+    and commutative, so the per-batch pre-reduce is exact.
+
+    Returns ``(doc_id, quality)`` for the surviving representatives.
+    """
+
+    from ..functions.agg import grouped_blockwise
+    from .textstats import _PUNCT_RE, _TOKEN_RE, _quality_from_counts
+
+    def pre(b: pd.DataFrame) -> pa.Table:
+        text = b[text_col]
+        quality = _quality_from_counts(
+            text.str.len().to_numpy(np.float64),
+            text.str.count(_TOKEN_RE).to_numpy(np.float64),
+            text.str.count(_PUNCT_RE).to_numpy(np.float64))
+        qi = np.rint(quality * 1e6).astype(np.int64)
+        bucket = (text.str.lower()
+                  .str.replace(r"\s+", " ", regex=True)
+                  .str.strip().str.slice(0, prefix))
+        d = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                          "bucket": bucket.to_numpy(), "qi": qi})
+        d = d.sort_values(["bucket", "qi", id_col],
+                          ascending=[True, False, True], kind="stable")
+        d = d.drop_duplicates("bucket")
+        keys = d["bucket"].to_numpy()
+        h1 = pd.util.hash_array(keys, hash_key=_HKEY1).view(np.int64)
+        h2 = pd.util.hash_array(keys, hash_key=_HKEY2).view(np.int64)
+        return pa.table({
+            id_col: pa.array(d[id_col].to_numpy(), pa.int64()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "qi": pa.array(d["qi"].to_numpy(), pa.int64()),
+        })
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        d = b.sort_values(["h1", "h2", "qi", id_col],
+                          ascending=[True, True, False, True],
+                          kind="stable").drop_duplicates(["h1", "h2"])
+        return pa.table({
+            id_col: pa.array(d[id_col].to_numpy(), pa.int64()),
+            "quality": pa.array(d["qi"].to_numpy(np.float64) / 1e6,
+                                pa.float64()),
+        })
+
+    pruned = ds.select_columns([id_col, text_col]).map_batches(
+        pre, batch_format="pandas"
+    )
+    return grouped_blockwise(pruned, ["h1", "h2"], final)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 

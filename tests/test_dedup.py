@@ -76,6 +76,54 @@ def test_exact_dedup_partition_and_block_split_invariant(corpus):
     assert sorted(got_tiny["doc_id"]) == want
 
 
+def test_quality_dedup_winner_semantics():
+    """quality_dedup_ids keeps the HIGHEST-quality variant per
+    normalized-prefix bucket (tie: min id), verified against a naive
+    pandas window reimplementation, under repartitioning."""
+    from kgdata_ray.stages.dedup import quality_dedup_ids
+    from kgdata_ray.stages.textstats import (
+        _PUNCT_RE, _TOKEN_RE, _quality_from_counts)
+
+    base = ("The quick brown fox jumps over the lazy dog near the "
+            "river bank, watching boats drift by slowly. ")
+    rows = []
+    # three variants of the same normalized head: casing + whitespace
+    # changes alter quality (n_chars moves) but not the bucket key
+    rows.append({"doc_id": 3, "text": base * 4})
+    rows.append({"doc_id": 1, "text": (base * 4).upper()})
+    rows.append({"doc_id": 2, "text": (base * 4).replace(" ", "   ")})
+    # an unrelated singleton
+    rows.append({"doc_id": 9, "text": "completely different text here."})
+    # an exact tie (identical text, different ids) -> min id wins;
+    # distinct head so it forms its own bucket
+    tie = "Entirely separate bucket sentence for the tie case. " * 3
+    rows.append({"doc_id": 21, "text": tie})
+    rows.append({"doc_id": 20, "text": tie})
+    df = pd.DataFrame(rows)
+
+    def naive(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["text"]
+        q = _quality_from_counts(
+            t.str.len().to_numpy(np.float64),
+            t.str.count(_TOKEN_RE).to_numpy(np.float64),
+            t.str.count(_PUNCT_RE).to_numpy(np.float64))
+        bucket = (t.str.lower().str.replace(r"\s+", " ", regex=True)
+                  .str.strip().str.slice(0, 40))
+        w = pd.DataFrame({"doc_id": d["doc_id"], "bucket": bucket,
+                          "quality": np.round(q, 6)})
+        w = w.sort_values(["bucket", "quality", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        return (w.drop_duplicates("bucket")[["doc_id", "quality"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
+    want = naive(df)
+    got = (quality_dedup_ids(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # tie within (20, 21): min id 20 must be the survivor
+    assert 20 in set(got["doc_id"]) and 21 not in set(got["doc_id"])
+
+
 def _brute_pairs(corpus, features, threshold):
     feats = {r.doc_id: features(r.text) for r in corpus.itertuples()}
     out = set()
