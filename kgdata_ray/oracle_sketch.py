@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 27
+SKETCH_ORACLE_VERSION = 28
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -927,6 +927,8 @@ def ensure_sketch_oracles(sf_dir: str) -> str:
                    out / "cms_token_counts.parquet")
     pq.write_table(golden_kmeans(vec_ids, vecs),
                    out / "kmeans_clusters.parquet")
+    pq.write_table(golden_mmr(vec_ids, vecs),
+                   out / "mmr_select.parquet")
     pq.write_table(golden_pq_codes(vec_ids, vecs),
                    out / "pq_codes.parquet")
     (out / "_SKETCH_MARKER.json").write_text(json.dumps(want))
@@ -1008,6 +1010,41 @@ def golden_cms_token_counts(texts, *, d=4, w=4096) -> pa.Table:
             "est_count": pa.array(est, pa.int64()),
         }
     )
+
+
+def golden_mmr(vec_ids, vecs, *, k=10, seed_mod=101, w_rel=7,
+               w_div=3, scale=1 << 20) -> pa.Table:
+    """Sequential same-spec greedy MMR: L2-normalize, floor-quantize
+    to int64, query = integer mean of the seed vectors (ids divisible
+    by seed_mod), then k rounds of argmax(w_rel*rel - w_div*maxsim)
+    with min-id ties. Updates maxsim INCREMENTALLY (np.maximum per
+    pick) where the engine recomputes the max over the selected set —
+    max is associative, so the two agree exactly."""
+    ids = np.asarray(vec_ids, np.int64)
+    mat = np.vstack([np.asarray(v, np.float64) for v in vecs])
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    fx = np.floor(mat / nrm * scale).astype(np.int64)
+    seeds = fx[ids % seed_mod == 0]
+    q = seeds.sum(axis=0, dtype=np.int64) // len(seeds)
+    rel = fx @ q
+    maxsim = np.zeros(len(ids), np.int64)
+    taken = np.zeros(len(ids), bool)
+    ranks, sel_ids, scores = [], [], []
+    for r in range(min(k, len(ids))):
+        score = w_rel * rel - w_div * maxsim
+        idx = np.flatnonzero(~taken)
+        best = idx[np.lexsort((ids[idx], -score[idx]))[0]]
+        ranks.append(r)
+        sel_ids.append(int(ids[best]))
+        scores.append(int(score[best]))
+        taken[best] = True
+        maxsim = np.maximum(maxsim, fx @ fx[best])
+    return pa.table({
+        "sel_rank": pa.array(ranks, pa.int64()),
+        "vec_id": pa.array(sel_ids, pa.int64()),
+        "mmr_fx": pa.array(scores, pa.int64()),
+    })
 
 
 def golden_kmeans(vec_ids, vecs, *, k=16, n_iter=5,

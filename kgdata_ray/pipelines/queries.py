@@ -682,6 +682,20 @@ def q_kmeans_clusters(sf_dir: str) -> Dataset:
     return kmeans_embeddings(_t(sf_dir, "embeddings"))
 
 
+def q_mmr_select(sf_dir: str) -> Dataset:
+    """Greedy maximal-marginal-relevance selection of 10 diverse,
+    query-relevant embeddings (stages/similarity.py:mmr_select):
+    score = 7*rel - 3*maxsim in int64 fixed point over floor-quantized
+    unit vectors, so every round's argmax (tie: min vec_id) is
+    bit-identical at any batching — the diverse-sampling pattern for
+    seeding eval/annotation sets from an embedded corpus. Certified
+    against a sequential incremental-maxsim golden
+    (oracle_sketch.golden_mmr)."""
+    from ..stages.similarity import mmr_select
+
+    return mmr_select(_t(sf_dir, "embeddings"))
+
+
 def q_embedding_dbscan(sf_dir: str) -> Dataset:
     """Exact cosine-DBSCAN over the embeddings table
     (stages/similarity.py:embedding_dbscan): eps-graph from the
@@ -3269,6 +3283,7 @@ def queries() -> dict[str, Callable]:
         "heavy_hitters": q_heavy_hitters,
         "cms_token_counts": q_cms_token_counts,
         "kmeans_clusters": q_kmeans_clusters,
+        "mmr_select": q_mmr_select,
         "semdedup": q_semdedup,
         "embedding_dbscan": q_embedding_dbscan,
         "bm25_topk": q_bm25_topk,
@@ -4602,6 +4617,10 @@ def _sketch_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
         "kmeans_clusters": f"""
             SELECT vec_id, cluster
             FROM read_parquet('{d}/kmeans_clusters.parquet')
+        """,
+        "mmr_select": f"""
+            SELECT sel_rank, vec_id, mmr_fx
+            FROM read_parquet('{d}/mmr_select.parquet')
         """,
         "semdedup": f"""
             SELECT vec_id, cluster, rep_id, kept

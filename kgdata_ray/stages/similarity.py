@@ -1462,3 +1462,140 @@ def embedding_contamination(
     return scrub_empty_blocks(
         ds.select_columns([id_col, vec_col]).map_batches(
             hit, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# MMR diverse selection
+
+
+def _pack_i64_rows(mat: np.ndarray) -> pa.Array:
+    """(n, d) int64 matrix -> fixed_size_binary(8*d) array, one buffer
+    copy, no per-row Python objects."""
+    n, d = mat.shape
+    buf = pa.py_buffer(np.ascontiguousarray(mat, dtype=np.int64).tobytes())
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(8 * d), n, [None, buf])
+
+
+def _unpack_i64_rows(col) -> np.ndarray:
+    """fixed_size_binary(8*d) column -> (n, d) int64 view (zero-copy
+    over the Arrow data buffer, offset-aware)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.byte_width // 8
+    data = np.frombuffer(col.buffers()[1], np.int64)
+    s = col.offset * d
+    return data[s:s + len(col) * d].reshape(-1, d)
+
+
+def mmr_select(
+    ds: Dataset, *, k: int = 10, seed_mod: int = 101,
+    w_rel: int = 7, w_div: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> Dataset:
+    """Greedy maximal-marginal-relevance selection of ``k`` diverse,
+    query-relevant vectors: each round picks the candidate maximizing
+    ``w_rel * rel(q, v) - w_div * max_{s in S} sim(v, s)`` (the
+    MMR objective of Carbonell & Goldstein 1998 with
+    lambda = w_rel / (w_rel + w_div)), tie broken to the lowest id —
+    the dedup-aware sampling pattern for seeding diverse eval or
+    annotation sets from an embedded corpus.
+
+    Everything is int64 fixed point: vectors are L2-normalized then
+    floor-quantized once (``floor(v/|v| * scale)``), the query is the
+    elementwise integer mean of the seed vectors (ids divisible by
+    ``seed_mod``), and rel / maxsim / score are exact integer dot
+    products — so every round's argmax is bit-identical under any
+    batching, task order, or cluster size, certified against a
+    sequential incremental-maxsim golden (oracle_sketch.golden_mmr;
+    the golden updates maxsim incrementally where the engine
+    recomputes the max over S — max is associative, so they agree).
+
+    Scale shape: the candidate table is quantized + packed ONCE into
+    a materialized (id, fixed_size_binary) dataset (the Lloyd-loop
+    cache idiom — an iterative algorithm re-consumes its input k+1
+    times); each round is one shuffle-free map_batches pass carrying
+    only the tiny selected set S (<= k x d int64, closure-shipped) and
+    emitting ONE row per block, so the driver reduce is
+    O(num_blocks), never O(N). Total work O(k * N * d) with k rounds
+    of pipeline latency; for corpus-scale k switch to the
+    materialized running-maxsim variant (documented, not needed at
+    selection-sized k). No reference analog (kgdata has no vector
+    ops) — training-data-pipeline extension surface.
+    """
+    from ..functions.blocks import scrub_empty_blocks
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = _ids64(b, id_col)
+        fx = np.floor(_l2_normalize(_vec_matrix(b, vec_col))
+                      * scale).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "fx": _pack_i64_rows(fx)})
+
+    cand = scrub_empty_blocks(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            prep, batch_format="pyarrow")).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = _ids64(b, id_col)
+        sel = _unpack_i64_rows(b["fx"])[ids % seed_mod == 0]
+        return pa.table({
+            "s": pa.array(
+                [sel.sum(axis=0, dtype=np.int64).tobytes()
+                 if len(sel) else b""], pa.binary()),
+            "n": pa.array([len(sel)], pa.int64()),
+        })
+
+    parts = cand.map_batches(seed_partial,
+                             batch_format="pyarrow").take_all()
+    n_seed = sum(p["n"] for p in parts)
+    if n_seed == 0:
+        raise ValueError(
+            f"mmr_select: no seed rows ({id_col} % {seed_mod} == 0)")
+    qfx = np.sum([np.frombuffer(p["s"], np.int64)
+                  for p in parts if p["n"]],
+                 axis=0, dtype=np.int64) // n_seed
+
+    sel_rows: list[tuple[int, int, int]] = []
+    sel_fx = np.zeros((0, len(qfx)), np.int64)
+
+    for r in range(k):
+        taken = np.array([i for _, i, _ in sel_rows], np.int64)
+
+        def best(b: pa.Table, _sel=sel_fx, _taken=taken) -> pa.Table:
+            ids = _ids64(b, id_col)
+            fx = _unpack_i64_rows(b["fx"])
+            avail = ~np.isin(ids, _taken)
+            fx_type = b.schema.field("fx").type
+            if not avail.any():
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                    "fx": pa.array([], fx_type)})
+            ids, fx = ids[avail], fx[avail]
+            rel = fx @ qfx
+            maxsim = ((fx @ _sel.T).max(axis=1) if len(_sel)
+                      else np.zeros(len(ids), np.int64))
+            score = w_rel * rel - w_div * maxsim
+            i = int(np.lexsort((ids, -score))[0])
+            return pa.table({
+                id_col: pa.array(ids[i:i + 1], pa.int64()),
+                "score": pa.array(score[i:i + 1], pa.int64()),
+                "fx": _pack_i64_rows(fx[i:i + 1]).cast(fx_type)})
+
+        rows = [p for p in cand.map_batches(
+            best, batch_format="pyarrow").take_all()
+            if p[id_col] is not None]
+        if not rows:
+            break
+        w = min(rows, key=lambda p: (-p["score"], p[id_col]))
+        sel_rows.append((r, int(w[id_col]), int(w["score"])))
+        sel_fx = np.vstack(
+            [sel_fx, np.frombuffer(w["fx"], np.int64)[None, :]])
+
+    return ray.data.from_arrow(pa.table({
+        "sel_rank": pa.array([r for r, _, _ in sel_rows], pa.int64()),
+        id_col: pa.array([i for _, i, _ in sel_rows], pa.int64()),
+        "mmr_fx": pa.array([s for _, _, s in sel_rows], pa.int64()),
+    }))

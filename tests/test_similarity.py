@@ -202,3 +202,61 @@ def test_embedding_contamination_threshold_and_probe():
     got = sorted(embedding_contamination(
         corpus, probe, threshold=0.95).to_pandas()["vec_id"])
     assert got == [2]
+
+
+def test_mmr_select_matches_naive_and_batching_invariant(ray_session):
+    """mmr_select's greedy picks equal a naive sequential MMR (same
+    int64 fixed-point spec, recompute-everything style) and are
+    bit-identical under different block layouts; first pick is the
+    pure-relevance argmax; picks are distinct; no-seed input raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from kgdata_ray.stages.similarity import mmr_select
+
+    rng = np.random.default_rng(7)
+    n, d, k, scale = 50, 8, 6, 1 << 20
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+
+    # naive: recompute rel/maxsim from scratch over float32-sourced
+    # vectors, scanning candidates in a python loop
+    m = np.vstack([np.asarray(v, np.float64) for v in df["embedding"]])
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    fx = np.floor(m / nrm * scale).astype(np.int64)
+    seeds = fx[ids % 101 == 0]
+    q = seeds.sum(axis=0, dtype=np.int64) // len(seeds)
+    picked: list[int] = []
+    for _ in range(k):
+        best_key = None
+        for i in range(n):
+            if ids[i] in picked:
+                continue
+            rel = int(fx[i] @ q)
+            ms = max((int(fx[i] @ fx[ids == p][0]) for p in picked),
+                     default=0)
+            key = (-(7 * rel - 3 * ms), int(ids[i]))
+            if best_key is None or key < best_key:
+                best_key = key
+        picked.append(best_key[1])
+
+    got = mmr_select(rd.from_pandas(df).repartition(5),
+                     k=k).to_pandas()
+    assert got["vec_id"].tolist() == picked
+    assert got["sel_rank"].tolist() == list(range(k))
+    assert got["vec_id"].is_unique
+    # first pick is the pure-relevance argmax (maxsim contributes 0)
+    assert got["vec_id"].iloc[0] == ids[np.lexsort((ids, -(fx @ q)))[0]]
+    # block-layout invariance
+    got1 = mmr_select(rd.from_pandas(df).repartition(1), k=k).to_pandas()
+    pd.testing.assert_frame_equal(got, got1)
+    # no seed ids -> clear error
+    with pytest.raises(ValueError, match="no seed rows"):
+        mmr_select(rd.from_pandas(df[df.vec_id > 0]), k=2,
+                   seed_mod=10_000).to_pandas()
