@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from .oracle_tables import ORACLE_BASE
 
-SKETCH_ORACLE_VERSION = 28
+SKETCH_ORACLE_VERSION = 29
 
 _M32 = np.uint64(0xFFFFFFFF)
 _POW257 = [pow(257, j, 1 << 32) for j in range(4096)]
@@ -1017,9 +1017,11 @@ def golden_mmr(vec_ids, vecs, *, k=10, seed_mod=101, w_rel=7,
     """Sequential same-spec greedy MMR: L2-normalize, floor-quantize
     to int64, query = integer mean of the seed vectors (ids divisible
     by seed_mod), then k rounds of argmax(w_rel*rel - w_div*maxsim)
-    with min-id ties. Updates maxsim INCREMENTALLY (np.maximum per
-    pick) where the engine recomputes the max over the selected set —
-    max is associative, so the two agree exactly."""
+    with min-id ties. Updates maxsim INCREMENTALLY (assign on the
+    first pick — a true max over S can be NEGATIVE, so the zero init
+    must not act as a floor — then np.maximum per pick) where the
+    engine recomputes the max over the selected set: max is
+    associative, so the two agree exactly."""
     ids = np.asarray(vec_ids, np.int64)
     mat = np.vstack([np.asarray(v, np.float64) for v in vecs])
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1039,7 +1041,8 @@ def golden_mmr(vec_ids, vecs, *, k=10, seed_mod=101, w_rel=7,
         sel_ids.append(int(ids[best]))
         scores.append(int(score[best]))
         taken[best] = True
-        maxsim = np.maximum(maxsim, fx @ fx[best])
+        sims = fx @ fx[best]
+        maxsim = sims if r == 0 else np.maximum(maxsim, sims)
     return pa.table({
         "sel_rank": pa.array(ranks, pa.int64()),
         "vec_id": pa.array(sel_ids, pa.int64()),

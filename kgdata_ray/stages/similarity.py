@@ -1469,23 +1469,31 @@ def embedding_contamination(
 
 
 def _pack_i64_rows(mat: np.ndarray) -> pa.Array:
-    """(n, d) int64 matrix -> fixed_size_binary(8*d) array, one buffer
-    copy, no per-row Python objects."""
+    """(n, d) int64 matrix -> binary array of 8*d-byte rows, one
+    buffer copy, no per-row Python objects. Variable-width binary (not
+    fixed_size) so an EMPTY block — where d is unknowable from a
+    variable list<float> input — still carries the same schema as its
+    siblings and unions cleanly."""
     n, d = mat.shape
-    buf = pa.py_buffer(np.ascontiguousarray(mat, dtype=np.int64).tobytes())
-    return pa.FixedSizeBinaryArray.from_buffers(
-        pa.binary(8 * d), n, [None, buf])
+    offs = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * (8 * d)).tobytes())
+    data = pa.py_buffer(
+        np.ascontiguousarray(mat, dtype=np.int64).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offs, data])
 
 
 def _unpack_i64_rows(col) -> np.ndarray:
-    """fixed_size_binary(8*d) column -> (n, d) int64 view (zero-copy
-    over the Arrow data buffer, offset-aware)."""
+    """binary column of equal 8*d-byte rows -> (n, d) int64 view
+    (zero-copy over the Arrow offsets/data buffers)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    d = col.type.byte_width // 8
-    data = np.frombuffer(col.buffers()[1], np.int64)
-    s = col.offset * d
-    return data[s:s + len(col) * d].reshape(-1, d)
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), np.int64)
+    offs = np.frombuffer(col.buffers()[1], np.int32,
+                         count=n + 1, offset=4 * col.offset)
+    data = np.frombuffer(col.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    return data.view(np.int64).reshape(n, -1)
 
 
 def mmr_select(
